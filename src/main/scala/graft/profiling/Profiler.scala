@@ -1,0 +1,118 @@
+package graft.profiling
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Per-column descriptive statistics (reference operator A1,
+  * pysrc/utils/descriptive_statistics.py:14-50): non-null count, distinct
+  * count, unique_ratio = round(u/c, 5), lexicographic min/max, shortest /
+  * longest value by (length, value) order. Extended per the north_star with
+  * null counts and an approximate (HLL) distinct suited to the large tier.
+  *
+  * Scale design: ONE scan per table computes every column's stats in a single
+  * `agg` — count / min / max / min_by / max_by / approx_count_distinct are all
+  * partial-aggregatable, so the job is a map-side fold + one tiny final
+  * reduce, no shuffle proportional to data size. Exact distinct counts are
+  * NOT computed here with multi-countDistinct (that would Expand the scan
+  * k-fold for k columns); they come from the shared deduped long form
+  * (Tables.distinctLongForm) with a single groupBy — one shuffle reused by
+  * IND validation.
+  */
+object Profiler {
+
+  /** Long-form exact distinct counts: (col, uniqueCount). */
+  def exactDistinctCounts(distinctLong: DataFrame): DataFrame =
+    distinctLong.groupBy("col").agg(count("*").as("uniqueCount"))
+
+  /** Single-pass per-column stats for one table (string semantics).
+    * Returns one ROW PER COLUMN: (col, cnt, nulls, approxDistinct, minVal,
+    * maxVal, shortest, longest). All values string-cast first so min/max are
+    * lexicographic like the reference (descriptive_statistics.py:27).
+    */
+  def stringStats(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val total = df.count() // row count of the table, reused for null counts
+    def statsFor(c: String): Seq[Column] = {
+      val v = col(c).cast(StringType)
+      // min_by/max_by with a null ordering key skip null rows, so nulls
+      // never win the shortest/longest race.
+      val ord = when(v.isNotNull, struct(length(v).as("l"), v.as("v")))
+      Seq(
+        count(v).as(s"${c}__cnt"),
+        approx_count_distinct(v).as(s"${c}__approx"),
+        min(v).as(s"${c}__min"),
+        max(v).as(s"${c}__max"),
+        min_by(v, ord).as(s"${c}__shortest"),
+        max_by(v, ord).as(s"${c}__longest"))
+    }
+    val aggs = cols.flatMap(statsFor)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into one row per column (driver-side tiny)
+    val row = wide.collect()(0)
+    val out = cols.map { c =>
+      (s"$table.$c",
+        row.getAs[Long](s"${c}__cnt"),
+        total - row.getAs[Long](s"${c}__cnt"),
+        row.getAs[Long](s"${c}__approx"),
+        Option(row.getAs[String](s"${c}__min")),
+        Option(row.getAs[String](s"${c}__max")),
+        Option(row.getAs[String](s"${c}__shortest")),
+        Option(row.getAs[String](s"${c}__longest")))
+    }
+    df.sparkSession.createDataFrame(out)
+      .toDF("col", "cnt", "nulls", "approx_distinct",
+            "min_val", "max_val", "shortest", "longest")
+  }
+
+  /** Full profile of every registered column of every table in a scale dir:
+    * string stats joined with exact distinct counts and
+    * unique_ratio = round(u / c, 5) (reference column_statistics.py:11-19).
+    * `exactDistinct=false` swaps in the HLL estimate (the 100 TB path).
+    */
+  def profileAll(spark: SparkSession, sfDir: String,
+                 exactDistinct: Boolean = true): DataFrame = {
+    val perTable = Tables.all.filter(Tables.indColumns.contains).map { t =>
+      stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t))
+    }.reduce(_ unionAll _)
+    val withU =
+      if (exactDistinct) {
+        val u = exactDistinctCounts(Tables.distinctLongForm(spark, sfDir))
+        perTable.join(broadcast(u), Seq("col"), "left")
+          .withColumn("uniqueCount", coalesce(col("uniqueCount"), lit(0L)))
+      } else perTable.withColumn("uniqueCount", col("approx_distinct"))
+    withU.withColumn("unique_ratio",
+        when(col("cnt") > 0, round(col("uniqueCount") / col("cnt"), 5)))
+      .select("col", "cnt", "nulls", "uniqueCount", "unique_ratio",
+              "min_val", "max_val", "shortest", "longest")
+  }
+
+  /** Native numeric profile (no string casts — doubles/timestamps keep their
+    * type semantics; north_star extension). One pass per table.
+    */
+  def numericProfile(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val pieces = cols.map { c =>
+      df.agg(
+        lit(s"$table.$c").as("col"),
+        count(col(c)).as("cnt"),
+        min(col(c).cast(DoubleType)).as("min_val"),
+        max(col(c).cast(DoubleType)).as("max_val"),
+        avg(col(c).cast(DoubleType)).as("mean_val"))
+    }
+    pieces.reduce(_ unionAll _).select("col", "cnt", "min_val", "max_val", "mean_val")
+  }
+
+  /** Equi-width histogram of a numeric column — the building block of the
+    * distribution-drift check (north_star). Bins are fixed by (lo, hi, n)
+    * so partitions can be histogrammed independently and compared.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val w = (hi - lo) / bins
+    df.filter(col(c).isNotNull)
+      .withColumn("bin",
+        least(greatest(floor((col(c).cast(DoubleType) - lit(lo)) / lit(w)), lit(0L)),
+              lit(bins - 1L)))
+      .groupBy("bin").agg(count("*").as("n"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sampling
+
+/** The reference's fair-share budget waterfall (operator B1,
+  * pysrc/scripts/sampling.py:32-83 with init at :236-257): a total row budget
+  * is split evenly over all columns; columns whose distinct count fits the
+  * even share are capped at their distinct count and return the surplus to a
+  * pool, which is re-split evenly over the still-hungry columns — repeated
+  * until no column changed state in a round or the pool share rounds to zero.
+  *
+  * This is a pure driver-side function over the (tiny, one-row-per-column)
+  * collected profile — at any scale the input is O(#columns), so no
+  * distributed formulation is needed (SURVEY §2 B1).
+  */
+object BudgetAllocator {
+
+  /** Final per-column allocation (colId → rows to sample) plus whether the
+    * whole column fits (allocation == distinct count).
+    */
+  case class Allocation(colId: String, budget: Long, fullColumnFits: Boolean)
+
+  def allocate(uniqueCounts: Seq[(String, Long)], totalBudget: Long): Seq[Allocation] = {
+    require(totalBudget >= 0, "budget must be non-negative")
+    if (uniqueCounts.isEmpty) return Nil
+    val basic0 = totalBudget / uniqueCounts.size // floor, reference :238
+
+    // state: (colId, allowedBudget, fits); init phase (reference :240-255)
+    var allowed = uniqueCounts.map { case (c, u) => (c, u) }.toMap
+    var fits = uniqueCounts.map { case (c, u) => (c, u <= basic0) }.toMap
+    var pool = uniqueCounts.collect { case (c, u) if u <= basic0 => basic0 - u }.sum
+    var basic = basic0
+    var trackChanges = 0L
+
+    // recursion of assign_budget (reference :32-83), expressed iteratively
+    var done = false
+    while (!done) {
+      val hungry = uniqueCounts.count { case (c, _) => !fits(c) }
+      val per = if (hungry != 0) pool / hungry else 0L
+      if (hungry == trackChanges || per == 0L) {
+        allowed = allowed.map { case (c, a) => (c, if (fits(c)) a else per + basic) }
+        done = true
+      } else {
+        uniqueCounts.foreach { case (c, _) =>
+          if (!fits(c)) {
+            if (allowed(c) > per + basic) pool -= per // still hungry (:69-71)
+            else { // fits with this round's share; surplus back to pool (:75-77)
+              fits += (c -> true)
+              pool += basic - allowed(c)
+            }
+          }
+        }
+        trackChanges = hungry
+        basic += per
+      }
+    }
+    uniqueCounts.map { case (c, _) => Allocation(c, allowed(c), fits(c)) }
+  }
+
+  /** A2 (reference :196-199): the partial-IND error budget derived from the
+    * largest per-column distinct count.
+    */
+  def allowedMissingValues(uniqueCounts: Seq[Long]): Long =
+    if (uniqueCounts.isEmpty) 0L
+    else math.ceil(0.5 * uniqueCounts.max).toLong
+}

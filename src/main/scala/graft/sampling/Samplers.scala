@@ -1,0 +1,95 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The reference's six column-sampling strategies M1–M6
+  * (pysrc/utils/sampling_methods.py:102-111), re-specified with explicit
+  * total orders so results are deterministic under any parallelism —
+  * the pandas originals depend on file order, unseeded RNG, and unstable
+  * sort ties (SURVEY §7 "hard parts"). All samplers operate on the DISTINCT
+  * non-blank values of a column (reference pre-process P1,
+  * sampling_methods.py:7-11).
+  *
+  * Scale: every order-by+limit sampler compiles to Catalyst's
+  * TakeOrderedAndProject — a per-partition top-k fold plus a driver merge of
+  * k-sized heaps; no global sort, no full shuffle. The systematic sampler
+  * (M6) is the only one needing a global row numbering.
+  */
+object Samplers {
+
+  /** P1: distinct non-blank values of one column, string-cast. */
+  def distinctValues(df: DataFrame, c: String): DataFrame =
+    df.select(col(c).cast(StringType).as("val"))
+      .filter(col("val").isNotNull && length(trim(col("val"))) > 0)
+      .dropDuplicates("val")
+
+  /** M1 `random`: uniform-ish sample made deterministic by ordering on a
+    * cryptographic hash of the value (md5 is uniform over inputs), tie-broken
+    * by the value itself. Replaces pandas' unseeded `.sample`
+    * (sampling_methods.py:14-22) — documented deviation for determinism.
+    */
+  def random(values: DataFrame, n: Int): DataFrame =
+    values.orderBy(md5(col("val")), col("val")).limit(n).select("val")
+
+  /** M2 `first`: first n distinct values in source order
+    * (sampling_methods.py:25-33). Needs a `rowId` column captured at scan
+    * (e.g. monotonically_increasing_id before dedup).
+    */
+  def first(valuesWithRowId: DataFrame, n: Int): DataFrame =
+    valuesWithRowId.orderBy(col("rowId"), col("val")).limit(n).select("val")
+
+  /** M3 `smallest-value`: by string length asc, lexicographic asc within a
+    * length (sampling_methods.py:36-47). */
+  def smallestValue(values: DataFrame, n: Int): DataFrame =
+    values.orderBy(length(col("val")).asc, col("val").asc).limit(n).select("val")
+
+  /** M4 `biggest-value`: shortest lengths first, reverse-lexicographic within
+    * a length (sampling_methods.py:50-61 — note the reference keeps the
+    * length grouping ASCENDING and only reverses values inside a group). */
+  def biggestValue(values: DataFrame, n: Int): DataFrame =
+    values.orderBy(length(col("val")).asc, col("val").desc).limit(n).select("val")
+
+  /** M5 `longest-value`: by string length desc; lexicographic asc tie-break
+    * added for determinism (reference ties are unspecified,
+    * sampling_methods.py:64-74). */
+  def longestValue(values: DataFrame, n: Int): DataFrame =
+    values.orderBy(length(col("val")).desc, col("val").asc).limit(n).select("val")
+
+  /** M6 `evenly-spaced`: systematic sampling with stride ceil(len/n)
+    * (sampling_methods.py:90-99). The reference picks a random start in
+    * [0, stride); we fix start=0 over the value-sorted order — documented
+    * deviation for determinism. `total` = distinct count (collected once).
+    */
+  def evenlySpaced(values: DataFrame, n: Int, total: Long): DataFrame = {
+    if (total == 0) return values.select("val").limit(0)
+    val stride = math.max(1L, math.ceil(total.toDouble / n).toLong)
+    val w = Window.orderBy(col("val"))
+    values.withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % stride === 0)
+      .select("val")
+  }
+
+  /** Dispatch table mirroring the reference's sampling_methods dict
+    * (sampling_methods.py:102-111). M7 `shortest-value` is dead code there
+    * (buggy + unregistered) and intentionally absent.
+    */
+  val methods: Seq[String] =
+    Seq("random", "first", "smallest-value", "biggest-value",
+        "longest-value", "evenly-spaced")
+
+  def sample(method: String, values: DataFrame, n: Int, total: Long = -1L): DataFrame =
+    method match {
+      case "random"         => random(values, n)
+      case "first"          => first(values, n)
+      case "smallest-value" => smallestValue(values, n)
+      case "biggest-value"  => biggestValue(values, n)
+      case "longest-value"  => longestValue(values, n)
+      case "evenly-spaced"  =>
+        val t = if (total >= 0) total else values.count()
+        evenlySpaced(values, n, t)
+      case other => throw new IllegalArgumentException(s"unknown sampling method: $other")
+    }
+}

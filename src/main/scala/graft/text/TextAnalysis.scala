@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All built from codegen'd `functions._` columns —
+  * no UDFs — so they stay inside whole-stage codegen and scale linearly with
+  * document count (embarrassingly parallel, no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: single-space formula (chars − non-space chars
+    * + 1). Exact for single-space-separated text; identical formula on both
+    * engine sides keeps the oracle deterministic. */
+  def wsTokenCount(text: Column): Column =
+    when(length(text) === 0, 0L)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+      .cast("long")
+
+  /** BPE-ish token count: maximal runs of letters, runs of digits, or single
+    * other non-space characters — a cheap proxy for subword tokenizers. */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("long")
+
+  /** Quality score in [0,1]: length band + punctuation-density band +
+    * mean-token-length band. Deterministic integer→double math. */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val toks = wsTokenCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val lenOk = when(chars >= 50 && chars <= 10000, 0.4).otherwise(0.0)
+    val punctOk = when(chars > 0 && punct / chars <= 0.1, 0.3).otherwise(0.0)
+    val tokOk = when(toks > 0 && chars / toks >= 3 && chars / toks <= 12, 0.3)
+      .otherwise(0.0)
+    round(lenOk + punctOk + tokOk, 1)
+  }
+
+  /** Marker-token occurrence count: how often ` marker ` occurs in the text
+    * (space-delimited), via the length-difference trick — engine-portable. */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val m = s" $marker "
+    ((length(padded) - length(regexp_replace(padded, m, ""))) / m.length).cast("long")
+  }
+
+  /** Language-ID heuristic: count marker stopwords per language, argmax with
+    * a deterministic preference order (en > de > fr > es > zh on ties).
+    * N-gram/stopword heuristics are the standard cheap language filter in
+    * web-scale corpus pipelines. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "como"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => markerCount(text, m)).reduce(_ + _)
+    }
+
+  def langPredict(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: sha256 of the text — the per-row content
+    * invariant of the north rule (`input_hint`), also used by exact dedup. */
+  def fingerprint(text: Column): Column = sha2(text, 256)
+
+  /** Rolling-hash fingerprint (polynomial mod 2^61−1 over code points) as a
+    * native column expression via `aggregate` over the char array — an
+    * order-sensitive alternative to sha256 that supports windowed winnowing
+    * later. */
+  def rollingHash(text: Column): Column = {
+    val prime = lit(1000003L)
+    val mod = lit((1L << 61) - 1)
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * prime + coalesce(ascii(ch).cast("long"), lit(0L)), mod))
+  }
+
+  /** Full per-document analysis frame. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("chars"),
+      wsTokenCount(t).as("ws_tokens"),
+      bpeishTokenCount(t).as("bpeish_tokens"),
+      punctCount(t).as("punct"),
+      digitCount(t).as("digits"),
+      qualityScore(t).as("quality"),
+      langPredict(t).as("lang_pred"),
+      fingerprint(t).as("sha256"))
+  }
+}

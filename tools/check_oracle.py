@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate: run each
+oracle_sql.json entry in DuckDB over the sf parquet tables and compare with
+the Spark parquet dump (column-name-sorted, row-sorted, value-wise)."""
+import sys, json, glob
+import duckdb, pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}")
+        fail += 1
+        continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    exp, got = norm(exp), norm(got)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+        fail += 1
+        continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+        fail += 1
+        continue
+    try:
+        pd.testing.assert_frame_equal(exp, got, check_dtype=False, check_exact=True)
+        print(f"OK   {name} ({len(got)} rows)")
+        ok += 1
+    except AssertionError as e:
+        print(f"FAIL {name}: values differ\n{str(e)[:500]}")
+        fail += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
