@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Similarity
 import graft.dedup.Dedup
-import graft.ind.IndValidator
+import graft.eval.Evaluation
+import graft.ind.{IndValidator, Pruning}
+import graft.pipeline.Experiment
 import graft.profiling.Profiler
 import graft.sampling.{BudgetAllocator, Samplers}
 import graft.text.TextAnalysis
@@ -104,29 +106,56 @@ object SparkEntry {
     s"CASE $whens ELSE 'unknown' END"
   }
 
+  /** One full experiment per scale dir, shared by the experiment-level
+    * queries within a session (Verify runs queries sequentially in one JVM).
+    */
+  private val experimentCache =
+    scala.collection.mutable.Map.empty[String, Experiment.ExperimentResult]
+  private def experiment(s: SparkSession, dir: String): Experiment.ExperimentResult =
+    experimentCache.synchronized {
+      experimentCache.getOrElseUpdate(dir,
+        Experiment.run(s, dir, budgets = Seq(500L, 5000L)))
+    }
+
+  /** The deduped long form and the profile are shared by many queries —
+    * memoized + persisted per scale dir so a suite run (Verify/Bench)
+    * computes each ONCE. */
+  private val dlCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedDistinctLong(s: SparkSession, dir: String): DataFrame =
+    dlCache.synchronized {
+      dlCache.getOrElseUpdate(dir, Tables.distinctLongForm(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  private val profCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedProfile(s: SparkSession, dir: String): DataFrame =
+    profCache.synchronized {
+      profCache.getOrElseUpdate(dir,
+        Profiler.profileAll(s, dir,
+          distinctLong = Some(cachedDistinctLong(s, dir))).cache())
+    }
+
   // ---- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A2: per-column descriptive statistics (one scan per table + one
     // shared distinct shuffle for exact uniques)
-    "q_profile_stats" -> ((s, dir) => Profiler.profileAll(s, dir)
-      .withColumnRenamed("uniqueCount", "unique_count")
+    "q_profile_stats" -> ((s, dir) => cachedProfile(s, dir)
       .withColumnRenamed("nulls", "n_nulls")),
 
     // north_star uniqueness check, derived from the profile
-    "q_unique_checks" -> ((s, dir) => Profiler.profileAll(s, dir)
-      .select(col("col"), col("cnt"), col("uniqueCount").as("unique_count"),
-        (col("cnt") === col("uniqueCount")).as("is_unique"),
-        (col("cnt") === col("uniqueCount") && col("nulls") === 0).as("is_key"))),
+    "q_unique_checks" -> ((s, dir) => cachedProfile(s, dir)
+      .select(col("col"), col("cnt"), col("unique_count"),
+        (col("cnt") === col("unique_count")).as("is_unique"),
+        (col("cnt") === col("unique_count") && col("nulls") === 0).as("is_key"))),
 
     // J1 exact: all unary INDs over every registered column pair
     "q_ind_exact" -> ((s, dir) =>
-      IndValidator.validateAll(s, dir, maxMissing = 0L)
+      IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
         .filter(col("missing") === 0).select("dep", "ref")),
 
     // J1 partial: error budget k=50 (reference MAX_NUMBER_MISSING_VALUES)
     "q_ind_partial" -> ((s, dir) =>
-      IndValidator.validateAll(s, dir, maxMissing = 50L)
+      IndValidator.verdicts(cachedDistinctLong(s, dir), 50L)
         .filter(col("missing") <= 50).select("dep", "ref", "missing")),
 
     // referential check with violation rows (Bloom + exact anti-join)
@@ -158,8 +187,8 @@ object SparkEntry {
 
     // B1 fair-share budget allocation (driver-side pure fn over the profile)
     "q_budget_alloc" -> ((s, dir) => {
-      val u = Profiler.profileAll(s, dir)
-        .select("col", "uniqueCount").collect()
+      val u = cachedProfile(s, dir)
+        .select("col", "unique_count").collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
       val alloc = BudgetAllocator.allocate(u, 10000L)
       s.createDataFrame(alloc.map(a => (a.colId, a.budget, a.fullColumnFits)))
@@ -223,6 +252,49 @@ object SparkEntry {
           col("event_type"))
         .agg(count("*").as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))),
+
+    // E1 confusion matrix: partial-IND run (k=50) scored against the exact
+    // baseline (k=0) — exercises the TP/FP/FN join + metric formulas
+    "q_eval_confusion" -> ((s, dir) =>
+      Evaluation.compareUnary(
+        IndValidator.verdicts(cachedDistinctLong(s, dir), 50L)
+          .filter(col("missing") <= 50).select("dep", "ref", "missing"),
+        IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+          .filter(col("missing") === 0).select("dep", "ref"))),
+
+    // R2-pruned candidate pairs (stats-based pruning BEFORE validation)
+    "q_ind_candidates" -> ((s, dir) =>
+      Pruning.candidates(cachedProfile(s, dir))),
+
+    // J2: arity-2 n-ary INDs from apriori candidates over exact unary INDs
+    "q_ind_nary" -> ((s, dir) => {
+      val unary = IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+        .filter(col("missing") === 0).select("dep", "ref")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      val cands = Pruning.naryCandidates(unary)
+      val rows = cands.map { case ((d1, d2), (r1, r2)) =>
+        def split(c: String) = { val a = c.split('.'); (a(0), a(1)) }
+        val (dt, dc1) = split(d1); val (_, dc2) = split(d2)
+        val (rt, rc1) = split(r1); val (_, rc2) = split(r2)
+        val missing = IndValidator.naryMissing(
+          Tables.load(s, dir, dt), Seq(dc1, dc2),
+          Tables.load(s, dir, rt), Seq(rc1, rc2))
+        (s"$d1+$d2", s"$r1+$r2", missing, missing == 0L)
+      }
+      s.createDataFrame(rows).toDF("dep", "ref", "missing", "passed")
+    }),
+
+    // full reference experiment: per-run confusion matrices (13 runs)
+    "q_experiment_eval" -> ((s, dir) =>
+      experiment(s, dir).evalPerRun),
+
+    // R1-R4: credibility-ranked INDs across all sampled runs
+    "q_ranked_inds" -> ((s, dir) =>
+      experiment(s, dir).ranked),
+
+    // R5: threshold-sweep classifier over the ranking
+    "q_threshold_sweep" -> ((s, dir) =>
+      experiment(s, dir).sweep),
 
     // headline relational aggregate (bench anchor)
     "q_agg_pricing" -> ((s, dir) =>
@@ -308,6 +380,35 @@ object SparkEntry {
         "CAST(floor(coalesce(i.inter, 0) * 100000.0 / (ua.cnt + ub.cnt - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_e5 " +
         "FROM pairs p LEFT JOIN i ON i.a = p.a AND i.b = p.b " +
         "JOIN u ua ON ua.doc_id = p.a JOIN u ub ON ub.doc_id = p.b"),
+
+    "q_eval_confusion" ->
+      (indCoreSql +
+        """, f AS (SELECT dep, ref, missing FROM verdict WHERE missing <= 50),
+          |bl AS (SELECT dep, ref FROM verdict WHERE missing = 0),
+          |tagged AS (SELECT f.missing, (b.dep IS NOT NULL) AS is_tp
+          |           FROM f LEFT JOIN bl b ON f.dep = b.dep AND f.ref = b.ref),
+          |m AS (SELECT count(*) FILTER (WHERE is_tp) AS tp,
+          |             count(*) FILTER (WHERE NOT is_tp) AS fp,
+          |             sum(missing) FILTER (WHERE is_tp) AS tpm,
+          |             sum(missing) FILTER (WHERE NOT is_tp) AS fpm FROM tagged),
+          |nb AS (SELECT count(*) AS n FROM bl)
+          |SELECT tp, fp, nb.n - tp AS fn,
+          |  tp * 1.0 / (tp + fp) AS "precision",
+          |  tp * 1.0 / (tp + (nb.n - tp)) AS recall,
+          |  2 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + (nb.n - tp)))
+          |    / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + (nb.n - tp)))) AS f1,
+          |  tpm * 1.0 / tp AS mean_tp_missing,
+          |  fpm * 1.0 / fp AS mean_fp_missing
+          |FROM m, nb""".stripMargin),
+
+    "q_ind_candidates" ->
+      s"""WITH lf AS ($longFormSql),
+         |d AS (SELECT DISTINCT col, val FROM lf),
+         |p AS (SELECT col, count(*) AS u, min(val) AS mn, max(val) AS mx
+         |      FROM d GROUP BY col)
+         |SELECT a.col AS dep, b.col AS ref, a.u AS dep_unique, b.u AS ref_unique
+         |FROM p a JOIN p b ON a.col <> b.col
+         |WHERE a.u <= b.u AND a.mn >= b.mn AND a.mx <= b.mx""".stripMargin,
 
     "q_events_window" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +

@@ -1,0 +1,95 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact-vs-approximate confusion-matrix evaluation (reference E1/E2,
+  * pysrc/core/compare_csv_line.py:38-103): tag every found IND TP/FP against
+  * the exact baseline, FN = |baseline| − TP, then precision/recall/F1 and the
+  * mean missing-values over TPs and FPs separately.
+  *
+  * Set semantics as joins: TP = found ⋈ baseline (inner), FP = found ∖
+  * baseline (left_anti), FN = baseline ∖ found — all on the (dep, ref) key.
+  * Both sides are verdict frames (tiny relative to data), so the joins
+  * broadcast; the metrics collapse in ONE aggregate.
+  */
+object Evaluation {
+
+  /** found: (dep, ref, missing); baseline: (dep, ref). Output: one row
+    * (tp, fp, fn, precision, recall, f1, mean_tp_missing, mean_fp_missing)
+    * with the reference's exact NaN/zero edge semantics:
+    * no found INDs at all → all-zero metrics (compare_csv_line.py:64-65);
+    * 0/0 divisions → NaN (:57-62).
+    */
+  def compareUnary(found: DataFrame, baseline: DataFrame): DataFrame = {
+    val b = baseline.select(col("dep"), col("ref")).dropDuplicates()
+    val f = found.select(col("dep"), col("ref"), col("missing")).dropDuplicates("dep", "ref")
+    val tagged = f.join(b.withColumn("in_baseline", lit(true)), Seq("dep", "ref"), "left")
+      .withColumn("is_tp", coalesce(col("in_baseline"), lit(false)))
+    val baseCount = b.count()
+    val agg = tagged.agg(
+      count("*").as("n_found"),
+      sum(when(col("is_tp"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("is_tp"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("is_tp"), col("missing"))).as("tp_missing_sum"),
+      sum(when(!col("is_tp"), col("missing"))).as("fp_missing_sum"))
+    val nan = lit(Double.NaN)
+    agg.select(
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        (lit(baseCount) - coalesce(col("tp"), lit(0L))).as("fn"),
+        col("tp_missing_sum"), col("fp_missing_sum"))
+      .withColumn("precision",
+        when(col("n_found") === 0, 0.0)
+          .when(col("tp") + col("fp") === 0, nan)
+          .otherwise(col("tp") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("n_found") === 0, 0.0)
+          .when(col("tp") + col("fn") === 0, nan)
+          .otherwise(col("tp") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("n_found") === 0, 0.0)
+          .when(col("precision") + col("recall") === 0 ||
+                isnan(col("precision") + col("recall")), nan)
+          .otherwise(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .withColumn("mean_tp_missing",
+        when(col("n_found") === 0, 0.0)
+          .when(col("tp") > 0, col("tp_missing_sum") / col("tp")).otherwise(nan))
+      .withColumn("mean_fp_missing",
+        when(col("n_found") === 0, 0.0)
+          .when(col("fp") > 0, col("fp_missing_sum") / col("fp")).otherwise(nan))
+      .select("tp", "fp", "fn", "precision", "recall", "f1",
+        "mean_tp_missing", "mean_fp_missing")
+  }
+
+  /** N-ary variant (E2): dep/ref are '+'-joined column lists; metrics are
+    * computed per arity (compare_csv_line.py:69-103). arity = number of
+    * dependent columns.
+    */
+  def compareNary(found: DataFrame, baseline: DataFrame): DataFrame = {
+    def withArity(df: DataFrame) =
+      df.withColumn("arity", size(split(col("dep"), "\\+")))
+    val b = withArity(baseline.select("dep", "ref").dropDuplicates())
+    val f = withArity(found.select("dep", "ref").dropDuplicates())
+    val tagged = f.join(b.select(col("dep"), col("ref"), lit(true).as("in_b")),
+        Seq("dep", "ref"), "left")
+    val perArityFound = tagged.groupBy("arity").agg(
+      sum(when(col("in_b"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("fp"))
+    val perArityBase = b.groupBy("arity").agg(count("*").as("n_base"))
+    perArityBase.join(perArityFound, Seq("arity"), "left")
+      .na.fill(0L, Seq("tp", "fp"))
+      .withColumn("fn", col("n_base") - col("tp"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0, col("tp") / (col("tp") + col("fp"))).otherwise(0.0))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0, col("tp") / (col("tp") + col("fn"))).otherwise(0.0))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(Double.NaN)))
+      .select("arity", "tp", "fp", "fn", "precision", "recall", "f1")
+  }
+}

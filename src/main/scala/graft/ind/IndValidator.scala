@@ -58,8 +58,8 @@ object IndValidator {
   def verdicts(distinctLong: DataFrame, maxMissing: Long): DataFrame = {
     val u = Profiler.exactDistinctCounts(distinctLong) // (col, uniqueCount) — tiny
     val co = coOccurrence(distinctLong)                // (dep, ref, co)     — tiny
-    val pairs = u.select(col("col").as("dep"), col("uniqueCount").as("dep_unique"))
-      .crossJoin(u.select(col("col").as("ref"), col("uniqueCount").as("ref_unique")))
+    val pairs = u.select(col("col").as("dep"), col("unique_count").as("dep_unique"))
+      .crossJoin(u.select(col("col").as("ref"), col("unique_count").as("ref_unique")))
       .filter(col("dep") =!= col("ref"))
     pairs.join(co, Seq("dep", "ref"), "left")
       .withColumn("missing", col("dep_unique") - coalesce(col("co"), lit(0L)))

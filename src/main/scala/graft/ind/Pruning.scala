@@ -21,10 +21,10 @@ object Pruning {
     */
   def candidates(profile: DataFrame, sound: Boolean = true): DataFrame = {
     val d = profile.select(
-      col("col").as("dep"), col("uniqueCount").as("dep_unique"),
+      col("col").as("dep"), col("unique_count").as("dep_unique"),
       col("min_val").as("dep_min"), col("max_val").as("dep_max"))
     val r = profile.select(
-      col("col").as("ref"), col("uniqueCount").as("ref_unique"),
+      col("col").as("ref"), col("unique_count").as("ref_unique"),
       col("min_val").as("ref_min"), col("max_val").as("ref_max"))
     val crossed = d.crossJoin(r).filter(col("dep") =!= col("ref"))
     val keep =

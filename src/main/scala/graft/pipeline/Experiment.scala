@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.eval.{Credibility, Evaluation}
+import graft.ind.IndValidator
+import graft.sampling.BudgetAllocator
+
+/** The reference's full experiment pipeline (entry point E1+E2,
+  * pysrc/scripts/sampling.py:179-300 + evaluation.py:183-210), natively:
+  *
+  *   profile → error budget → exact baseline INDs →
+  *   per (method × budget): fair-share allocation, per-column sampling,
+  *   partial-IND validation → per-run confusion matrix vs baseline →
+  *   credibility ranking → threshold sweep.
+  *
+  * The 13 Metanome JVM subprocesses (1 baseline + 6 methods × 2 budgets)
+  * become 13 DataFrame jobs over ONE cached distinct long form; per-column
+  * sampling for a whole run is a single window pass (partitioned by column),
+  * not thousands of per-column files.
+  */
+object Experiment {
+
+  case class RunSpec(runId: String, method: String, budget: Long)
+
+  /** Long form with first-occurrence rowId, deduped keeping min rowId per
+    * (col, val) — the reference's keep-first dedup (P1) semantics. */
+  def distinctLongFormWithRowId(spark: SparkSession, sfDir: String): DataFrame = {
+    val lf = Tables.all.filter(Tables.indColumns.contains).map { t =>
+      val df = Tables.load(spark, sfDir, t)
+        .withColumn("rowId", monotonically_increasing_id())
+      val cols = Tables.indColumns(t)
+      cols.map { c =>
+        df.select(lit(s"$t.$c").as("col"),
+            col(c).cast("string").as("val"), col("rowId"))
+          .filter(col("val").isNotNull && length(trim(col("val"))) > 0)
+      }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _)
+    lf.groupBy("col", "val").agg(min("rowId").as("rowId"))
+  }
+
+  /** Per-column stats needed by budget math + credibility, straight from the
+    * deduped long form: ONE aggregate for all columns. */
+  def longFormStats(distinctLong: DataFrame): DataFrame =
+    distinctLong.groupBy("col").agg(
+      count("*").as("unique_count"),
+      min("val").as("min_val"),
+      max("val").as("max_val"))
+
+  /** One sampling run over ALL columns in a single window pass: each method
+    * is a per-column total order; budget/stride arrive via a broadcast join.
+    * (Per-column top-k; the window partitions by column so columns sample in
+    * parallel. A pathologically hot column is bounded by its distinct count,
+    * not the table size, because the input is already deduped.)
+    */
+  def sampleLongForm(distinctLong: DataFrame, budgets: DataFrame,
+                     method: String): DataFrame = {
+    val ordered = method match {
+      case "random"         => Window.partitionBy("col").orderBy(md5(col("val")), col("val"))
+      case "first"          => Window.partitionBy("col").orderBy(col("rowId"), col("val"))
+      case "smallest-value" => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
+      case "biggest-value"  => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").desc)
+      case "longest-value"  => Window.partitionBy("col").orderBy(length(col("val")).desc, col("val").asc)
+      case "evenly-spaced"  => Window.partitionBy("col").orderBy(col("val"))
+      case other => throw new IllegalArgumentException(s"unknown method $other")
+    }
+    val withRn = distinctLong
+      .join(broadcast(budgets), Seq("col"))
+      .withColumn("rn", row_number().over(ordered))
+    val kept = method match {
+      case "evenly-spaced" => withRn.filter((col("rn") - 1) % col("stride") === 0)
+      case _               => withRn.filter(col("rn") <= col("budget"))
+    }
+    kept.select("col", "val", "rowId")
+  }
+
+  /** Everything one experiment produces. */
+  case class ExperimentResult(
+    baselineStats: DataFrame,   // (col, unique_count, min_val, max_val)
+    baselineInds: DataFrame,    // (dep, ref, missing=0)
+    allowedMissing: Long,
+    evalPerRun: DataFrame,      // (run_id, method, budget, tp, fp, fn, ...)
+    ranked: DataFrame,          // (dep, ref, credibility, is_tp)
+    sweep: DataFrame)           // (threshold, tps, fps, fns, tns, acc, p, r)
+
+  val defaultMethods: Seq[String] = graft.sampling.Samplers.methods
+  /** Reference budgets are {10k, 100k} (configuration.py:57-58); scaled to
+    * the sandbox tiers by default. */
+  def run(spark: SparkSession, sfDir: String,
+          methods: Seq[String] = defaultMethods,
+          budgets: Seq[Long] = Seq(1000L, 10000L),
+          thresholds: Seq[Double] = (0 to 20).map(_ * 0.05)): ExperimentResult = {
+    import org.apache.spark.storage.StorageLevel
+
+    val distinctLong = distinctLongFormWithRowId(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = longFormStats(distinctLong).cache()
+    val uniqueCounts = stats.select("col", "unique_count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+    // A2: error budget from the largest distinct count (sampling.py:196-199)
+    val allowedMissing = BudgetAllocator.allowedMissingValues(uniqueCounts.map(_._2))
+
+    // exact baseline (k=0, run_metanome.py:60)
+    val baselineInds = IndValidator.verdicts(distinctLong, 0L)
+      .filter(col("missing") === 0).select("dep", "ref", "missing").cache()
+
+    val specs = for { m <- methods; b <- budgets } yield RunSpec(s"${m}_$b", m, b)
+
+    val perRunFrames = specs.map { spec =>
+      // B1 fair-share allocation on the driver (tiny input)
+      val alloc = BudgetAllocator.allocate(uniqueCounts, spec.budget)
+      val budgetDf = spark.createDataFrame(alloc.map { a =>
+        val u = uniqueCounts.find(_._1 == a.colId).get._2
+        val stride = math.max(1L, math.ceil(u.toDouble / math.max(a.budget, 1L)).toLong)
+        (a.colId, a.budget, stride)
+      }).toDF("col", "budget", "stride")
+
+      val sampled = sampleLongForm(distinctLong, budgetDf, spec.method)
+      // partial INDs on the sampled columns with the shared error budget
+      val inds = IndValidator.verdicts(sampled, allowedMissing)
+        .filter(col("missing") <= allowedMissing)
+        .select("dep", "ref", "missing")
+      // sampled-run column stats (run_metanome.py:28-31 recomputes these)
+      val runStats = sampled.groupBy("col").agg(count("*").as("unique_count"))
+      (spec, inds, runStats)
+    }
+
+    // per-run confusion matrices (E1)
+    val evalPerRun = perRunFrames.map { case (spec, inds, _) =>
+      Evaluation.compareUnary(inds, baselineInds)
+        .select(lit(spec.runId).as("run_id"), lit(spec.method).as("method"),
+          lit(spec.budget).as("budget"), col("*"))
+    }.reduce(_ unionAll _).cache()
+
+    // credibility ranking (R1-R4)
+    val allRunInds = perRunFrames.map { case (spec, inds, _) =>
+      inds.select(lit(spec.runId).as("run_id"), col("dep"), col("ref"),
+        col("missing"), lit(spec.budget).as("budget"))
+    }.reduce(_ unionAll _).cache()
+    val allRunStats = perRunFrames.map { case (spec, _, rs) =>
+      rs.select(lit(spec.runId).as("run_id"), col("col"), col("unique_count"))
+    }.reduce(_ unionAll _)
+
+    val creds = Credibility.perRun(allRunInds, stats, allRunStats)
+    val allInds = allRunInds.select("dep", "ref")
+      .unionAll(baselineInds.select("dep", "ref"))
+    val ranked = Credibility.ranked(allInds, creds)
+      .join(baselineInds.select(col("dep"), col("ref"), lit(true).as("is_tp")),
+        Seq("dep", "ref"), "left")
+      .withColumn("is_tp", coalesce(col("is_tp"), lit(false)))
+      .cache()
+
+    val sweep = Credibility.thresholdSweep(ranked, thresholds)
+
+    ExperimentResult(stats, baselineInds, allowedMissing, evalPerRun, ranked, sweep)
+  }
+}

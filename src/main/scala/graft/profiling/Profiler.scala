@@ -25,7 +25,7 @@ object Profiler {
 
   /** Long-form exact distinct counts: (col, uniqueCount). */
   def exactDistinctCounts(distinctLong: DataFrame): DataFrame =
-    distinctLong.groupBy("col").agg(count("*").as("uniqueCount"))
+    distinctLong.groupBy("col").agg(count("*").as("unique_count"))
 
   /** Single-pass per-column stats for one table (string semantics).
     * Returns one ROW PER COLUMN: (col, cnt, nulls, approxDistinct, minVal,
@@ -72,19 +72,21 @@ object Profiler {
     * `exactDistinct=false` swaps in the HLL estimate (the 100 TB path).
     */
   def profileAll(spark: SparkSession, sfDir: String,
-                 exactDistinct: Boolean = true): DataFrame = {
+                 exactDistinct: Boolean = true,
+                 distinctLong: Option[DataFrame] = None): DataFrame = {
     val perTable = Tables.all.filter(Tables.indColumns.contains).map { t =>
       stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t))
     }.reduce(_ unionAll _)
     val withU =
       if (exactDistinct) {
-        val u = exactDistinctCounts(Tables.distinctLongForm(spark, sfDir))
+        val u = exactDistinctCounts(
+          distinctLong.getOrElse(Tables.distinctLongForm(spark, sfDir)))
         perTable.join(broadcast(u), Seq("col"), "left")
-          .withColumn("uniqueCount", coalesce(col("uniqueCount"), lit(0L)))
-      } else perTable.withColumn("uniqueCount", col("approx_distinct"))
+          .withColumn("unique_count", coalesce(col("unique_count"), lit(0L)))
+      } else perTable.withColumn("unique_count", col("approx_distinct"))
     withU.withColumn("unique_ratio",
-        when(col("cnt") > 0, round(col("uniqueCount") / col("cnt"), 5)))
-      .select("col", "cnt", "nulls", "uniqueCount", "unique_ratio",
+        when(col("cnt") > 0, round(col("unique_count") / col("cnt"), 5)))
+      .select("col", "cnt", "nulls", "unique_count", "unique_ratio",
               "min_val", "max_val", "shortest", "longest")
   }
 

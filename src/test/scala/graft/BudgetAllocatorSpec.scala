@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.sampling.BudgetAllocator
+
+/** B1 fair-share waterfall (reference pysrc/scripts/sampling.py:32-83,
+  * 236-257) — pure-function semantics. */
+class BudgetAllocatorSpec extends AnyFunSuite {
+
+  /** run a scalacheck property under scalatest (no scalatestplus bridge in
+    * the offline cache) */
+  def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("columns under the even share are capped at their unique count") {
+    // budget 90 over 3 cols → basic 30; a(10) fits, pool 20 → per 10 each
+    val a = BudgetAllocator.allocate(
+      Seq("a" -> 10L, "b" -> 100L, "c" -> 100L), 90L)
+    val m = a.map(x => x.colId -> x.budget).toMap
+    assert(m("a") == 10L)
+    assert(a.find(_.colId == "a").get.fullColumnFits)
+    // hungry cols each get basic + pool/2 = 30 + 10 = 40
+    assert(m("b") == 40L && m("c") == 40L)
+  }
+
+  test("everything fits when budget exceeds all unique counts") {
+    val a = BudgetAllocator.allocate(Seq("a" -> 5L, "b" -> 7L), 1000L)
+    assert(a.forall(_.fullColumnFits))
+    assert(a.map(x => x.colId -> x.budget).toMap == Map("a" -> 5L, "b" -> 7L))
+  }
+
+  test("waterfall recursion: freed surplus cascades to hungry columns") {
+    // budget 100 over 4 cols → basic 25. a(5) fits (+20 pool), b(20) fits
+    // (+5 pool), c/d hungry. round: per = 25/2 = 12; c(30) ≤ 25+12 → fits,
+    // returns 25-30 = −5 → pool 20; d(1000) still hungry (pool 20−12=8...)
+    val a = BudgetAllocator.allocate(
+      Seq("a" -> 5L, "b" -> 20L, "c" -> 30L, "d" -> 1000L), 100L)
+    val m = a.map(x => x.colId -> x.budget).toMap
+    assert(m("a") == 5L && m("b") == 20L && m("c") == 30L)
+    assert(m("d") > 25L) // got basic plus redistributed pool
+    assert(!a.find(_.colId == "d").get.fullColumnFits)
+  }
+
+  test("zero budget → zero allocations for hungry columns") {
+    val a = BudgetAllocator.allocate(Seq("a" -> 10L, "b" -> 10L), 0L)
+    assert(a.forall(_.budget <= 10L))
+  }
+
+  test("allowedMissingValues = ceil(0.5 · max unique)") {
+    assert(BudgetAllocator.allowedMissingValues(Seq(10L, 99L, 4L)) == 50L)
+    assert(BudgetAllocator.allowedMissingValues(Seq(1L)) == 1L)
+    assert(BudgetAllocator.allowedMissingValues(Nil) == 0L)
+  }
+
+  test("property: fitting columns are capped exactly at unique count") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      us <- Gen.listOfN(n, Gen.choose(0L, 5000L))
+      budget <- Gen.choose(0L, 100000L)
+    } yield (us.zipWithIndex.map { case (u, i) => (s"c$i", u) }, budget)
+    checkProp(Prop.forAll(gen) { case (cols, budget) =>
+      val a = BudgetAllocator.allocate(cols, budget)
+      val m = cols.toMap
+      a.forall { x =>
+        (!x.fullColumnFits || x.budget == m(x.colId)) && x.budget >= 0L
+      } && a.size == cols.size
+    })
+  }
+}

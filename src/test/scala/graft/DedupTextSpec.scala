@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Dedup family + text analysis + similarity search. */
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"), // near dup
+    (3L, "completely different content about spark and data engines xyz")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(r.length == 3)
+    val dupGroup = r.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds the exact and near dup, not the unrelated doc") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical docs → 1e5, near-dups high, with exact ints") {
+    val cands = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
+    val r = Dedup.ngramJaccard(docs, "doc_id", "text", cands)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        x.getAs[Long]("jaccard_e5")).toMap
+    assert(r((0L, 1L)) == 100000L)
+    assert(r((0L, 3L)) < 20000L)
+  }
+
+  test("simhash: identical docs get identical signatures; candidates pair them") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val m = sig.collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(m(0L) == m(1L))
+    val cands = Dedup.simhashCandidates(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("token counts, punctuation, quality") {
+    val one = Seq((0L, "Hello world, this is a test! It has 2 numbers 42."))
+      .toDF("doc_id", "text")
+    val r = one.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextAnalysis.digitCount(col("text")).as("d")).collect()(0)
+    assert(r.getAs[Long]("ws") == 11L)
+    assert(r.getAs[Long]("p") == 3L)  // , ! .
+    assert(r.getAs[Long]("d") == 3L)  // 2, 4, 2
+  }
+
+  test("language-ID: marker argmax with deterministic tie order") {
+    val d = Seq(
+      (0L, "x the y and z the w"),
+      (1L, "x der y und z die w"),
+      (2L, "no markers here at all")
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.langPredict(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(0L) == "en")
+    assert(r(1L) == "de")
+    assert(r(2L) == "unknown")
+  }
+
+  test("fingerprint is sha256 hex; rolling hash is order-sensitive") {
+    val d = Seq((0L, "abc"), (1L, "cba")).toDF("doc_id", "text")
+    val fp = d.select(TextAnalysis.fingerprint(col("text"))).collect()(0).getString(0)
+    assert(fp == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    val rh = d.select(TextAnalysis.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(rh(0) != rh(1))
+  }
+
+  test("cosine similarity: orthogonal 0, identical 1") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f))
+    ).toDF("id", "v")
+    val r = e.as("x").crossJoin(e.as("y"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.v"), col("y.v")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(math.abs(r((0L, 1L))) < 1e-12)
+    assert(math.abs(r((0L, 2L)) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: self excluded, ranked by cosine desc") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+      "vec_id", "embedding", 2).collect()
+    assert(r.length == 2)
+    assert(r.map(_.getAs[Long]("nid")).toSet == Set(1L, 3L))
+    assert(r.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("nid") == 3L)
+  }
+
+  test("LSH top-k buckets identical vectors together") {
+    val e = Seq(
+      (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(-1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.lshTopK(e, "vec_id", "embedding", 5, planes = 4)
+      .collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("nid"))).toSet
+    assert(r.contains((0L, 1L)) && r.contains((1L, 0L)))
+    assert(!r.contains((0L, 2L)))
+  }
+}

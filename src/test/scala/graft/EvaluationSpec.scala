@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.{Credibility, Evaluation}
+
+/** E1/E2 confusion matrices + R2/R3/R5 credibility semantics. */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("E1: TP/FP/FN identities and metrics") {
+    val baseline = Seq(("a", "b"), ("c", "d"), ("e", "f")).toDF("dep", "ref")
+    val found = Seq(("a", "b", 0L), ("c", "d", 2L), ("x", "y", 5L))
+      .toDF("dep", "ref", "missing")
+    val r = Evaluation.compareUnary(found, baseline).collect()(0)
+    assert(r.getAs[Long]("tp") == 2L)
+    assert(r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("fn") == 1L) // TP + FN = |baseline|
+    assert(r.getAs[Double]("precision") == 2.0 / 3)
+    assert(r.getAs[Double]("recall") == 2.0 / 3)
+    assert(r.getAs[Double]("mean_tp_missing") == 1.0) // (0+2)/2
+    assert(r.getAs[Double]("mean_fp_missing") == 5.0)
+  }
+
+  test("E1 edge: no found INDs → all-zero metrics (reference :64-65)") {
+    val baseline = Seq(("a", "b")).toDF("dep", "ref")
+    val found = Seq.empty[(String, String, Long)].toDF("dep", "ref", "missing")
+    val r = Evaluation.compareUnary(found, baseline).collect()(0)
+    assert(r.getAs[Long]("tp") == 0L && r.getAs[Long]("fp") == 0L)
+    assert(r.getAs[Double]("precision") == 0.0)
+    assert(r.getAs[Double]("f1") == 0.0)
+  }
+
+  test("E1 edge: found but zero TP with empty baseline → NaN recall") {
+    val baseline = Seq.empty[(String, String)].toDF("dep", "ref")
+    val found = Seq(("x", "y", 1L)).toDF("dep", "ref", "missing")
+    val r = Evaluation.compareUnary(found, baseline).collect()(0)
+    assert(r.getAs[Double]("recall").isNaN) // tp + fn == 0
+    assert(r.getAs[Double]("mean_tp_missing").isNaN)
+  }
+
+  test("E2: per-arity confusion") {
+    val baseline = Seq(("a", "b"), ("a+c", "b+d"), ("a+e", "b+f"))
+      .toDF("dep", "ref")
+    val found = Seq(("a", "b"), ("a+c", "b+d"), ("x+y", "w+z"))
+      .toDF("dep", "ref")
+    val rows = Evaluation.compareNary(found, baseline)
+      .collect().map(r => r.getAs[Int]("arity") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))).toMap
+    assert(rows(1) == ((1L, 0L, 0L)))
+    assert(rows(2) == ((1L, 1L, 1L)))
+  }
+
+  test("R2 credibility: formula and the three NaN gates") {
+    val verdicts = Seq(
+      ("r1", "a", "b", 0L, 100L),   // clean: cred = 1.0 * 100
+      ("r1", "c", "b", 2L, 100L),   // missing beyond hidden values → NaN
+      ("r1", "b", "a", 0L, 100L),   // dep uniques > ref uniques → NaN
+      ("r1", "d", "b", 1L, 100L)    // cred = (1 - 1/4) * 100 = 75
+    ).toDF("run_id", "dep", "ref", "missing", "budget")
+    val baseStats = Seq(
+      ("a", 5L, "1", "5"), ("b", 10L, "0", "9"),
+      ("c", 6L, "1", "5"), ("d", 8L, "2", "8")
+    ).toDF("col", "unique_count", "min_val", "max_val")
+    val runStats = Seq(
+      ("r1", "a", 4L), ("r1", "b", 9L), ("r1", "c", 5L), ("r1", "d", 4L)
+    ).toDF("run_id", "col", "unique_count")
+    val m = Credibility.perRun(verdicts, baseStats, runStats)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        r.getAs[Double]("credibility")).toMap
+    assert(m(("a", "b")) == 100.0)
+    assert(m(("c", "b")).isNaN)   // missing 2 > b_ref_u 10 - s_ref_u 9 = 1
+    assert(m(("b", "a")).isNaN)   // 10 > 5
+    assert(m(("d", "b")) == 75.0)
+  }
+
+  test("R3 sentinels: NaN sum → −1.0, never-sampled IND → −2.0") {
+    val perRun = Seq(
+      ("r1", "a", "b", 0L, Double.NaN),
+      ("r1", "c", "d", 0L, 50.0),
+      ("r2", "c", "d", 0L, 25.0)
+    ).toDF("run_id", "dep", "ref", "missing", "credibility")
+    val allInds = Seq(("a", "b"), ("c", "d"), ("e", "f")).toDF("dep", "ref")
+    val m = Credibility.ranked(allInds, perRun)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("credibility")).toMap
+    assert(m(("a", "b")) == -1.0)
+    assert(m(("c", "d")) == 75.0)
+    assert(m(("e", "f")) == -2.0)
+  }
+
+  test("R5 threshold sweep: t=0 means cred>0, t>0 means cred ≥ t·max") {
+    val ranked = Seq(
+      ("a", "b", 100.0, true), ("c", "d", 50.0, true),
+      ("e", "f", 10.0, false), ("g", "h", -2.0, false)
+    ).toDF("dep", "ref", "credibility", "is_tp")
+    val rows = Credibility.thresholdSweep(ranked, Seq(0.0, 0.6))
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("tps"), r.getAs[Long]("fps"),
+         r.getAs[Long]("fns"), r.getAs[Long]("tns"))).toMap
+    assert(rows(0.0) == ((2L, 1L, 0L, 1L))) // all cred>0 predicted
+    assert(rows(0.6) == ((1L, 0L, 1L, 2L))) // only 100 ≥ 60
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Experiment
+
+/** End-to-end experiment pipeline smoke on the sf0.001 tier + invariants. */
+class ExperimentSpec extends SparkSpec {
+
+  lazy val result = Experiment.run(spark, "/root/testdata/sf0.001",
+    methods = Seq("smallest-value", "evenly-spaced"), budgets = Seq(200L))
+
+  test("baseline finds the designed TPC-H INDs") {
+    val inds = result.baselineInds.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inds.contains(("lineitem.l_orderkey", "orders.o_orderkey")))
+    assert(inds.contains(("orders.o_custkey", "customer.c_custkey")))
+    assert(inds.contains(("nation.n_regionkey", "region.r_regionkey")))
+  }
+
+  test("per-run eval: TP + FN = |baseline|") {
+    val base = result.baselineInds.count()
+    result.evalPerRun.collect().foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == base,
+        s"run ${r.getAs[String]("run_id")}")
+    }
+  }
+
+  test("ranked INDs carry is_tp and the sentinel range") {
+    val rows = result.ranked.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("credibility")
+      assert(c == -2.0 || c == -1.0 || c >= 0.0 || c.isNaN == false)
+    }
+    // every baseline IND appears in the ranking (possibly at −2)
+    assert(rows.count(_.getAs[Boolean]("is_tp")) >= result.baselineInds.count())
+  }
+
+  test("threshold sweep is monotone in predicted positives") {
+    val sweep = result.sweep.collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("tps") + r.getAs[Long]("fps")))
+      .sortBy(_._1)
+    val positives = sweep.filter(_._1 > 0).map(_._2)
+    assert(positives.zip(positives.tail).forall { case (a, b) => a >= b },
+      "higher threshold can never predict more positives")
+  }
+
+  test("allowed missing = ceil(0.5 · max unique)") {
+    val maxU = result.baselineStats.agg(max("unique_count")).head.getLong(0)
+    assert(result.allowedMissing == math.ceil(0.5 * maxU).toLong)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ind.{IndValidator, Pruning}
+
+/** J1/J2/J3 — partial/exact IND validation on hand-built frames. */
+class IndValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a ⊆ b exactly; c ⊆ b with 1 missing; b ⊄ a (2 missing)
+  private def longForm = Seq(
+    ("t.a", "1"), ("t.a", "2"),
+    ("t.b", "1"), ("t.b", "2"), ("t.b", "3"),
+    ("t.c", "1"), ("t.c", "9")
+  ).toDF("col", "val")
+
+  test("exact INDs (k=0): only a ⊆ b") {
+    val v = IndValidator.verdicts(longForm, 0L)
+    val passed = v.filter(col("passed")).select("dep", "ref")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(passed == Set(("t.a", "t.b")))
+  }
+
+  test("missing counts are exact for every ordered pair") {
+    val m = IndValidator.verdicts(longForm, 0L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("missing"))).toMap
+    assert(m(("t.a", "t.b")) == 0L)
+    assert(m(("t.b", "t.a")) == 1L) // 3 not in a
+    assert(m(("t.c", "t.b")) == 1L) // 9 not in b
+    assert(m(("t.c", "t.a")) == 1L) // 9 not in a
+    assert(m(("t.b", "t.c")) == 2L) // 2,3 not in c
+  }
+
+  test("partial INDs (k=1) admit c ⊆ b") {
+    val passed = IndValidator.verdicts(longForm, 1L).filter(col("passed"))
+      .select("dep", "ref").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(passed.contains(("t.c", "t.b")))
+    assert(!passed.contains(("t.b", "t.c")))
+  }
+
+  test("pairs sharing no values still get missing = dep distinct count") {
+    val lf = Seq(("t.x", "q"), ("t.y", "r"), ("t.y", "s")).toDF("col", "val")
+    val m = IndValidator.verdicts(lf, 0L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("missing"))).toMap
+    assert(m(("t.x", "t.y")) == 1L)
+    assert(m(("t.y", "t.x")) == 2L)
+  }
+
+  test("violations: anti-join equals Bloom-pruned path") {
+    val dep = (1 to 100).map(_.toString).toDF("k")
+    val ref = (1 to 90).map(_.toString).toDF("k")
+    val withBloom = IndValidator.violations(dep, "k", ref, "k",
+      expectedRef = 1000L, useBloom = true)
+      .collect().map(_.getString(0)).toSet
+    val plain = IndValidator.violations(dep, "k", ref, "k", useBloom = false)
+      .collect().map(_.getString(0)).toSet
+    assert(withBloom == plain)
+    assert(plain == (91 to 100).map(_.toString).toSet)
+  }
+
+  test("n-ary: struct containment with missing count") {
+    val dep = Seq((1, "x"), (2, "y")).toDF("a", "b")
+    val ref = Seq((1, "x"), (2, "y"), (3, "z")).toDF("c", "d")
+    assert(IndValidator.naryMissing(dep, Seq("a", "b"), ref, Seq("c", "d")) == 0L)
+    assert(IndValidator.naryMissing(ref, Seq("c", "d"), dep, Seq("a", "b")) == 1L)
+  }
+
+  test("pruning never eliminates a true exact IND") {
+    // profile of the longForm columns
+    val profile = Seq(
+      ("t.a", 2L, "1", "2"), ("t.b", 3L, "1", "3"), ("t.c", 2L, "1", "9")
+    ).toDF("col", "unique_count", "min_val", "max_val")
+    val cands = Pruning.candidates(profile).select("dep", "ref")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cands.contains(("t.a", "t.b"))) // the only true exact IND survives
+    assert(!cands.contains(("t.c", "t.a"))) // max '9' > max '2' pruned
+  }
+
+  test("n-ary candidate generation aligns tables and orders deterministically") {
+    val unary = Seq(("l.a", "o.x"), ("l.b", "o.y"), ("z.q", "o.x"))
+    val cands = Pruning.naryCandidates(unary)
+    assert(cands == Seq((("l.a", "l.b"), ("o.x", "o.y"))))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.profiling.Profiler
+
+/** A1 per-column statistics vs hand-computed values. */
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stringStats: count, min/max lexicographic, shortest/longest by (len, value)") {
+    val df = Seq(
+      (Some("bb"), 1), (Some("a"), 2), (Some("cccc"), 3),
+      (None: Option[String], 4), (Some("dd"), 5)
+    ).toDF("s", "i")
+    val r = Profiler.stringStats(df, "t", Seq("s", "i")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s = r("t.s")
+    assert(s.getAs[Long]("cnt") == 4L)
+    assert(s.getAs[Long]("nulls") == 1L)
+    assert(s.getAs[String]("min_val") == "a")
+    assert(s.getAs[String]("max_val") == "dd")
+    assert(s.getAs[String]("shortest") == "a")
+    assert(s.getAs[String]("longest") == "cccc")
+    val i = r("t.i")
+    assert(i.getAs[Long]("cnt") == 5L && i.getAs[Long]("nulls") == 0L)
+    assert(i.getAs[String]("min_val") == "1" && i.getAs[String]("max_val") == "5")
+  }
+
+  test("shortest/longest tie-break: lexicographic within equal length") {
+    val df = Seq("zz", "aa", "mm").toDF("s")
+    val r = Profiler.stringStats(df, "t", Seq("s")).collect()(0)
+    assert(r.getAs[String]("shortest") == "aa") // min (2,"aa")
+    assert(r.getAs[String]("longest") == "zz")  // max (2,"zz")
+  }
+
+  test("exactDistinctCounts from deduped long form") {
+    val lf = Seq(("t.a", "1"), ("t.a", "2"), ("t.b", "x")).toDF("col", "val")
+    val m = Profiler.exactDistinctCounts(lf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("t.a" -> 2L, "t.b" -> 1L))
+  }
+
+  test("histogram: fixed-bin equi-width with clamping") {
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val h = Profiler.histogram(df, "x", 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.values.sum == 100L)
+    assert(h(0L) == 10L && h(9L) == 10L)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Samplers
+
+/** M1–M6 sampling semantics (reference pysrc/utils/sampling_methods.py),
+  * incl. the length-then-value tie-break orders of M3/M4/M5. */
+class SamplersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lengths: a(1) z(1) bb(2) yy(2) ccc(3) — covers length ties
+  private def vals = Seq("bb", "a", "ccc", "yy", "z", "a", " ", "")
+    .toDF("c")
+
+  private def dv = Samplers.distinctValues(vals, "c")
+
+  test("P1: distinct non-blank values") {
+    assert(dv.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "bb", "ccc", "yy", "z"))
+  }
+
+  test("M3 smallest-value: length asc, lexicographic asc within length") {
+    assert(Samplers.smallestValue(dv, 3).collect().map(_.getString(0)).toSet ==
+      Set("a", "z", "bb"))
+    assert(Samplers.smallestValue(dv, 2).collect().map(_.getString(0)).toSet ==
+      Set("a", "z"))
+  }
+
+  test("M4 biggest-value: length asc, reverse-lexicographic within length") {
+    // order: z, a, yy, bb, ccc
+    assert(Samplers.biggestValue(dv, 3).collect().map(_.getString(0)).toSet ==
+      Set("z", "a", "yy"))
+  }
+
+  test("M5 longest-value: length desc") {
+    assert(Samplers.longestValue(dv, 2).collect().map(_.getString(0)).toSet ==
+      Set("ccc", "bb") || Samplers.longestValue(dv, 2).collect()
+        .map(_.getString(0)).toSet == Set("ccc", "yy"))
+    assert(Samplers.longestValue(dv, 1).collect().map(_.getString(0)).head == "ccc")
+  }
+
+  test("M1 random: deterministic (hash-ordered), subset of distinct values") {
+    val s1 = Samplers.random(dv, 3).collect().map(_.getString(0)).toSeq
+    val s2 = Samplers.random(dv, 3).collect().map(_.getString(0)).toSeq
+    assert(s1 == s2)
+    assert(s1.toSet.subsetOf(Set("a", "bb", "ccc", "yy", "z")))
+    assert(s1.size == 3)
+  }
+
+  test("M2 first: by first-occurrence rowId") {
+    val withId = Seq(("bb", 0L), ("a", 1L), ("ccc", 2L), ("a", 3L))
+      .toDF("val", "rowId").groupBy("val").agg(min("rowId").as("rowId"))
+    assert(Samplers.first(withId, 2).collect().map(_.getString(0)).toSeq ==
+      Seq("bb", "a"))
+  }
+
+  test("M6 evenly-spaced: stride ceil(len/n), start 0 over value order") {
+    // 5 values sorted: a bb ccc yy z; n=2 → stride 3 → rn 1,4 → a, yy
+    val got = Samplers.evenlySpaced(dv, 2, 5L).collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "yy"))
+  }
+
+  test("sample dispatch covers exactly the reference's six registered methods") {
+    assert(Samplers.methods.toSet == Set("random", "first", "smallest-value",
+      "biggest-value", "longest-value", "evenly-spaced"))
+    intercept[IllegalArgumentException] {
+      Samplers.sample("shortest-value", dv, 1) // M7 is dead code upstream
+    }
+  }
+
+  test("samples never exceed n and never exceed the distinct count") {
+    for (m <- Seq("random", "smallest-value", "biggest-value", "longest-value")) {
+      assert(Samplers.sample(m, dv, 100).count() == 5)
+      assert(Samplers.sample(m, dv, 2).count() == 2)
+    }
+  }
+}
