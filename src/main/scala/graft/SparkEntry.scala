@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Similarity
+import graft.checks.Drift
+import graft.corpus.Corpus
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.eval.Evaluation
 import graft.ind.{IndValidator, Pruning}
 import graft.pipeline.Experiment
@@ -296,6 +299,74 @@ object SparkEntry {
     "q_threshold_sweep" -> ((s, dir) =>
       experiment(s, dir).sweep),
 
+    // distribution drift: categorical TVD of lang per source vs global
+    "q_drift_lang_tvd" -> ((s, dir) =>
+      Drift.categorical(Tables.load(s, dir, "documents"), "source", "lang",
+        thresholdE5 = 10000L)),
+
+    // distribution drift: KS of event value per event_type vs global
+    "q_drift_value_ks" -> ((s, dir) =>
+      Drift.ks(Tables.load(s, dir, "events"), "event_type", "value",
+        lo = 0.0, hi = 50.0, bins = 25, thresholdE5 = 5000L)),
+
+    // ---- north-rule corpus (deterministic synthetic, rows-only checks) ----
+
+    // per-row sha256(content) — THE correctness invariant (input_hint)
+    "q_corpus_fingerprints" -> ((s, _) =>
+      Corpus.fingerprints(Corpus.generate(s, 20000L))),
+
+    // lang drift across commit partitions (designed shift in c008/c009)
+    "q_corpus_drift" -> ((s, _) =>
+      Drift.categorical(Corpus.generate(s, 20000L), "commit", "lang",
+        thresholdE5 = 15000L)),
+
+    // referential: corpus.repo ⊆ repos dimension (must be empty)
+    "q_corpus_ref_check" -> ((s, _) => {
+      val c = Corpus.generate(s, 20000L)
+      IndValidator.violations(c, "repo", Corpus.reposDim(s), "repo",
+        expectedRef = 1000L)
+    }),
+
+    // uniqueness of the (repo, path, commit) key on the corpus
+    "q_corpus_unique" -> ((s, _) =>
+      Corpus.generate(s, 20000L)
+        .groupBy("repo", "path", "commit").agg(count("*").as("n"))
+        .filter(col("n") > 1)),
+
+    // corpus profile: per (commit, lang) file counts + content length stats
+    "q_corpus_profile" -> ((s, _) =>
+      Corpus.generate(s, 20000L)
+        .groupBy("commit", "lang").agg(count("*").as("files"),
+          min(length(col("content"))).as("min_len"),
+          max(length(col("content"))).as("max_len"))),
+
+    // ---- multimodal plumbing (deterministic stub codec, rows-only) -------
+
+    "q_multimodal_meta" -> ((s, _) =>
+      Multimodal.resizeMeta(
+        Multimodal.decodeMeta(Multimodal.syntheticAssets(s, 1000L)), 128)
+        .select("asset_id", "kind", "magic_ok", "width", "height",
+          "payload_len", "total_bytes", "out_width", "out_height")),
+
+    "q_multimodal_features" -> ((s, _) =>
+      Multimodal.featureExtractStub(Multimodal.syntheticAssets(s, 1000L))),
+
+    "q_multimodal_frames" -> ((s, _) =>
+      Multimodal.frameSample(Multimodal.syntheticAssets(s, 1000L), 64, 4)),
+
+    // embedding-cosine near-dup over sign-LSH bucket candidates
+    "q_emb_neardup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val b = e.select(col("vec_id").as("id"),
+        Similarity.signBucket(col("embedding"), 6).as("bucket"))
+      val cands = b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+      Dedup.embeddingNearDup(e, "vec_id", "embedding", cands, 0.9)
+        .select(col("a"), col("b"), floor(col("cosine") * 10000).cast("long")
+          .as("cosine_e4"))
+    }),
+
     // headline relational aggregate (bench anchor)
     "q_agg_pricing" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -414,6 +485,42 @@ object SparkEntry {
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
         "count(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents " +
         "FROM events GROUP BY 1, 2"),
+
+    "q_drift_lang_tvd" ->
+      """WITH counts AS (SELECT source AS partition, lang AS cat, count(*) AS n
+        |               FROM documents GROUP BY 1, 2),
+        |pt AS (SELECT partition, sum(n) AS pt FROM counts GROUP BY 1),
+        |g AS (SELECT cat, sum(n) AS gn FROM counts GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM documents),
+        |filled AS (SELECT p.partition, p.pt, g.cat, g.gn, coalesce(c.n, 0) AS n
+        |           FROM pt p CROSS JOIN g
+        |           LEFT JOIN counts c ON c.partition = p.partition AND c.cat = g.cat)
+        |SELECT partition, CAST(max(pt) AS BIGINT) AS n_rows,
+        |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) AS tvd_e5,
+        |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) >= 10000 AS drifted
+        |FROM filled, tot GROUP BY partition""".stripMargin,
+
+    "q_drift_value_ks" ->
+      """WITH binned AS (
+        |  SELECT event_type AS partition,
+        |    least(greatest(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0), 24) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (SELECT partition, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+        |g AS (SELECT bin, count(*) AS gn FROM binned GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM binned),
+        |pt AS (SELECT partition, sum(n) AS pt FROM counts GROUP BY 1),
+        |filled AS (SELECT p.partition, p.pt, g.bin, g.gn, coalesce(c.n, 0) AS n
+        |           FROM pt p CROSS JOIN g
+        |           LEFT JOIN counts c ON c.partition = p.partition AND c.bin = g.bin),
+        |cum AS (SELECT partition, pt, bin,
+        |          sum(n) OVER (PARTITION BY partition ORDER BY bin) AS cum_n,
+        |          sum(gn) OVER (PARTITION BY partition ORDER BY bin) AS cum_gn,
+        |          (SELECT t FROM tot) AS t
+        |        FROM filled)
+        |SELECT partition, CAST(max(pt) AS BIGINT) AS n_rows,
+        |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) AS ks_e5,
+        |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) >= 5000 AS drifted
+        |FROM cum GROUP BY partition""".stripMargin,
 
     "q_agg_pricing" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +

@@ -1,0 +1,81 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks across partitions (north_star): categorical
+  * total-variation distance and a histogram/KS statistic, each comparing a
+  * partition's distribution against the global one. Both are two-level
+  * aggregations (partition×bin counts, then per-partition fold) — shuffle
+  * keyed by (partition, bin), never by row. Statistics are emitted as
+  * 1e5-scaled floored integers so cross-engine comparison is exact.
+  */
+object Drift {
+
+  /** Total-variation distance of `catCol`'s distribution per `partCol`
+    * partition vs the global distribution:
+    * TVD = ½ Σ_c |p_part(c) − p_global(c)|. Output:
+    * (partition, n_rows, tvd_e5, drifted). */
+  def categorical(df: DataFrame, partCol: String, catCol: String,
+                  thresholdE5: Long = 10000L): DataFrame = {
+    val counts = df.groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
+      .agg(count("*").as("n"))
+    val partTotals = counts.groupBy("partition").agg(sum("n").as("pt"))
+    val globalCounts = counts.groupBy("cat").agg(sum("n").as("gn"))
+    val globalTotal = df.count()
+    // per (partition, cat): |p - q|; cats absent from a partition contribute
+    // q, handled by a right join against the full cat list per partition
+    val full = partTotals.crossJoin(globalCounts)
+      .join(counts, Seq("partition", "cat"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    // exact integer arithmetic: TVD = Σ|n·t − gn·pt| / (2·pt·t); a single
+    // integer division at the end makes the 1e5-scaled statistic identical
+    // on every engine (float summation order flipped floor() at boundaries).
+    // Note: n·t stays in Long range up to ~3·10^9-row inputs; beyond that
+    // switch to the double formula (the statistic is approximate anyway).
+    full.groupBy("partition")
+      .agg(max("pt").as("pt"),
+        sum(abs(col("n") * lit(globalTotal) - col("gn") * col("pt"))).as("num"))
+      .withColumn("tvd_e5",
+        expr(s"(num * 100000) div (2 * pt * ${globalTotal}L)"))
+      .withColumn("drifted", col("tvd_e5") >= thresholdE5)
+      .select(col("partition"), col("pt").as("n_rows"), col("tvd_e5"), col("drifted"))
+  }
+
+  /** Kolmogorov–Smirnov statistic of `numCol` per partition vs global, over
+    * a fixed equi-width binning [lo, hi) × bins (fixed bins keep partitions
+    * independently aggregable — the 100 TB path; exactness loss is one bin
+    * width). Output: (partition, n_rows, ks_e5, drifted). */
+  def ks(df: DataFrame, partCol: String, numCol: String,
+         lo: Double, hi: Double, bins: Int,
+         thresholdE5: Long = 10000L): DataFrame = {
+    val w = (hi - lo) / bins
+    val binned = df.filter(col(numCol).isNotNull)
+      .select(col(partCol).as("partition"),
+        least(greatest(floor((col(numCol) - lit(lo)) / lit(w)), lit(0L)),
+          lit(bins - 1L)).as("bin"))
+    val counts = binned.groupBy("partition", "bin").agg(count("*").as("n"))
+    val globalCounts = binned.groupBy("bin").agg(count("*").as("gn"))
+    val globalTotal = binned.count()
+    val partTotals = counts.groupBy("partition").agg(sum("n").as("pt"))
+    // densify: every (partition, bin) pair so cumulative sums align
+    val full = partTotals.crossJoin(globalCounts)
+      .join(counts, Seq("partition", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val cumW = Window.partitionBy("partition").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact integers: KS = max|C·t − G·pt| / (pt·t) with C,G cumulative
+    // counts — same engine-portable single-division trick as `categorical`
+    full
+      .withColumn("cum_n", sum("n").over(cumW))
+      .withColumn("cum_gn", sum("gn").over(cumW))
+      .withColumn("dev",
+        abs(col("cum_n") * lit(globalTotal) - col("cum_gn") * col("pt")))
+      .groupBy("partition")
+      .agg(max("pt").as("pt"), max("dev").as("dev"))
+      .withColumn("ks_e5", expr(s"(dev * 100000) div (pt * ${globalTotal}L)"))
+      .withColumn("drifted", col("ks_e5") >= thresholdE5)
+      .select(col("partition"), col("pt").as("n_rows"), col("ks_e5"), col("drifted"))
+  }
+}

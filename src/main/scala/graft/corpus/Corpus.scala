@@ -1,0 +1,97 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic source-code corpus table
+  * (repo, path, commit, lang, content) — the north-rule input shape
+  * (BASELINE.json:input_hint). Generated distributively from `spark.range`:
+  * every column is a pure expression of the row id (md5-derived), so
+  *   - generation parallelizes with zero data movement,
+  *   - per-row sha256(content) is identical under ANY partitioning /
+  *     parallelism (the correctness invariant), and
+  *   - no RNG state or wall-clock is involved.
+  * Designed properties: Zipf-skewed repo sizes, a heavily skewed `lang`
+  * column (the salting/skew testbed), a `lang` distribution SHIFT in the
+  * last two commit partitions (drift-check target), and referential
+  * integrity `corpus.repo ⊆ repos` dimension.
+  */
+object Corpus {
+
+  val langs = Seq("java", "python", "scala", "go", "rust", "c")
+  /** cumulative lang weights before / after the drift point (per mille) */
+  private val langCumBase = Seq(500, 750, 850, 920, 970, 1000)
+  private val langCumDrift = Seq(200, 400, 700, 850, 950, 1000)
+
+  val keywords: Seq[String] = Seq(
+    "def", "val", "var", "class", "object", "import", "return", "if",
+    "else", "for", "while", "match", "case", "new", "null", "true",
+    "false", "try", "catch", "throw", "public", "private", "static",
+    "void", "int", "string", "map", "list", "func", "package")
+
+  val numCommits = 10
+  /** commits with index ≥ driftFrom get the shifted lang distribution */
+  val driftFrom = 8
+
+  /** uniform [0,1) derived from (id, salt) via md5 — deterministic. */
+  private def u01(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(s"#$salt"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** integer in [0, n) */
+  private def uInt(id: Column, salt: String, n: Int): Column =
+    floor(u01(id, salt) * n).cast("int")
+
+  def commitName(i: Column): Column =
+    concat(lit("c"), lpad(i.cast("string"), 3, "0"),
+      substring(md5(concat(lit("commit"), i.cast("string"))), 1, 34))
+
+  /** Generate the corpus with `rows` files spread over `numRepos` repos. */
+  def generate(spark: SparkSession, rows: Long, numRepos: Int = 100): DataFrame = {
+    val id = col("id")
+    // Zipf-ish repo skew: u^3 concentrates mass on low repo indices
+    val repoIdx = floor(pow(u01(id, "repo"), 3.0) * numRepos).cast("int")
+    val commitIdx = uInt(id, "commit", numCommits)
+    // piecewise-constant inverse CDF over per-mille thresholds, with the
+    // shifted distribution in the drifted commits
+    val r = floor(u01(id, "lang") * 1000).cast("int")
+    def pick(cum: Seq[Int]): Column =
+      cum.zip(langs).foldRight(lit(langs.last): Column) {
+        case ((threshold, lang), acc) => when(r < threshold, lang).otherwise(acc)
+      }
+    val lang = when(commitIdx >= driftFrom, pick(langCumDrift))
+      .otherwise(pick(langCumBase))
+    // content: 20–120 deterministic pseudo-tokens from the keyword list
+    val nTokens = (uInt(id, "len", 101) + 20).cast("int")
+    val tokenAt = (i: Column) =>
+      element_at(
+        lit(keywords.toArray),
+        (conv(substring(md5(concat(id.cast("string"), lit("_t"), i.cast("string"))), 1, 6), 16, 10)
+          .cast("int") % keywords.size) + 1)
+    val content = concat_ws(" ",
+      transform(sequence(lit(0), nTokens - 1), i => tokenAt(i)))
+
+    spark.range(rows).select(
+      concat(lit("org"), (repoIdx % 10).cast("string"), lit("/repo"),
+        lpad(repoIdx.cast("string"), 3, "0")).as("repo"),
+      concat(lit("src/"),
+        substring(md5(concat(id.cast("string"), lit("#dir"))), 1, 2),
+        lit("/file_"), id.cast("string"), lit("."),
+        element_at(lit(Array("java", "py", "scala", "go", "rs", "c")),
+          uInt(id, "ext", 6) + 1)).as("path"),
+      commitName(commitIdx).as("commit"),
+      lang.as("lang"),
+      content.as("content"))
+  }
+
+  /** The repos dimension (referential-check target: corpus.repo ⊆ repos.repo). */
+  def reposDim(spark: SparkSession, numRepos: Int = 100): DataFrame =
+    spark.range(numRepos).select(
+      concat(lit("org"), (col("id") % 10).cast("string"), lit("/repo"),
+        lpad(col("id").cast("string"), 3, "0")).as("repo"))
+
+  /** Per-row correctness invariant: sha256 of content keyed by path. */
+  def fingerprints(corpus: DataFrame): DataFrame =
+    corpus.select(col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("content_sha256"))
+}

@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video as opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing (schemas, binary handling, batched partition
+  * processing, partitioning by asset kind) is REAL and tested; the codec
+  * itself is a clearly marked DETERMINISTIC STUB (this container ships no
+  * image/audio libraries): blobs carry a parseable fake header and the
+  * "decoder" reads it, so swapping in a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** Fake container header layout (big-endian):
+    * bytes 0-3  magic "GRFT"
+    * byte  4    kind (0=image, 1=audio, 2=video)
+    * bytes 5-6  width  (image) / channels (audio) / width (video)
+    * bytes 7-8  height (image) / unused    (audio) / height (video)
+    * bytes 9-12 payload length
+    * rest       deterministic pseudo-payload */
+  val Magic = "GRFT"
+
+  /** Deterministic synthetic assets: binary blobs with the fake header,
+    * derived purely from the row id (no RNG state). */
+  def syntheticAssets(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3).toInt
+      val w = (64 + (id * 37) % 192).toInt
+      val h = (64 + (id * 53) % 128).toInt
+      val payloadLen = (256 + (id * 97) % 1024).toInt
+      val header = Magic.getBytes("US-ASCII") ++ Array(
+        kind.toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((payloadLen >> 24) & 0xFF).toByte, ((payloadLen >> 16) & 0xFF).toByte,
+        ((payloadLen >> 8) & 0xFF).toByte, (payloadLen & 0xFF).toByte)
+      val payload = Array.tabulate(payloadLen)(i => ((id * 31 + i * 7) % 251).toByte)
+      (id, Seq("image", "audio", "video")(kind), header ++ payload)
+    }.toDF("asset_id", "kind", "data")
+  }
+
+  /** Decode the typed metadata from the binary header — pure Catalyst
+    * expressions over the binary column (no UDF): the real-world analogue is
+    * EXIF/container probing. */
+  def decodeMeta(assets: DataFrame): DataFrame = {
+    def byteAt(i: Int) = // 1-based substring over binary → 1-byte binary → int
+      conv(hex(substring(col("data"), i, 1)), 16, 10).cast("int")
+    assets
+      .withColumn("magic_ok",
+        substring(col("data"), 1, 4) === lit(Magic.getBytes("US-ASCII")))
+      .withColumn("width", byteAt(6) * 256 + byteAt(7))
+      .withColumn("height", byteAt(8) * 256 + byteAt(9))
+      .withColumn("payload_len",
+        ((byteAt(10) * 256 + byteAt(11)) * 256 + byteAt(12)) * 256 + byteAt(13))
+      .withColumn("total_bytes", length(col("data")).cast("long"))
+  }
+
+  /** ======== STUB (deterministic fake codec) ========
+    * Feature extraction: a fixed-dim float vector per asset. A real
+    * implementation would decode pixels/samples and run a model; the stub
+    * derives the vector from md5 of the payload so it is deterministic and
+    * exercise the exact schema/batching a real extractor would use.
+    * Processing is batched per partition (mapPartitions — the Scala
+    * equivalent of a pandas-batched UDF) to model per-batch codec setup. */
+  def featureExtractStub(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val out = assets.select(col("asset_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition "codec init" happens here, once per batch
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        batch.map { case (id, data) =>
+          val h = digest.digest(data)
+          val vec = Array.tabulate(dim)(i => ((h(i % 16) & 0xFF) / 255.0f) - 0.5f)
+          (id, vec)
+        }
+      }
+    out.toDF("asset_id", "features")
+  }
+
+  /** Frame sampling: split the payload into fixed-size "frames" and keep
+    * every `stride`-th — pure expression pipeline (posexplode over chunk
+    * offsets), the shape a video pipeline needs. */
+  def frameSample(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val headerLen = 13
+    val nFrames = floor((length(col("data")) - headerLen) / frameBytes).cast("int")
+    assets
+      .filter(nFrames > 0)
+      .select(col("asset_id"),
+        posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "f")))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("asset_id"), col("frame_idx"))
+  }
+
+  /** "Resize": recompute metadata for a target box preserving aspect ratio —
+    * metadata-only (the payload stub is not re-encoded), exercising the
+    * column math a real resize stage performs. */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(maxSide) / col("width"), lit(maxSide) / col("height"),
+      lit(1.0))
+    decoded.withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+}

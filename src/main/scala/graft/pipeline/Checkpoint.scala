@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-resumable stage runner with per-partition lineage + metrics
+  * (north_rule): every stage writes its result as parquet plus a JSON
+  * sidecar recording row counts per output partition, wall time, and input
+  * stage names. A resumed run skips stages whose outputs exist — the
+  * replacement for the reference's tmp-CSV + results-file handoffs
+  * (pysrc/scripts/sampling.py:164-176, O2/O3).
+  */
+object Checkpoint {
+
+  case class StageResult(df: DataFrame, skipped: Boolean, lineagePath: String)
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** Run (or resume) a named stage. `build` is only evaluated on a miss. */
+  def stage(spark: SparkSession, baseDir: String, name: String,
+            inputs: Seq[String] = Nil)(build: => DataFrame): StageResult = {
+    val outPath = s"$baseDir/$name"
+    val lineagePath = s"$baseDir/$name.lineage.json"
+    val success = Paths.get(s"$outPath/_SUCCESS")
+    if (Files.exists(success) && Files.exists(Paths.get(lineagePath))) {
+      StageResult(spark.read.parquet(outPath), skipped = true, lineagePath)
+    } else {
+      val t0 = System.nanoTime()
+      val df = build
+      df.write.mode("overwrite").parquet(outPath)
+      val written = spark.read.parquet(outPath)
+      // per-partition lineage: rows per output partition of the materialized
+      // stage (partition = output split, the unit of recomputation)
+      val perPart = written.groupBy(spark_partition_id().as("pid"))
+        .agg(count("*").as("rows")).collect()
+        .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+      val totalRows = perPart.length match {
+        case 0 => 0L
+        case _ => written.count()
+      }
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val json =
+        s"""{"stage":"${esc(name)}","rows":$totalRows,"wall_ms":$wallMs,
+           |"inputs":[${inputs.map(i => "\"" + esc(i) + "\"").mkString(",")}],
+           |"partitions":[${perPart.mkString(",")}]}""".stripMargin
+      Files.createDirectories(Paths.get(baseDir))
+      Files.writeString(Paths.get(lineagePath), json)
+      StageResult(written, skipped = false, lineagePath)
+    }
+  }
+
+  /** Drop a stage's outputs (forces recompute on the next run). */
+  def invalidate(baseDir: String, name: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(): Unit
+    }
+    rm(new java.io.File(s"$baseDir/$name"))
+    Files.deleteIfExists(Paths.get(s"$baseDir/$name.lineage.json")): Unit
+  }
+}

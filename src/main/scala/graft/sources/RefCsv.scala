@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The reference's file formats (S1/S4/S5/S7):
+  *  - input CSVs are `;`-delimited, `\`-escaped, header optional (default
+  *    none), ALL columns read as strings, malformed lines skipped
+  *    (pysrc/scripts/sampling.py:105-107, pysrc/configuration.py:83-84)
+  *  - headerless columns are named column1..columnN
+  *    (pysrc/utils/descriptive_statistics.py:34-37)
+  *  - metric sinks are QUOTE_ALL CSVs (pysrc/scripts/evaluation.py:26-43)
+  *    and JSON (pysrc/scripts/sampling.py:149-161)
+  */
+object RefCsv {
+
+  /** Read a reference-shaped CSV. `width` fixes the column count for
+    * headerless files (the reference infers it per file; a fixed width keeps
+    * the scan a single pass). Implemented as a text scan + expression-based
+    * split because pandas' `escapechar` unescapes `\;` in UNQUOTED fields —
+    * semantics Spark's uniVocity parser does not offer; the regex split on
+    * an unescaped delimiter plus an unescape pass reproduces it exactly, and
+    * stays fully distributed/codegen'd. Malformed (wrong-width) lines are
+    * dropped, matching on_bad_lines='skip'. */
+  def read(spark: SparkSession, path: String, width: Int,
+           header: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw0 = spark.read.text(path)
+    val raw = if (header) {
+      // drop the first physical line (header) — reference strips row 0
+      val withIdx = raw0.withColumn("__i", monotonically_increasing_id())
+      val minIdx = withIdx.agg(min("__i")).head.getLong(0)
+      withIdx.filter(col("__i") =!= minIdx).drop("__i")
+    } else raw0
+    val parts = split(col("value"), """(?<!\\);""")
+    val unescaped = transform(parts, p => regexp_replace(p, """\\;""", ";"))
+    raw.select(unescaped.as("p"))
+      .filter(size(col("p")) === width) // DROPMALFORMED
+      .select((1 to width).map(i =>
+        element_at(col("p"), i).as(s"column$i")): _*)
+  }
+
+  /** Infer the width of a headerless reference CSV from its first line. */
+  def readInferWidth(spark: SparkSession, path: String): DataFrame = {
+    val first = spark.read.text(path).limit(1).collect()
+    val width = if (first.isEmpty) 1 else first(0).getString(0).split(";", -1).length
+    read(spark, path, width)
+  }
+
+  /** S7: QUOTE_ALL CSV metrics sink. */
+  def writeQuoteAll(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("quoteAll", "true").option("header", "true").csv(path)
+
+  /** S5/S8: JSON-lines result sink. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

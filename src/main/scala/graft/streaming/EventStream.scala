@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twin of the batch event pipeline: watermarked
+  * windowed aggregation plus stateful sessionization via
+  * flatMapGroupsWithState. The batch `q_events_window` query and
+  * `windowedCounts` share semantics, so the streaming path is testable
+  * against the batch oracle (process a bounded parquet dir to completion,
+  * compare frames).
+  */
+object EventStream {
+
+  /** Read the events table as a stream (schema must be supplied when
+    * streaming from files). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source requires a directory: scan the scale dir but
+    // admit only the events table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // parquet naive timestamps arrive as TIMESTAMP_NTZ; watermarks need
+      // an event-time TIMESTAMP — cast in the UTC session (same wall clock)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count("*").as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, events: Int, sum: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                     n_events: Int, value_sum: Double)
+
+  /** Stateful sessionization: a user's events belong to one session until a
+    * `gapMs` quiet period; sessions emit on timeout. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+              s.events, s.sum))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, events = s.events + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.events, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
+          }
+        })
+  }
+
+  /** Drive a bounded stream to completion into an in-memory table; returns
+    * the result as a batch frame (test harness path). */
+  def runToCompletion(streamed: DataFrame, queryName: String,
+                      outputMode: String = "update"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    streamed.sparkSession.table(queryName)
+  }
+}

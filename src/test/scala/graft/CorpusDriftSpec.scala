@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.Drift
+import graft.corpus.Corpus
+import graft.ind.IndValidator
+
+/** North-rule corpus: determinism invariant, designed drift, referential
+  * integrity, key uniqueness. */
+class CorpusDriftSpec extends SparkSpec {
+
+  lazy val corpus = Corpus.generate(spark, 5000L).cache()
+
+  test("sha256(content) is identical under different partitionings (invariant)") {
+    val a = Corpus.fingerprints(corpus)
+    val b = Corpus.fingerprints(Corpus.generate(spark, 5000L).repartition(17))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == 5000L)
+  }
+
+  test("regenerating yields byte-identical content (no RNG/wall-clock)") {
+    val again = Corpus.generate(spark, 5000L)
+    assert(corpus.exceptAll(again).isEmpty)
+  }
+
+  test("(repo, path, commit) is a unique key") {
+    assert(corpus.groupBy("repo", "path", "commit").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("corpus.repo ⊆ repos dimension (no violations)") {
+    assert(IndValidator.violations(corpus, "repo",
+      Corpus.reposDim(spark), "repo", expectedRef = 1000L).isEmpty)
+  }
+
+  test("repo sizes are skewed (Zipf-ish)") {
+    val sizes = corpus.groupBy("repo").count().agg(
+      max("count").as("mx"), min("count").as("mn")).collect()(0)
+    assert(sizes.getLong(0) > 5 * sizes.getLong(1))
+  }
+
+  test("designed lang drift: drifted commits flagged, stable ones not") {
+    // stable commits sit ~0.2·TVD(base,drift) ≈ 0.07 from the pooled global
+    // (the drifted fifth shifts the global itself), drifted ones ≈ 0.28
+    val d = Drift.categorical(corpus, "commit", "lang", thresholdE5 = 15000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val driftedNames = d.keys.filter(_.startsWith("c008")) ++
+      d.keys.filter(_.startsWith("c009"))
+    assert(driftedNames.nonEmpty && driftedNames.forall(d(_)))
+    val stable = d.keys.filter(k => (0 to 5).exists(i => k.startsWith(f"c$i%03d")))
+    assert(stable.nonEmpty && stable.forall(!d(_)))
+  }
+
+  test("TVD: identical distribution → 0; disjoint → ~1") {
+    import spark.implicits._
+    val same = Seq(("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"))
+      .toDF("p", "c")
+    val tvd = Drift.categorical(same, "p", "c")
+      .collect().map(_.getAs[Long]("tvd_e5"))
+    assert(tvd.forall(_ == 0L))
+    val disjoint = Seq(("p1", "a"), ("p1", "a"), ("p2", "b"), ("p2", "b"))
+      .toDF("p", "c")
+    val tvd2 = Drift.categorical(disjoint, "p", "c")
+      .collect().map(_.getAs[Long]("tvd_e5"))
+    assert(tvd2.forall(_ == 50000L)) // each partition is TV 0.5 from the pooled global
+  }
+
+  test("KS: shifted distribution detected, same distribution not") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => ("base", i % 100 * 1.0)) ++
+      (0 until 1000).map(i => ("shifted", i % 100 * 1.0 + 50))
+    val df = rows.toDF("p", "v")
+    val ks = Drift.ks(df, "p", "v", 0.0, 150.0, 30, thresholdE5 = 20000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ks_e5")).toMap
+    assert(ks("base") == ks("shifted")) // symmetric vs pooled global
+    assert(ks("base") >= 20000L)
+    val sameDf = ((0 until 500).map(i => ("x", i % 50 * 1.0)) ++
+      (0 until 500).map(i => ("y", i % 50 * 1.0))).toDF("p", "v")
+    val ks2 = Drift.ks(sameDf, "p", "v", 0.0, 50.0, 25)
+      .collect().map(_.getAs[Long]("ks_e5"))
+    assert(ks2.forall(_ == 0L))
+  }
+}

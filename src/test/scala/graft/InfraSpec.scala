@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.pipeline.Checkpoint
+import graft.sources.RefCsv
+import graft.streaming.EventStream
+
+/** Checkpoint/lineage, reference CSV source, multimodal plumbing,
+  * structured streaming. */
+class InfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkpoint: stage computes once, resumes from parquet, lineage written") {
+    val dir = Files.createTempDirectory("ckpt").toString
+    var builds = 0
+    def build = { builds += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val r1 = Checkpoint.stage(spark, dir, "s1")(build)
+    assert(!r1.skipped && builds == 1)
+    assert(r1.df.count() == 2)
+    val lineage = Files.readString(java.nio.file.Paths.get(r1.lineagePath))
+    assert(lineage.contains("\"stage\":\"s1\"") && lineage.contains("\"rows\":2"))
+    assert(lineage.contains("\"partitions\":["))
+    val r2 = Checkpoint.stage(spark, dir, "s1")(build)
+    assert(r2.skipped && builds == 1) // resumed, not rebuilt
+    assert(r2.df.count() == 2)
+    Checkpoint.invalidate(dir, "s1")
+    val r3 = Checkpoint.stage(spark, dir, "s1")(build)
+    assert(!r3.skipped && builds == 2)
+  }
+
+  test("reference CSV: ;-delimited, backslash-escaped, headerless columnN naming") {
+    val dir = Files.createTempDirectory("refcsv")
+    val f = dir.resolve("t.csv")
+    Files.writeString(f, "a;b;1\nc;d\\;e;2\n")
+    val df = RefCsv.readInferWidth(spark, f.toString)
+    assert(df.columns.toSeq == Seq("column1", "column2", "column3"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.contains(("c", "d;e", "2"))) // escaped delimiter
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("quote-all CSV sink round-trips") {
+    val dir = Files.createTempDirectory("sink").toString + "/out"
+    RefCsv.writeQuoteAll(Seq(("x", 1L)).toDF("s", "n"), dir)
+    val line = spark.read.text(dir).collect().map(_.getString(0))
+      .find(_.contains("x")).get
+    assert(line == "\"x\",\"1\"")
+  }
+
+  test("multimodal: header decode recovers the generated metadata") {
+    val assets = Multimodal.syntheticAssets(spark, 50L)
+    val meta = Multimodal.decodeMeta(assets)
+    assert(meta.filter(!col("magic_ok")).isEmpty)
+    val r = meta.filter(col("asset_id") === 7L).collect()(0)
+    assert(r.getAs[Int]("width") == (64 + (7 * 37) % 192))
+    assert(r.getAs[Int]("height") == (64 + (7 * 53) % 128))
+    assert(r.getAs[Int]("payload_len") == (256 + (7 * 97) % 1024))
+    assert(r.getAs[Long]("total_bytes") == 13L + r.getAs[Int]("payload_len"))
+  }
+
+  test("multimodal: feature stub is deterministic with fixed dim") {
+    val a = Multimodal.featureExtractStub(Multimodal.syntheticAssets(spark, 20L))
+    val b = Multimodal.featureExtractStub(Multimodal.syntheticAssets(spark, 20L))
+    val fa = a.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val fb = b.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(fa.keySet == fb.keySet)
+    fa.keys.foreach(k => assert(fa(k) == fb(k)))
+    assert(fa.values.forall(_.length == 16))
+  }
+
+  test("multimodal: frame sampling keeps every stride-th frame") {
+    val frames = Multimodal.frameSample(Multimodal.syntheticAssets(spark, 10L), 64, 4)
+    val idx = frames.filter(col("asset_id") === 1L)
+      .collect().map(_.getAs[Int]("frame_idx")).sorted
+    assert(idx.nonEmpty && idx.forall(_ % 4 == 0))
+  }
+
+  test("streaming: windowed counts over a bounded stream match the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.windowedCounts(
+      EventStream.readEvents(spark, dir), watermark = "0 seconds")
+    val got = EventStream.runToCompletion(streamed, "win_test", "update")
+    val batch = Tables.load(spark, dir, "events").groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count("*").as("n"), sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("streaming: stateful sessionization closes sessions on gap") {
+    import java.sql.Timestamp
+    val evs = Seq(
+      EventStream.Event(1, new Timestamp(0L), 1L, "a", 1.0),
+      EventStream.Event(2, new Timestamp(1000L), 1L, "a", 2.0),
+      EventStream.Event(3, new Timestamp(100000L), 1L, "a", 3.0), // new session
+      EventStream.Event(4, new Timestamp(500L), 2L, "b", 4.0)
+    ).toDS()
+    val sessions = EventStream.sessionize(evs, gapMs = 10000L)
+    // bounded batch via the streaming-compatible API: closed sessions only
+    val closed = sessions.collect()
+    assert(closed.exists(s => s.user_id == 1L && s.n_events == 2 && s.value_sum == 3.0))
+  }
+}
