@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-efficiency evidence for the north rule: the same validation
+  * workload at two parallelism levels (local[8] = N, local[32] = 4N — the
+  * sandbox stand-in for N vs 4N executors), reporting throughput at both and
+  * the efficiency ratio throughput_4N / (4 · throughput_N). Prints one JSON
+  * line; numbers land in BASELINE.md / BENCH.
+  *
+  * Setup (corpus generation + parquet write) happens once, unmeasured — the
+  * measured part is the VALIDATION pass reading from storage, matching the
+  * metric's "validation throughput (rows/s)" over an at-rest corpus.
+  */
+object Scaling {
+
+  /** The measured workload over a corpus parquet + the sf testdata dir:
+    * per-row sha256 fingerprints, per-column profiling stats, full unary IND
+    * verdicts over the corpus columns, exact dedup, categorical drift, and
+    * the sf-dir profiling+IND pass. Returns rows processed. */
+  def workload(spark: SparkSession, corpusPath: String, sfDir: String): Long = {
+    val corpus = spark.read.parquet(corpusPath)
+    // (a) per-row content sha256 fingerprint (CPU-bound scan)
+    corpus.select(max(sha2(col("content"), 256))).head
+    // (b) profiling + IND verdicts over the corpus columns (dedup shuffle +
+    //     co-occurrence shuffle)
+    val lfc = Tables.longForm(corpus, "corpus", Seq("repo", "path", "commit", "lang"))
+      .dropDuplicates("col", "val")
+    graft.ind.IndValidator.verdicts(lfc, 0L).filter(col("passed")).count()
+    // (c) exact dedup by content hash
+    corpus.groupBy(md5(col("content"))).agg(count("*")).count()
+    // (d) distribution drift across commit partitions
+    graft.checks.Drift.categorical(corpus, "commit", "lang").count()
+    // (e) the sf-dir profiling + IND pass (testdata tables)
+    val dl = Tables.distinctLongForm(spark, sfDir)
+    graft.ind.IndValidator.verdicts(dl, 0L).filter(col("passed")).count()
+  }
+
+  /** rows the workload touches — computed once, outside the timed section
+    * (a dozen count() actions are pure fixed cost that would skew scaling) */
+  def workloadRows(spark: SparkSession, corpusPath: String, sfDir: String): Long =
+    Tables.all.map(t => Tables.load(spark, sfDir, t).count()).sum +
+      spark.read.parquet(corpusPath).count()
+
+  private def session(n: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName(s"graft-scaling-$n")
+      .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_CORPUS_ROWS", "16000000").toLong
+    val corpusPath = s"/tmp/graft_scaling_corpus_$corpusRows"
+    // N and 4N cores; default 2→8 — this VM's vCPUs stop scaling past ~8
+    // for ANY pure-CPU work (all-core frequency/host contention, measured in
+    // BASELINE.md), which separate hosts in a real N→4N cluster don't share
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
+      .split(",").toSeq.map(_.trim.toInt)
+
+    // one-time setup (unmeasured): materialize the deterministic corpus
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusPath/_SUCCESS"))) {
+      val s = session(levels.max)
+      graft.corpus.Corpus.generate(s, corpusRows, numRepos = 1000)
+        .repartition(256) // enough splits that every level reads in parallel
+        .write.mode("overwrite").parquet(corpusPath)
+      s.stop()
+    }
+
+    val results = levels.map { n =>
+      val spark = session(n)
+      val rows = workloadRows(spark, corpusPath, sfDir)
+      // full warm-up pass: JIT + codegen caches + page cache, unmeasured
+      workload(spark, corpusPath, sfDir)
+      val t0 = System.nanoTime()
+      workload(spark, corpusPath, sfDir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.stop()
+      (n, rows, sec, rows / sec)
+    }
+    val (n1, _, sec1, thr1) = results(0)
+    val (n2, rows, sec2, thr2) = results(1)
+    val efficiency = thr2 / (thr1 * (n2.toDouble / n1))
+    println(
+      s"""{"metric":"scaling","rows":$rows,"sf":"$sfDir","corpus_rows":$corpusRows,""" +
+      s""""p${n1}_sec":$sec1,"p${n2}_sec":$sec2,""" +
+      s""""throughput_p$n1":${math.round(thr1)},"throughput_p$n2":${math.round(thr2)},""" +
+      s""""efficiency_${n1}_to_$n2":${math.round(efficiency * 10000) / 10000.0}}""")
+  }
+}

@@ -72,21 +72,25 @@ object SparkEntry {
     "SELECT DISTINCT CAST(p_name AS VARCHAR) AS val FROM part " +
       "WHERE p_name IS NOT NULL AND length(trim(p_name)) > 0"
 
-  /** shingle CTE for minhash/jaccard oracles — k=8 char shingles, 16 hashes,
-    * 4 bands × 4 rows (mirrors Dedup.minhashLsh defaults). */
+  /** shingle CTE for minhash/jaccard oracles — k=8 char shingles, 16 hashes
+    * of the integer universal family over x = md5-derived 15-hex-digit int,
+    * 4 bands × 4 rows (mirrors Dedup.minhashLsh / minhashSignatureExploded). */
   private val shingleSql: String = {
     val k = 8; val bands = 4; val rows = 4
-    val hashes = (1 to bands * rows)
-      .map(j => s"min(md5('$j' || sh)) AS h$j").mkString(", ")
+    val p = Dedup.MinhashP
+    val hashes = (1 to bands * rows).map { j =>
+      s"min((${Dedup.minhashA(j)} * x + ${Dedup.minhashB(j)}) % $p) AS h$j"
+    }.mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val hs = (1 to rows).map(r => s"h${b * rows + r}").mkString(" || ")
-      s"SELECT doc_id, 'b$b:' || $hs AS band FROM m"
+      val hs = (1 to rows).map(r => s"h${b * rows + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, 'b$b' || ',' || $hs AS band FROM m"
     }.mkString(" UNION ALL ")
     s"""g AS (
        |  SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INT) + 1, $k) AS sh
        |  FROM documents, unnest(range(length(text) - ${k - 1})) AS t(i)
        |  WHERE length(text) >= $k),
-       |m AS (SELECT doc_id, $hashes FROM g GROUP BY doc_id),
+       |xs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $p AS x FROM g),
+       |m AS (SELECT doc_id, $hashes FROM xs GROUP BY doc_id),
        |bands AS ($bandSelects),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -137,6 +141,16 @@ object SparkEntry {
           distinctLong = Some(cachedDistinctLong(s, dir))).cache())
     }
 
+  /** All-pairs verdict frame (missing counts) — computed once per dir; the
+    * exact/partial/eval/nary queries are all filters over it. */
+  private val verdictCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedVerdicts(s: SparkSession, dir: String): DataFrame =
+    verdictCache.synchronized {
+      verdictCache.getOrElseUpdate(dir,
+        IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+          .select("dep", "ref", "dep_unique", "ref_unique", "missing").cache())
+    }
+
   // ---- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -153,12 +167,12 @@ object SparkEntry {
 
     // J1 exact: all unary INDs over every registered column pair
     "q_ind_exact" -> ((s, dir) =>
-      IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+      cachedVerdicts(s, dir)
         .filter(col("missing") === 0).select("dep", "ref")),
 
     // J1 partial: error budget k=50 (reference MAX_NUMBER_MISSING_VALUES)
     "q_ind_partial" -> ((s, dir) =>
-      IndValidator.verdicts(cachedDistinctLong(s, dir), 50L)
+      cachedVerdicts(s, dir)
         .filter(col("missing") <= 50).select("dep", "ref", "missing")),
 
     // referential check with violation rows (Bloom + exact anti-join)
@@ -260,31 +274,26 @@ object SparkEntry {
     // baseline (k=0) — exercises the TP/FP/FN join + metric formulas
     "q_eval_confusion" -> ((s, dir) =>
       Evaluation.compareUnary(
-        IndValidator.verdicts(cachedDistinctLong(s, dir), 50L)
+        cachedVerdicts(s, dir)
           .filter(col("missing") <= 50).select("dep", "ref", "missing"),
-        IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+        cachedVerdicts(s, dir)
           .filter(col("missing") === 0).select("dep", "ref"))),
 
     // R2-pruned candidate pairs (stats-based pruning BEFORE validation)
     "q_ind_candidates" -> ((s, dir) =>
       Pruning.candidates(cachedProfile(s, dir))),
 
-    // J2: arity-2 n-ary INDs from apriori candidates over exact unary INDs
+    // J2: arity-2 n-ary INDs from apriori candidates over exact unary INDs,
+    // validated as ONE batched job
     "q_ind_nary" -> ((s, dir) => {
-      val unary = IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+      val unary = cachedVerdicts(s, dir)
         .filter(col("missing") === 0).select("dep", "ref")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
       val cands = Pruning.naryCandidates(unary)
-      val rows = cands.map { case ((d1, d2), (r1, r2)) =>
-        def split(c: String) = { val a = c.split('.'); (a(0), a(1)) }
-        val (dt, dc1) = split(d1); val (_, dc2) = split(d2)
-        val (rt, rc1) = split(r1); val (_, rc2) = split(r2)
-        val missing = IndValidator.naryMissing(
-          Tables.load(s, dir, dt), Seq(dc1, dc2),
-          Tables.load(s, dir, rt), Seq(rc1, rc2))
-        (s"$d1+$d2", s"$r1+$r2", missing, missing == 0L)
-      }
-      s.createDataFrame(rows).toDF("dep", "ref", "missing", "passed")
+      if (cands.isEmpty)
+        s.createDataFrame(Seq.empty[(String, String, Long, Boolean)])
+          .toDF("dep", "ref", "missing", "passed")
+      else IndValidator.validateNaryBatch(s, dir, cands)
     }),
 
     // full reference experiment: per-run confusion matrices (13 runs)

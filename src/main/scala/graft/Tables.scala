@@ -47,15 +47,18 @@ object Tables {
 
   /** One table → long form (col, val): every participating column cast to
     * string, nulls dropped (reference P1 null filter,
-    * pysrc/utils/sampling_methods.py:7-11). Column pruning: the select list
-    * reaches the parquet scan, so only participating columns are read.
+    * pysrc/utils/sampling_methods.py:7-11). Unpivot via explode of a
+    * struct array — ONE scan per table emitting k rows per input row,
+    * instead of k unionAll branches re-scanning the file (36 → 10 scans
+    * across the testdata). Column pruning still reaches the parquet scan.
     */
   def longForm(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
-    val pieces = cols.map { c =>
-      df.select(lit(s"$table.$c").as("col"), col(c).cast(StringType).as("val"))
-        .filter(col("val").isNotNull)
+    val entries = cols.map { c =>
+      struct(lit(s"$table.$c").as("col"), col(c).cast(StringType).as("val"))
     }
-    pieces.reduce(_ unionAll _)
+    df.select(explode(array(entries: _*)).as("cv"))
+      .select(col("cv.col").as("col"), col("cv.val").as("val"))
+      .filter(col("val").isNotNull)
   }
 
   /** Long form over every registered table in a scale dir. */

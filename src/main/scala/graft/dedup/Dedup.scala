@@ -39,19 +39,58 @@ object Dedup {
         .as(s"h$j")
     }
 
+  /** MinHash parameters of the universal integer family
+    * h_j(x) = (a_j·x + b_j) mod P over x = first 15 hex digits of md5(sh):
+    * ONE md5 per shingle instead of one per (shingle × hash) — the md5-string
+    * variant allocated 23M strings at sf0.1 and went GC-bound. All integer
+    * math stays < 2^63 (a_j < P = 1e9+7, x' < P), so DuckDB computes the
+    * identical values. */
+  val MinhashP = 1000000007L
+  def minhashA(j: Int): Long = (j * 1000003L + 17L) % MinhashP
+  def minhashB(j: Int): Long = (j * 7919L + 1L) % MinhashP
+
+  /** Signatures via explode + min-aggregates (codegen'd, map-side partial
+    * agg — higher-order-function expressions evaluate interpreted and were
+    * 6× slower). This is the scale path and the exact shape of the oracle. */
+  def minhashSignatureExploded(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, numHashes: Int): DataFrame = {
+    val exploded = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("sh"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
+          lit(MinhashP)).as("x"))
+    val aggs = (1 to numHashes).map { j =>
+      min(pmod(lit(minhashA(j)) * col("x") + lit(minhashB(j)), lit(MinhashP)))
+        .as(s"h$j")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash + LSH banding: docs sharing any band signature become candidate
     * near-dup pairs. `bands` bands of `rows` hashes each. Output: (a, b)
     * candidate id pairs with a < b, distinct. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, bands: Int = 4, rows: Int = 4): DataFrame = {
     val numHashes = bands * rows
-    val withSig = docs
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("id") +:
-        minhashSignature(shingles(col(textCol), k), numHashes): _*)
+    // materialize the shingle array ONCE per doc (its own projection) so the
+    // 16 min-hash expressions share it instead of re-deriving the O(len)
+    // array (+O(n²) array_distinct) per hash
+    // persist the (tiny: one row per doc) signature frame: the banded
+    // self-join otherwise re-derives the whole shingle+hash pipeline once
+    // per union branch per join side — 2·bands× the work (measured 8× at
+    // sf0.1). At scale this is the materialized signature table any LSH
+    // pipeline keeps.
+    // eager localCheckpoint: materializes the signatures ONCE before the
+    // band self-join (broadcast + probe sides would otherwise both compute
+    // the pipeline) and truncates the plan for downstream reuse
+    val withSig = minhashSignatureExploded(docs, idCol, textCol, k, numHashes)
+      .localCheckpoint()
     val banded = (0 until bands).map { b =>
-      val cols = (1 to rows).map(r => col(s"h${b * rows + r}"))
-      withSig.select(col("id"), concat(lit(s"b$b:") +: cols: _*).as("band"))
+      val cols = (1 to rows).map(r => col(s"h${b * rows + r}").cast("string"))
+      // comma-separated so integer signatures can't collide by concatenation
+      withSig.select(col("id"), concat_ws(",", lit(s"b$b") +: cols: _*).as("band"))
     }.reduce(_ unionAll _)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
@@ -83,7 +122,10 @@ object Dedup {
   /** SimHash near-dup candidates: split the 32-bit signature into 4 bytes;
     * pairs agreeing on any byte-band are candidates (Hamming ≤ 3 guaranteed
     * to collide on ≥1 band). */
-  def simhashCandidates(sig: DataFrame): DataFrame = {
+  def simhashCandidates(sig0: DataFrame): DataFrame = {
+    // same rationale as minhashLsh: 8 derivations of the signature pipeline
+    // otherwise (4 band branches × 2 join sides)
+    val sig = sig0.localCheckpoint()
     val banded = (0 until 4).map { b =>
       sig.select(col("id"),
         concat(lit(s"s$b:"),
@@ -100,9 +142,17 @@ object Dedup {
     * |∩| / |∪|. `candidates`: (a, b). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    candidates: DataFrame, k: Int = 8): DataFrame = {
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle only the docs that appear in a candidate pair (semi-join
+    // pushdown): the verify step touches |candidates| docs, not the corpus
+    val ids = cand.select(col("a").as("id"))
+      .unionAll(cand.select(col("b").as("id"))).dropDuplicates("id")
     val sh = docs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    candidates
+      .select(col(idCol).as("id"), col(textCol))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),

@@ -64,6 +64,51 @@ object Evaluation {
         "mean_tp_missing", "mean_fp_missing")
   }
 
+  /** Grouped variant of compareUnary: score MANY runs against one baseline
+    * in a single aggregate (found carries run_id; `runs` lists every run so
+    * a run that found nothing still gets the all-zero row). */
+  def compareUnaryByRun(found: DataFrame, baseline: DataFrame,
+                        runs: DataFrame): DataFrame = {
+    val b = baseline.select(col("dep"), col("ref")).dropDuplicates()
+    val baseCount = b.count()
+    val tagged = found.dropDuplicates("run_id", "dep", "ref")
+      .join(b.withColumn("in_baseline", lit(true)), Seq("dep", "ref"), "left")
+      .withColumn("is_tp", coalesce(col("in_baseline"), lit(false)))
+    val agg = tagged.groupBy("run_id").agg(
+      count("*").as("n_found"),
+      sum(when(col("is_tp"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("is_tp"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("is_tp"), col("missing"))).as("tp_missing_sum"),
+      sum(when(!col("is_tp"), col("missing"))).as("fp_missing_sum"))
+    val nan = lit(Double.NaN)
+    runs.join(agg, Seq("run_id"), "left")
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("fp", coalesce(col("fp"), lit(0L)))
+      .withColumn("fn", lit(baseCount) - col("tp"))
+      .withColumn("precision",
+        when(col("n_found") === 0, 0.0)
+          .when(col("tp") + col("fp") === 0, nan)
+          .otherwise(col("tp") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("n_found") === 0, 0.0)
+          .when(col("tp") + col("fn") === 0, nan)
+          .otherwise(col("tp") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("n_found") === 0, 0.0)
+          .when(col("precision") + col("recall") === 0 ||
+                isnan(col("precision") + col("recall")), nan)
+          .otherwise(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .withColumn("mean_tp_missing",
+        when(col("n_found") === 0, 0.0)
+          .when(col("tp") > 0, col("tp_missing_sum") / col("tp")).otherwise(nan))
+      .withColumn("mean_fp_missing",
+        when(col("n_found") === 0, 0.0)
+          .when(col("fp") > 0, col("fp_missing_sum") / col("fp")).otherwise(nan))
+      .drop("tp_missing_sum", "fp_missing_sum", "in_baseline")
+  }
+
   /** N-ary variant (E2): dep/ref are '+'-joined column lists; metrics are
     * computed per arity (compare_csv_line.py:69-103). arity = number of
     * dependent columns.

@@ -32,12 +32,12 @@ object Experiment {
     val lf = Tables.all.filter(Tables.indColumns.contains).map { t =>
       val df = Tables.load(spark, sfDir, t)
         .withColumn("rowId", monotonically_increasing_id())
-      val cols = Tables.indColumns(t)
-      cols.map { c =>
-        df.select(lit(s"$t.$c").as("col"),
-            col(c).cast("string").as("val"), col("rowId"))
-          .filter(col("val").isNotNull && length(trim(col("val"))) > 0)
-      }.reduce(_ unionAll _)
+      val entries = Tables.indColumns(t).map { c =>
+        struct(lit(s"$t.$c").as("col"), col(c).cast("string").as("val"))
+      }
+      df.select(explode(array(entries: _*)).as("cv"), col("rowId"))
+        .select(col("cv.col").as("col"), col("cv.val").as("val"), col("rowId"))
+        .filter(col("val").isNotNull && length(trim(col("val"))) > 0)
     }.reduce(_ unionAll _)
     lf.groupBy("col", "val").agg(min("rowId").as("rowId"))
   }
@@ -86,9 +86,37 @@ object Experiment {
     ranked: DataFrame,          // (dep, ref, credibility, is_tp)
     sweep: DataFrame)           // (threshold, tps, fps, fns, tns, acc, p, r)
 
+  /** Per-method rank column name. */
+  private def rnCol(method: String) = "rn_" + method.replace('-', '_')
+
+  /** All six method orders as rank columns in ONE pass over the deduped long
+    * form: one exchange keyed by col, six in-partition sorts — instead of a
+    * window job per (method × budget) run. */
+  def rankedLongForm(distinctLong: DataFrame, methods: Seq[String]): DataFrame =
+    methods.foldLeft(distinctLong) { (df, m) =>
+      val w = m match {
+        case "random"         => Window.partitionBy("col").orderBy(md5(col("val")), col("val"))
+        case "first"          => Window.partitionBy("col").orderBy(col("rowId"), col("val"))
+        case "smallest-value" => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
+        case "biggest-value"  => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").desc)
+        case "longest-value"  => Window.partitionBy("col").orderBy(length(col("val")).desc, col("val").asc)
+        case "evenly-spaced"  => Window.partitionBy("col").orderBy(col("val"))
+        case other => throw new IllegalArgumentException(s"unknown method $other")
+      }
+      df.withColumn(rnCol(m), row_number().over(w))
+    }
+
   val defaultMethods: Seq[String] = graft.sampling.Samplers.methods
+
   /** Reference budgets are {10k, 100k} (configuration.py:57-58); scaled to
-    * the sandbox tiers by default. */
+    * the sandbox tiers by default.
+    *
+    * Scale structure: the 13 runs share ONE persisted rank frame; the
+    * sampled long forms of all runs are unioned with a run_id key so
+    * validation (groupBy(run_id, val)), run stats, evaluation, and
+    * credibility are each ONE distributed job over all runs instead of one
+    * job per run (the per-run loop measured 5.5× slower at sf0.1).
+    */
   def run(spark: SparkSession, sfDir: String,
           methods: Seq[String] = defaultMethods,
           budgets: Seq[Long] = Seq(1000L, 10000L),
@@ -109,50 +137,78 @@ object Experiment {
       .filter(col("missing") === 0).select("dep", "ref", "missing").cache()
 
     val specs = for { m <- methods; b <- budgets } yield RunSpec(s"${m}_$b", m, b)
+    val ranked6 = rankedLongForm(distinctLong, methods)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val perRunFrames = specs.map { spec =>
-      // B1 fair-share allocation on the driver (tiny input)
-      val alloc = BudgetAllocator.allocate(uniqueCounts, spec.budget)
-      val budgetDf = spark.createDataFrame(alloc.map { a =>
+    // B1 fair-share allocation per budget level on the driver (tiny input)
+    val allocByBudget: Map[Long, DataFrame] = budgets.map { b =>
+      val alloc = BudgetAllocator.allocate(uniqueCounts, b)
+      b -> broadcast(spark.createDataFrame(alloc.map { a =>
         val u = uniqueCounts.find(_._1 == a.colId).get._2
         val stride = math.max(1L, math.ceil(u.toDouble / math.max(a.budget, 1L)).toLong)
         (a.colId, a.budget, stride)
-      }).toDF("col", "budget", "stride")
+      }).toDF("col", "budget", "stride"))
+    }.toMap
 
-      val sampled = sampleLongForm(distinctLong, budgetDf, spec.method)
-      // partial INDs on the sampled columns with the shared error budget
-      val inds = IndValidator.verdicts(sampled, allowedMissing)
-        .filter(col("missing") <= allowedMissing)
-        .select("dep", "ref", "missing")
-      // sampled-run column stats (run_metanome.py:28-31 recomputes these)
-      val runStats = sampled.groupBy("col").agg(count("*").as("unique_count"))
-      (spec, inds, runStats)
-    }
-
-    // per-run confusion matrices (E1)
-    val evalPerRun = perRunFrames.map { case (spec, inds, _) =>
-      Evaluation.compareUnary(inds, baselineInds)
-        .select(lit(spec.runId).as("run_id"), lit(spec.method).as("method"),
-          lit(spec.budget).as("budget"), col("*"))
-    }.reduce(_ unionAll _).cache()
-
-    // credibility ranking (R1-R4)
-    val allRunInds = perRunFrames.map { case (spec, inds, _) =>
-      inds.select(lit(spec.runId).as("run_id"), col("dep"), col("ref"),
-        col("missing"), lit(spec.budget).as("budget"))
-    }.reduce(_ unionAll _).cache()
-    val allRunStats = perRunFrames.map { case (spec, _, rs) =>
-      rs.select(lit(spec.runId).as("run_id"), col("col"), col("unique_count"))
+    // every run's sample, keyed by run_id — 12 cheap filters of the cached
+    // rank frame, ONE downstream pipeline
+    val sampledAll = specs.map { spec =>
+      val joined = ranked6.join(allocByBudget(spec.budget), Seq("col"))
+      val kept = spec.method match {
+        case "evenly-spaced" =>
+          joined.filter((col(rnCol(spec.method)) - 1) % col("stride") === 0)
+        case m => joined.filter(col(rnCol(m)) <= col("budget"))
+      }
+      kept.select(lit(spec.runId).as("run_id"), col("col"), col("val"))
     }.reduce(_ unionAll _)
+      // localCheckpoint (not persist): besides sharing the materialized
+      // sample between runStats and the co-occurrence pass, it TRUNCATES the
+      // 12-branch × 6-window logical plan — otherwise every downstream
+      // aggregate re-runs Catalyst analysis over the whole tree (measured
+      // 67 s of pure driver planning on 15k rows at sf0.1)
+      .localCheckpoint()
 
-    val creds = Credibility.perRun(allRunInds, stats, allRunStats)
+    // sampled-run column stats (run_metanome.py:28-31 recomputes these)
+    val runStats = sampledAll.groupBy("run_id", "col")
+      .agg(count("*").as("unique_count")).cache()
+
+    // SPIDER co-occurrence for ALL runs in one shuffle
+    val co = sampledAll.groupBy("run_id", "val")
+      .agg(collect_set(col("col")).as("cols"))
+      .select(col("run_id"), explode(col("cols")).as("dep"), col("cols"))
+      .select(col("run_id"), col("dep"), explode(col("cols")).as("ref"))
+      .filter(col("dep") =!= col("ref"))
+      .groupBy("run_id", "dep", "ref").agg(count("*").as("co"))
+    val uDep = runStats.select(col("run_id"), col("col").as("dep"),
+      col("unique_count").as("dep_unique"))
+    val uRef = runStats.select(col("run_id"), col("col").as("ref"),
+      col("unique_count").as("ref_unique"))
+    val allRunInds = uDep.join(uRef, Seq("run_id"))
+      .filter(col("dep") =!= col("ref"))
+      .join(co, Seq("run_id", "dep", "ref"), "left")
+      .withColumn("missing", col("dep_unique") - coalesce(col("co"), lit(0L)))
+      .filter(col("missing") <= allowedMissing)
+      .select("run_id", "dep", "ref", "missing").localCheckpoint()
+
+    // per-run confusion matrices (E1) in one aggregate
+    val specsDf = spark.createDataFrame(specs.map(s => (s.runId, s.method, s.budget)))
+      .toDF("run_id", "method", "budget")
+    val evalPerRun = Evaluation.compareUnaryByRun(allRunInds, baselineInds, specsDf)
+      .select("run_id", "method", "budget", "tp", "fp", "fn",
+        "precision", "recall", "f1", "mean_tp_missing", "mean_fp_missing")
+      .localCheckpoint()
+
+    // credibility ranking (R1-R4); budget = credibility weight per run
+    val verdictsWithBudget = allRunInds
+      .join(broadcast(specsDf.select("run_id", "budget")), Seq("run_id"))
+    val creds = Credibility.perRun(verdictsWithBudget, stats, runStats)
     val allInds = allRunInds.select("dep", "ref")
       .unionAll(baselineInds.select("dep", "ref"))
     val ranked = Credibility.ranked(allInds, creds)
       .join(baselineInds.select(col("dep"), col("ref"), lit(true).as("is_tp")),
         Seq("dep", "ref"), "left")
       .withColumn("is_tp", coalesce(col("is_tp"), lit(false)))
-      .cache()
+      .localCheckpoint()
 
     val sweep = Credibility.thresholdSweep(ranked, thresholds)
 

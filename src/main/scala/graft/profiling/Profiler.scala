@@ -74,9 +74,15 @@ object Profiler {
   def profileAll(spark: SparkSession, sfDir: String,
                  exactDistinct: Boolean = true,
                  distinctLong: Option[DataFrame] = None): DataFrame = {
-    val perTable = Tables.all.filter(Tables.indColumns.contains).map { t =>
-      stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t))
-    }.reduce(_ unionAll _)
+    // each table's stats job collects a single row — run the 10 jobs
+    // concurrently (Spark schedules them across the same executors)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perTable = Await.result(
+      Future.traverse(Tables.all.filter(Tables.indColumns.contains)) { t =>
+        Future(stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
+      }, Duration.Inf).reduce(_ unionAll _)
     val withU =
       if (exactDistinct) {
         val u = exactDistinctCounts(

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.ValidationSuite
+import graft.pipeline.ValidationSuite._
+
+/** End-to-end suite run on sf0.001 + resume semantics. */
+class ValidationSuiteSpec extends SparkSpec {
+
+  test("default suite: designed keys/FKs pass, verdicts + lineage written") {
+    val dir = Files.createTempDirectory("suite").toString
+    val (verdicts, violations) =
+      ValidationSuite.run(spark, "/root/testdata/sf0.001", defaultConfig(dir))
+    val byName = verdicts.collect().map(r =>
+      r.getAs[String]("name") -> r.getAs[Boolean]("passed")).toMap
+    assert(byName("pk_orders") && byName("pk_customer") && byName("pk_part"))
+    assert(byName("fk_lineitem_orders") && byName("fk_orders_customer"))
+    assert(byName("fk_nation_region"))
+    // lineage sidecars exist for the checkpointed stages
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/profile.lineage.json")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/fk_lineitem_orders.lineage.json")))
+    assert(violations.contains("fk_lineitem_orders"))
+    assert(violations("fk_lineitem_orders").count() == 0)
+  }
+
+  test("resume: second run reuses checkpointed stages") {
+    val dir = Files.createTempDirectory("suite2").toString
+    val cfg = Config(Seq(
+      Referential("fk1", "nation", "n_regionkey", "region", "r_regionkey")), dir)
+    ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val mtime = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/fk1.lineage.json"))
+    val (v2, _) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    // stage not rebuilt → lineage untouched
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/fk1.lineage.json")) == mtime)
+    assert(v2.collect().forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("a failing check reports violation count") {
+    val dir = Files.createTempDirectory("suite3").toString
+    val cfg = Config(Seq(
+      // l_orderkey is NOT unique in lineitem (multiple lines per order)
+      Unique("bad_unique", "lineitem", "l_orderkey")), dir)
+    val (v, _) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val r = v.collect()(0)
+    assert(!r.getAs[Boolean]("passed"))
+    assert(r.getAs[Long]("violations") > 0)
+  }
+}
