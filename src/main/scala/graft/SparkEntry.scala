@@ -98,6 +98,24 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** 32-bit SimHash in SQL: explode whitespace tokens, md5-derived 32-bit
+    * int per token, per-bit ±1 votes, sign → bit (mirrors Dedup.simhash). */
+  private val simhashSigSql: String = {
+    val votes = (0 until 32).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val sig = (0 until 32).map { b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.tok FROM documents,
+       |    unnest(string_split(text, ' ')) AS t(tok)
+       |  WHERE length(t.tok) > 0),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
+       |SELECT doc_id AS id, $sig AS simhash FROM votes""".stripMargin
+  }
+
   private def langScoreSql(markers: Seq[String]): String =
     markers.map { m =>
       val pat = s" $m "
@@ -245,11 +263,38 @@ object SparkEntry {
         Dedup.minhashLsh(docs, "doc_id", "text"))
     }),
 
-    // SimHash near-dup candidates (rows-only: bit-level SQL port is not
-    // worth the oracle complexity)
+    // SimHash signatures (32-bit, token-vote) — bit math ports exactly
+    "q_simhash_sig" -> ((s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // SimHash near-dup candidates via byte-band collision
     "q_simhash_candidates" -> ((s, dir) =>
       Dedup.simhashCandidates(
         Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text"))),
+
+    // gap-based sessionization, batch form (window-function twin of the
+    // stateful streaming sessionizer; 30-minute gap)
+    "q_events_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(
+        Tables.load(s, dir, "events"), gapUs = 30L * 60 * 1000000)),
+
+    // equi-width histogram (north_star approx-quantile/histogram stat;
+    // fixed bins keep partitions independently aggregable)
+    "q_histogram" -> ((s, dir) =>
+      Profiler.histogram(Tables.load(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, bins = 22)),
+
+    // native numeric profile (no string casts; exact value pass-through)
+    "q_profile_numeric" -> ((s, dir) => {
+      val numericCols = Map(
+        "customer" -> Seq("c_acctbal"), "supplier" -> Seq("s_acctbal"),
+        "part" -> Seq("p_retailprice"), "orders" -> Seq("o_totalprice"),
+        "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "events" -> Seq("value"))
+      Tables.all.filter(numericCols.contains).map { t =>
+        Profiler.numericProfile(Tables.load(s, dir, t), t, numericCols(t))
+      }.reduce(_ unionAll _).select("col", "cnt", "min_val", "max_val")
+    }),
 
     // ANN: brute-force cosine top-5 for the first 10 vectors (rows-only —
     // float summation differs across engines)
@@ -494,6 +539,44 @@ object SparkEntry {
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
         "count(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents " +
         "FROM events GROUP BY 1, 2"),
+
+    "q_simhash_sig" -> simhashSigSql,
+
+    "q_simhash_candidates" ->
+      (s"WITH sig AS ($simhashSigSql), bands AS (" +
+        (0 until 4).map { b =>
+          s"SELECT id, 's$b:' || ((simhash >> ${b * 8}) & 255) AS band FROM sig"
+        }.mkString(" UNION ALL ") + ") " +
+        "SELECT DISTINCT x.id AS a, y.id AS b FROM bands x JOIN bands y " +
+        "ON x.band = y.band AND x.id < y.id"),
+
+    "q_events_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM w),
+        |c AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM s)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_histogram" ->
+      ("SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 0), 21) AS bin, " +
+        "count(*) AS n FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1"),
+
+    "q_profile_numeric" ->
+      Seq("customer" -> "c_acctbal", "supplier" -> "s_acctbal",
+        "part" -> "p_retailprice", "orders" -> "o_totalprice",
+        "lineitem" -> "l_quantity", "lineitem" -> "l_extendedprice",
+        "lineitem" -> "l_discount", "lineitem" -> "l_tax",
+        "events" -> "value").map { case (t, c) =>
+        s"SELECT '$t.$c' AS col, count($c) AS cnt, min($c) AS min_val, max($c) AS max_val FROM $t"
+      }.mkString(" UNION ALL "),
 
     "q_drift_lang_tvd" ->
       """WITH counts AS (SELECT source AS partition, lang AS cat, count(*) AS n

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling (north_rule: "partitioning / shuffle / skew
+  * handled explicitly"). Spark already map-side-combines algebraic
+  * aggregates and AQE splits skewed join partitions; these utilities cover
+  * the two cases that still hot-spot at 100 TB:
+  *
+  *  1. non-combinable aggregations (collect_set / exact distinct counting)
+  *     on a skewed key — a single reducer receives the whole hot key. Fix:
+  *     two-phase salted aggregation.
+  *  2. joining a large skewed fact side against a dimension too big to
+  *     broadcast — one reducer gets the hot key's rows. Fix: salt the fact
+  *     side, replicate the dimension per salt.
+  *
+  * In this engine the hot columns are `lang`-like low-cardinality ones
+  * (corpus lang, l_returnflag): the long form keyed by value concentrates
+  * them; `saltedDistinctCount` is the scale path for exact uniques there.
+  */
+object Skew {
+
+  /** Exact distinct count per key, salted: phase 1 dedups (key, salt, value)
+    * locally where salt spreads a hot key over `salts` reducers; phase 2
+    * sums the per-salt distinct counts (correct because the same value
+    * always lands in the same salt bucket — salt = hash(value)). */
+  def saltedDistinctCount(df: DataFrame, keyCol: String, valueCol: String,
+                          salts: Int): DataFrame = {
+    val salted = df.select(col(keyCol).as("key"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("salt", pmod(hash(col("v")), lit(salts)))
+    salted
+      .groupBy("key", "salt").agg(count_distinct(col("v")).as("d"))
+      .groupBy("key").agg(sum("d").as("distinct_count"))
+  }
+
+  /** Two-phase salted collect_set per key (bounded result sets only):
+    * phase 1 collects per (key, salt), phase 2 merges the salt buckets. */
+  def saltedCollectSet(df: DataFrame, keyCol: String, valueCol: String,
+                       salts: Int): DataFrame =
+    df.select(col(keyCol).as("key"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("salt", pmod(hash(col("v")), lit(salts)))
+      .groupBy("key", "salt").agg(collect_set(col("v")).as("vs"))
+      .groupBy("key").agg(array_distinct(flatten(collect_list(col("vs")))).as("values"))
+
+  /** Salted equi-join for a skewed left side: left rows get a random-ish
+    * (deterministic: hash of all columns) salt in [0, salts); the right side
+    * is replicated once per salt. Equivalent to an unsalted inner join, but
+    * a hot key's rows spread over `salts` reducers. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val r = right.crossJoin(
+      right.sparkSession.range(salts).select(col("id").cast("int").as("__salt")))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

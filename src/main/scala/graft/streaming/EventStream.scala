@@ -84,6 +84,30 @@ object EventStream {
         })
   }
 
+  /** Batch twin of `sessionize`: gap-based sessions via window functions
+    * (lag → new-session flag → running session id → group) — one shuffle by
+    * user, SQL-oracle-expressible, and the semantic spec the stateful
+    * streaming version is tested against. Gap in microseconds (exact integer
+    * time math on both engines). */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_id")
+      .agg(count("*").as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
   /** Drive a bounded stream to completion into an in-memory table; returns
     * the result as a batch frame (test harness path). */
   def runToCompletion(streamed: DataFrame, queryName: String,

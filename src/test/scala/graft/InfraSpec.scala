@@ -92,6 +92,24 @@ class InfraSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("batch sessionization: every stateful-closed session appears in batch") {
+    import java.sql.Timestamp
+    val evs = Seq(
+      EventStream.Event(1, new Timestamp(0L), 1L, "a", 1.0),
+      EventStream.Event(2, new Timestamp(1000L), 1L, "a", 2.0),
+      EventStream.Event(3, new Timestamp(100000L), 1L, "a", 3.0),
+      EventStream.Event(4, new Timestamp(500L), 2L, "b", 4.0)
+    ).toDS()
+    val batch = EventStream.sessionizeBatch(
+      evs.withColumn("event_id", col("event_id")).toDF(), gapUs = 10000L * 1000)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    // user 1: sessions of 2 and 1 events; user 2: one session
+    assert(batch.toSet == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+    val closed = EventStream.sessionize(evs, gapMs = 10000L).collect()
+      .map(s => (s.user_id, s.n_events.toLong)).toSet
+    assert(closed.subsetOf(batch.toSet)) // stateful emits the closed subset
+  }
+
   test("streaming: stateful sessionization closes sessions on gap") {
     import java.sql.Timestamp
     val evs = Seq(

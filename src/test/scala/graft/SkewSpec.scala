@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Salted skew operators must be semantically identical to the unsalted
+  * forms (correctness) while spreading hot keys (structure). */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot key "h" with 10k values, cold keys with a handful
+  private lazy val skewed = ((1 to 10000).map(i => ("h", s"v$i")) ++
+    Seq(("a", "x"), ("a", "x"), ("b", "y"))).toDF("k", "v")
+
+  test("saltedDistinctCount == exact distinct count per key") {
+    val salted = Skew.saltedDistinctCount(skewed, "k", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = skewed.groupBy("k").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == exact)
+    assert(salted("h") == 10000L && salted("a") == 1L)
+  }
+
+  test("saltedCollectSet == collect_set per key") {
+    val salted = Skew.saltedCollectSet(skewed, "k", "v", 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    val exact = skewed.groupBy("k").agg(collect_set("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(salted == exact)
+  }
+
+  test("saltedJoin == plain inner join") {
+    val left = skewed
+    val right = Seq(("h", 1), ("a", 2), ("zzz", 9)).toDF("k", "tag")
+    val salted = Skew.saltedJoin(left, right, "k", 8)
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val plain = left.join(right, Seq("k"))
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(salted == plain)
+    assert(salted.size == 10001)
+  }
+}
