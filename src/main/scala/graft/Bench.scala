@@ -1,12 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** queries making up the "validation pass" of the BASELINE metric
+    * (profiling + uniqueness + IND discovery + referential + drift). */
+  private val validationQueries = Set(
+    "q_profile_stats", "q_unique_checks", "q_ind_exact", "q_ind_partial",
+    "q_ref_violations", "q_drift_lang_tvd", "q_drift_value_ks",
+    "q_eval_confusion", "q_ind_candidates", "q_profile_numeric")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,7 +28,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE metric: validation throughput (rows/s) over the testdata rows
+    val rows = Tables.all.map(t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => 0L }).sum
+    val valSec = results.collect {
+      case (k, v) if validationQueries(k) && v > 0 => v }.sum
+    val rps = if (valSec > 0) math.round(rows / valSec) else 0L
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir",""" +
+      s""""rows":$rows,"validation_sec":$valSec,"validation_rows_per_sec":$rps}""")
     spark.stop()
   }
 }

@@ -98,6 +98,25 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  /** sampled-run CTEs shared by the sampled-eval / credibility oracles:
+    * fixed budget 200 by (length, value) order, partial INDs with k=25. */
+  private val sampledRunSql: String =
+    indCoreSql +
+      """, ranked AS (SELECT col, val,
+        |    row_number() OVER (PARTITION BY col ORDER BY length(val), val) AS rn FROM d),
+        |samp AS (SELECT col, val FROM ranked WHERE rn <= 200),
+        |scnt AS (SELECT col, count(*) AS su FROM samp GROUP BY col),
+        |sco AS (SELECT x.col AS dep, y.col AS ref, count(*) AS n
+        |        FROM samp x JOIN samp y ON x.val = y.val AND x.col <> y.col
+        |        GROUP BY 1, 2),
+        |sverdict AS (
+        |  SELECT a.col AS dep, b.col AS ref, a.su - coalesce(sco.n, 0) AS missing
+        |  FROM scnt a JOIN scnt b ON a.col <> b.col
+        |  LEFT JOIN sco ON sco.dep = a.col AND sco.ref = b.col),
+        |sfound AS (SELECT dep, ref, missing FROM sverdict WHERE missing <= 25),
+        |bl AS (SELECT dep, ref FROM verdict WHERE missing = 0)
+        |""".stripMargin
+
   /** 32-bit SimHash in SQL: explode whitespace tokens, md5-derived 32-bit
     * int per token, per-bit ±1 votes, sign → bit (mirrors Dedup.simhash). */
   private val simhashSigSql: String = {
@@ -341,6 +360,16 @@ object SparkEntry {
       else IndValidator.validateNaryBatch(s, dir, cands)
     }),
 
+    // SQL-expressible sampled run: fixed budget 200, smallest-value order,
+    // k=25 partial INDs on the sample, scored against the exact baseline
+    "q_sampled_run_eval" -> ((s, dir) =>
+      Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)
+        ._2.select("tp", "fp", "fn", "precision", "recall")),
+
+    // credibility of the sampled run's INDs (NULL = implausibility gate)
+    "q_sampled_credibility" -> ((s, dir) =>
+      Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)._3),
+
     // full reference experiment: per-run confusion matrices (13 runs)
     "q_experiment_eval" -> ((s, dir) =>
       experiment(s, dir).evalPerRun),
@@ -539,6 +568,33 @@ object SparkEntry {
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
         "count(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents " +
         "FROM events GROUP BY 1, 2"),
+
+    "q_sampled_run_eval" ->
+      (sampledRunSql +
+        """, tagged AS (SELECT f.missing, (b.dep IS NOT NULL) AS is_tp
+          |            FROM sfound f LEFT JOIN bl b ON f.dep = b.dep AND f.ref = b.ref),
+          |m AS (SELECT count(*) FILTER (WHERE is_tp) AS tp,
+          |             count(*) FILTER (WHERE NOT is_tp) AS fp FROM tagged),
+          |nb AS (SELECT count(*) AS n FROM bl)
+          |SELECT tp, fp, nb.n - tp AS fn,
+          |  tp * 1.0 / (tp + fp) AS "precision",
+          |  tp * 1.0 / (tp + (nb.n - tp)) AS recall
+          |FROM m, nb""".stripMargin),
+
+    "q_sampled_credibility" ->
+      (sampledRunSql +
+        """, bstats AS (SELECT col, count(*) AS bu, min(val) AS bmin, max(val) AS bmax
+          |             FROM d GROUP BY col)
+          |SELECT f.dep, f.ref, f.missing,
+          |  CASE WHEN bd.bu > br.bu THEN NULL
+          |       WHEN bd.bmin < br.bmin OR bd.bmax > br.bmax THEN NULL
+          |       WHEN f.missing > br.bu - sr.su THEN NULL
+          |       ELSE (1 - f.missing * 1.0 / sd.su) * 200 END AS credibility
+          |FROM sfound f
+          |JOIN bstats bd ON bd.col = f.dep
+          |JOIN bstats br ON br.col = f.ref
+          |JOIN scnt sd ON sd.col = f.dep
+          |JOIN scnt sr ON sr.col = f.ref""".stripMargin),
 
     "q_simhash_sig" -> simhashSigSql,
 

@@ -118,12 +118,16 @@ object IndValidator {
       Tables.load(spark, sfDir, t1)
         .select(lit(candId).as("cand"),
           col(n1).cast(StringType).as("k1"), col(n2).cast(StringType).as("k2"))
-        .na.drop().dropDuplicates("cand", "k1", "k2")
+        .na.drop()
     }
+    // dedup ONCE after the union — a per-branch dropDuplicates would cost
+    // one shuffle per candidate side (80 shuffles for 40 candidates)
     val depAll = candidates.map { case (d, r) =>
       side(d, s"${d._1}+${d._2}>${r._1}+${r._2}") }.reduce(_ unionAll _)
+      .dropDuplicates("cand", "k1", "k2")
     val refAll = candidates.map { case (d, r) =>
       side(r, s"${d._1}+${d._2}>${r._1}+${r._2}") }.reduce(_ unionAll _)
+      .dropDuplicates("cand", "k1", "k2")
     val depCounts = depAll.groupBy("cand").agg(count("*").as("dep_distinct"))
     val missing = depAll.join(refAll, Seq("cand", "k1", "k2"), "left_anti")
       .groupBy("cand").agg(count("*").as("missing"))

@@ -77,6 +77,46 @@ object Experiment {
     kept.select("col", "val", "rowId")
   }
 
+  /** A single sampled run with a FIXED per-column budget (no waterfall) and
+    * deterministic smallest-value sampling — the SQL-expressible slice of
+    * the experiment used by the DuckDB oracle gate: sampling → partial INDs
+    * on the sample → confusion matrix vs the exact baseline → credibility
+    * with NULL (instead of NaN) for the implausibility gates.
+    * Returns (sampledVerdicts, eval, credibility). */
+  def fixedBudgetRun(spark: SparkSession, distinctLong: DataFrame,
+                     budget: Int, k: Long): (DataFrame, DataFrame, DataFrame) = {
+    val w = Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
+    val sampled = distinctLong.select("col", "val")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= budget).drop("rn")
+    val sampledVerdicts = IndValidator.verdicts(sampled, k)
+      .filter(col("missing") <= k)
+      .select("dep", "ref", "missing")
+    val baseline = IndValidator.verdicts(distinctLong, 0L)
+      .filter(col("missing") === 0).select("dep", "ref")
+    val eval = graft.eval.Evaluation.compareUnary(sampledVerdicts, baseline)
+
+    // stats for the credibility gates: baseline uniques + lexicographic
+    // min/max over the full distinct values; sampled uniques per column
+    val bStats = distinctLong.groupBy("col").agg(
+      count("*").as("bu"), min("val").as("bmin"), max("val").as("bmax"))
+    val sStats = sampled.groupBy("col").agg(count("*").as("su"))
+    val cred = sampledVerdicts
+      .join(broadcast(bStats.select(col("col").as("dep"), col("bu").as("b_dep_u"),
+        col("bmin").as("dep_min"), col("bmax").as("dep_max"))), Seq("dep"))
+      .join(broadcast(bStats.select(col("col").as("ref"), col("bu").as("b_ref_u"),
+        col("bmin").as("ref_min"), col("bmax").as("ref_max"))), Seq("ref"))
+      .join(broadcast(sStats.select(col("col").as("dep"), col("su").as("s_dep_u"))), Seq("dep"))
+      .join(broadcast(sStats.select(col("col").as("ref"), col("su").as("s_ref_u"))), Seq("ref"))
+      .withColumn("credibility",
+        when(col("b_dep_u") > col("b_ref_u"), lit(null))
+          .when(col("dep_min") < col("ref_min") || col("dep_max") > col("ref_max"), lit(null))
+          .when(col("missing") > col("b_ref_u") - col("s_ref_u"), lit(null))
+          .otherwise((lit(1.0) - col("missing") * 1.0 / col("s_dep_u")) * budget))
+      .select("dep", "ref", "missing", "credibility")
+    (sampledVerdicts, eval, cred)
+  }
+
   /** Everything one experiment produces. */
   case class ExperimentResult(
     baselineStats: DataFrame,   // (col, unique_count, min_val, max_val)
