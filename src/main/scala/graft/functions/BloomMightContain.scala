@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native Catalyst predicate `bloom.mightContain(col)` over a driver-built
+  * Bloom filter — replaces a Scala UDF in the referential-check pre-filter
+  * (IndValidator.violations): the UDF forced UTF8String→String conversion
+  * per row and broke whole-stage codegen; this expression hashes the raw
+  * UTF8 bytes inside generated code.
+  *
+  * Correctness note: Spark's BloomFilter.putString == putBinary(UTF-8 bytes)
+  * and UTF8String.getBytes yields those same bytes, so mightContainBinary on
+  * the raw bytes is exactly mightContainString on the value.
+  *
+  * (Spark ships an internal BloomFilterMightContain for runtime filters, but
+  * it requires the filter serialized as a literal binary child and is not a
+  * public surface for a pre-built driver-side sketch.)
+  */
+case class BloomMightContain(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bloomRef.mightContainBinary(($c).getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  /** Column API: true iff the (string) column's value might be in `bloom`. */
+  def mightContain(c: Column, bloom: BloomFilter): Column =
+    GraftExpressionBridge.column(
+      BloomMightContain(GraftExpressionBridge.expression(c), bloom))
+}

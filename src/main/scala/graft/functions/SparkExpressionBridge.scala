@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4 wraps Column around ColumnNode; the Expression↔Column converters
+  * live in `classic.ExpressionUtils`, which is private[sql]. This bridge
+  * exposes exactly the two conversions graft's custom expressions need. */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

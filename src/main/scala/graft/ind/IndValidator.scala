@@ -86,13 +86,14 @@ object IndValidator {
       .filter(col("val").isNotNull).dropDuplicates("val")
     if (useBloom) {
       val bloom = refV.stat.bloomFilter("val", math.max(expectedRef, 64L), fpp)
-      val bc = depV.sparkSession.sparkContext.broadcast(bloom)
-      val mightContain = udf((v: String) => bc.value.mightContainString(v))
+      def mightContain =
+        graft.functions.BloomMightContain.mightContain(col("val"), bloom)
       // Bloom has no false negatives: a dep value failing the test is a
       // DEFINITE violation and never enters the join; only values passing it
       // (contained ones + the fpp false positives) need the exact anti-join.
-      val definite = depV.filter(!mightContain(col("val")))
-      val maybe = depV.filter(mightContain(col("val")))
+      // The membership test is a native codegen expression, not a UDF.
+      val definite = depV.filter(!mightContain)
+      val maybe = depV.filter(mightContain)
       definite.unionAll(maybe.join(refV, Seq("val"), "left_anti"))
     } else depV.join(refV, Seq("val"), "left_anti")
   }

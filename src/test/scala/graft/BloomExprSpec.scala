@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.BloomMightContain
+
+/** Native codegen Bloom membership expression. */
+class BloomExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expression agrees with the driver-side BloomFilter on every value") {
+    val bloom = BloomFilter.create(1000, 0.01)
+    (1 to 500).foreach(i => bloom.putString(s"v$i"))
+    val df = (1 to 1000).map(i => s"v$i").toDF("s")
+    val got = df.select(col("s"),
+        BloomMightContain.mightContain(col("s"), bloom).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (1 to 1000).foreach { i =>
+      assert(got(s"v$i") == bloom.mightContainString(s"v$i"))
+      if (i <= 500) assert(got(s"v$i")) // no false negatives
+    }
+  }
+
+  test("null input yields null") {
+    val df = Seq(Some("a"), None).toDF("s")
+    val bloom = BloomFilter.create(100, 0.01)
+    bloom.putString("a")
+    val rows = df.select(BloomMightContain.mightContain(col("s"), bloom)).collect()
+    assert(rows.exists(_.isNullAt(0)))
+    assert(rows.exists(r => !r.isNullAt(0) && r.getBoolean(0)))
+  }
+
+  test("expression survives whole-stage codegen in a filter") {
+    val bloom = BloomFilter.create(100, 0.01)
+    Seq("v1", "v2").foreach(bloom.putString)
+    // range source: a distributed plan that cannot be local-relation-folded
+    val df = spark.range(100)
+      .select(concat(lit("v"), col("id").cast("string")).as("s"))
+      .filter(BloomMightContain.mightContain(col("s"), bloom))
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got.contains("v1") && got.contains("v2"))
+    // the '*(n)' prefix marks operators inside a whole-stage-codegen stage;
+    // the Filter carrying bloommightcontain must be inside one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter bloommightcontain") && l.trim.startsWith("+- *")),
+      plan)
+  }
+}
