@@ -370,6 +370,12 @@ object SparkEntry {
     "q_sampled_credibility" -> ((s, dir) =>
       Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)._3),
 
+    // R4: top-k by credibility with full deterministic tie-break
+    "q_ranked_topk" -> ((s, dir) =>
+      Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)._3
+        .orderBy(col("credibility").desc_nulls_last, col("dep"), col("ref"))
+        .limit(20)),
+
     // full reference experiment: per-run confusion matrices (13 runs)
     "q_experiment_eval" -> ((s, dir) =>
       experiment(s, dir).evalPerRun),
@@ -595,6 +601,22 @@ object SparkEntry {
           |JOIN bstats br ON br.col = f.ref
           |JOIN scnt sd ON sd.col = f.dep
           |JOIN scnt sr ON sr.col = f.ref""".stripMargin),
+
+    "q_ranked_topk" ->
+      (sampledRunSql +
+        """, bstats AS (SELECT col, count(*) AS bu, min(val) AS bmin, max(val) AS bmax
+          |             FROM d GROUP BY col)
+          |SELECT f.dep, f.ref, f.missing,
+          |  CASE WHEN bd.bu > br.bu THEN NULL
+          |       WHEN bd.bmin < br.bmin OR bd.bmax > br.bmax THEN NULL
+          |       WHEN f.missing > br.bu - sr.su THEN NULL
+          |       ELSE (1 - f.missing * 1.0 / sd.su) * 200 END AS credibility
+          |FROM sfound f
+          |JOIN bstats bd ON bd.col = f.dep
+          |JOIN bstats br ON br.col = f.ref
+          |JOIN scnt sd ON sd.col = f.dep
+          |JOIN scnt sr ON sr.col = f.ref
+          |ORDER BY credibility DESC NULLS LAST, f.dep, f.ref LIMIT 20""".stripMargin),
 
     "q_simhash_sig" -> simhashSigSql,
 

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ind.IndValidator
+import graft.sources.RefCsv
+
+/** The reference user's workflow end-to-end: a dataset directory of
+  * `;`-delimited headerless CSVs in → profiling + IND discovery out
+  * (FIXTURES.md family 1: orders_small / customers_small with designed
+  * exact and partial INDs, blanks, duplicates, length ties). */
+class CsvEndToEndSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("csvds")
+    // orders_small(column1 order id UNIQUE, column2 customer FK, column3 status hot)
+    Files.writeString(d.resolve("orders_small.csv"),
+      """o1;c1;O
+        |o2;c1;O
+        |o3;c2;F
+        |o4;c3;F
+        |o5;c2;P
+        |o6;;O
+        |""".stripMargin)
+    // customers_small(column1 customer id UNIQUE incl. extras, column2 name, column3 nation)
+    Files.writeString(d.resolve("customers_small.csv"),
+      """c1;Alice;DE
+        |c2;Bobby;DE
+        |c3;Carla;FR
+        |c9;Damon;FR
+        |""".stripMargin)
+    d.toString
+  }
+
+  private def longForm = {
+    val tables = Seq("orders_small", "customers_small")
+    tables.map { t =>
+      val df = RefCsv.readInferWidth(spark, s"$dir/$t.csv")
+      Tables.longForm(df, t, df.columns.toSeq)
+    }.reduce(_ unionAll _)
+      .filter(length(trim(col("val"))) > 0)
+      .dropDuplicates("col", "val")
+  }
+
+  test("designed exact IND discovered from raw CSVs") {
+    val inds = IndValidator.verdicts(longForm, 0L)
+      .filter(col("passed")).select("dep", "ref")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // FK: orders.customer ⊆ customers.id
+    assert(inds.contains(("orders_small.column2", "customers_small.column1")))
+    // reverse does NOT hold (c9 has no orders)
+    assert(!inds.contains(("customers_small.column1", "orders_small.column2")))
+  }
+
+  test("partial IND with error budget admits the reverse direction") {
+    val v = IndValidator.verdicts(longForm, 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("missing")).toMap
+    assert(v(("customers_small.column1", "orders_small.column2")) == 1L) // c9
+    val passed = IndValidator.verdicts(longForm, 1L)
+      .filter(col("passed")).select("dep", "ref")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(passed.contains(("customers_small.column1", "orders_small.column2")))
+  }
+
+  test("profiling the CSV dataset: uniqueness and blank handling") {
+    val u = graft.profiling.Profiler.exactDistinctCounts(longForm)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u("orders_small.column1") == 6L)
+    assert(u("orders_small.column2") == 3L) // blank dropped, c1 c2 c3
+    assert(u("customers_small.column1") == 4L)
+  }
+}
