@@ -303,6 +303,21 @@ object SparkEntry {
       Profiler.histogram(Tables.load(s, dir, "lineitem"), "l_extendedprice",
         lo = 0.0, hi = 110000.0, bins = 22)),
 
+    // approx-quantile profile (north_star; rows-only — sketch algorithms
+    // differ across engines by design)
+    "q_quantiles" -> ((s, dir) => {
+      val cols = Seq("lineitem" -> "l_extendedprice", "orders" -> "o_totalprice",
+        "events" -> "value", "customer" -> "c_acctbal")
+      cols.map { case (t, c) =>
+        Tables.load(s, dir, t).agg(
+          lit(s"$t.$c").as("col"),
+          percentile_approx(col(c), lit(0.25), lit(10000)).as("p25"),
+          percentile_approx(col(c), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col(c), lit(0.75), lit(10000)).as("p75"),
+          percentile_approx(col(c), lit(0.95), lit(10000)).as("p95"))
+      }.reduce(_ unionAll _)
+    }),
+
     // native numeric profile (no string casts; exact value pass-through)
     "q_profile_numeric" -> ((s, dir) => {
       val numericCols = Map(
@@ -322,9 +337,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
     }),
 
-    // ANN: sign-LSH bucketed top-5 (the scale path; rows-only)
+    // ANN: sign-LSH bucketed top-5 (scale path #1; rows-only)
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 5)),
+
+    // ANN: IVF coarse-quantizer top-5 (scale path #2; rows-only)
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 5)),
 
     // event-time windowed aggregation (batch twin of the streaming pipeline)
     "q_events_window" -> ((s, dir) =>
@@ -347,17 +366,32 @@ object SparkEntry {
     "q_ind_candidates" -> ((s, dir) =>
       Pruning.candidates(cachedProfile(s, dir))),
 
-    // J2: arity-2 n-ary INDs from apriori candidates over exact unary INDs,
-    // validated as ONE batched job
+    // J2: level-wise n-ary IND discovery (BINDER-style apriori lattice) —
+    // arity-2 candidates from exact unary INDs, arity-3 from validated
+    // arity-2, each level validated as ONE batched job
     "q_ind_nary" -> ((s, dir) => {
       val unary = cachedVerdicts(s, dir)
         .filter(col("missing") === 0).select("dep", "ref")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-      val cands = Pruning.naryCandidates(unary)
-      if (cands.isEmpty)
-        s.createDataFrame(Seq.empty[(String, String, Long, Boolean)])
-          .toDF("dep", "ref", "missing", "passed")
-      else IndValidator.validateNaryBatch(s, dir, cands)
+      val empty = s.createDataFrame(Seq.empty[(String, String, Long, Boolean)])
+        .toDF("dep", "ref", "missing", "passed")
+      var level = unary.map(u => (Seq(u._1), Seq(u._2)))
+      var out = empty
+      var arity = 2
+      while (level.nonEmpty && arity <= 3) {
+        val cands = Pruning.naryCandidatesLevel(level, unary)
+        if (cands.isEmpty) { level = Nil }
+        else {
+          val verdicts = IndValidator.validateNaryBatch(s, dir, cands)
+            .localCheckpoint()
+          out = out.unionAll(verdicts)
+          level = verdicts.filter(col("passed")).select("dep", "ref").collect()
+            .map(r => (r.getString(0).split('+').toSeq,
+                       r.getString(1).split('+').toSeq)).toSeq
+        }
+        arity += 1
+      }
+      out
     }),
 
     // SQL-expressible sampled run: fixed budget 200, smallest-value order,

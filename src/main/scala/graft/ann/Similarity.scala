@@ -62,6 +62,65 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: vectors are
+    * assigned to the nearest of `nlist` centroids (deterministic init: the
+    * vectors with the `nlist` smallest md5(id), refined by `lloydIters`
+    * Lloyd steps), and each query searches only its `nprobe` nearest cells.
+    * All joins are keyed by cell, so the search shuffle is proportional to
+    * probed-cell volume, never |base|² — at 100 TB the cell assignment is a
+    * write-time partitioning and a query touches nprobe partitions. */
+  def ivfTopK(base: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 1): DataFrame = {
+    val spark = base.sparkSession
+    val b = base.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+
+    // deterministic seed centroids
+    var centroids = b.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("cell"), col("v").as("cv"))
+      .localCheckpoint()
+
+    def assign(vectors: DataFrame): DataFrame =
+      vectors.crossJoin(broadcast(centroids))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .groupBy("id").agg(
+          max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+
+    // Lloyd refinement: element-wise mean per cell via posexplode
+    for (_ <- 0 until lloydIters) {
+      val assigned = b.join(assign(b), Seq("id"))
+      val dims = assigned.select(col("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+      centroids = dims.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("cv"))
+        .localCheckpoint()
+    }
+
+    val cells = b.join(assign(b), Seq("id")).localCheckpoint()
+
+    // query probes its nprobe nearest cells
+    val probes = b.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("cell"))
+
+    val scored = probes.join(
+        cells.select(col("id").as("nid"), col("v").as("nv"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN: bucket all vectors by sign pattern, then brute-force
     * only within buckets. Recall is traded for the keyed join; increase
     * recall by lowering `planes` (bigger buckets). Output like

@@ -104,33 +104,37 @@ object IndValidator {
     * combinations. Candidate generation by arity level lives in
     * `Pruning.naryCandidate`.
     */
-  /** Batched arity-2 validation: ALL candidates in ONE job (a per-candidate
-    * driver loop costs one Spark job each — measured 53 s for a few dozen
-    * candidates at sf0.1). Long form keyed by candidate id, one anti-join +
-    * one aggregate for the lot. Candidates: ((depCol1, depCol2), (refCol1,
-    * refCol2)) with 'table.column' names. Output: (dep, ref, missing,
-    * passed). */
+  /** Batched n-ary validation at ANY arity: ALL candidates in ONE job (a
+    * per-candidate driver loop costs one Spark job each — measured 53 s for
+    * a few dozen candidates at sf0.1). Long form keyed by candidate id with
+    * the key tuple packed into one concat-delimited string column (arities
+    * can then mix in a single frame), one anti-join + one aggregate for the
+    * lot. Candidates: (depCols, refCols) of equal arity, 'table.column'
+    * names, each side's columns from one table. Output: (dep, ref, missing,
+    * passed) with '+'-joined column lists. */
   def validateNaryBatch(spark: SparkSession, sfDir: String,
-                        candidates: Seq[((String, String), (String, String))]): DataFrame = {
+                        candidates: Seq[(Seq[String], Seq[String])]): DataFrame = {
     import org.apache.spark.sql.types.StringType
-    def side(pair: (String, String), candId: String): DataFrame = {
-      val (c1, c2) = pair
-      val Array(t1, n1) = c1.split('.'); val Array(_, n2) = c2.split('.')
-      Tables.load(spark, sfDir, t1)
-        .select(lit(candId).as("cand"),
-          col(n1).cast(StringType).as("k1"), col(n2).cast(StringType).as("k2"))
-        .na.drop()
+    def side(cols: Seq[String], candId: String): DataFrame = {
+      val table = cols.head.split('.')(0)
+      val names = cols.map(_.split('.')(1))
+      val df = Tables.load(spark, sfDir, table)
+      // unit-separator-delimited tuple key: unambiguous for any values not
+      // containing  (true of the string-cast testdata domains)
+      val key = concat_ws("", names.map(n => col(n).cast(StringType)): _*)
+      df.filter(names.map(n => col(n).isNotNull).reduce(_ && _))
+        .select(lit(candId).as("cand"), key.as("k"))
     }
+    def candId(c: (Seq[String], Seq[String])) =
+      s"${c._1.mkString("+")}>${c._2.mkString("+")}"
     // dedup ONCE after the union — a per-branch dropDuplicates would cost
-    // one shuffle per candidate side (80 shuffles for 40 candidates)
-    val depAll = candidates.map { case (d, r) =>
-      side(d, s"${d._1}+${d._2}>${r._1}+${r._2}") }.reduce(_ unionAll _)
-      .dropDuplicates("cand", "k1", "k2")
-    val refAll = candidates.map { case (d, r) =>
-      side(r, s"${d._1}+${d._2}>${r._1}+${r._2}") }.reduce(_ unionAll _)
-      .dropDuplicates("cand", "k1", "k2")
+    // one shuffle per candidate side
+    val depAll = candidates.map(c => side(c._1, candId(c))).reduce(_ unionAll _)
+      .dropDuplicates("cand", "k")
+    val refAll = candidates.map(c => side(c._2, candId(c))).reduce(_ unionAll _)
+      .dropDuplicates("cand", "k")
     val depCounts = depAll.groupBy("cand").agg(count("*").as("dep_distinct"))
-    val missing = depAll.join(refAll, Seq("cand", "k1", "k2"), "left_anti")
+    val missing = depAll.join(refAll, Seq("cand", "k"), "left_anti")
       .groupBy("cand").agg(count("*").as("missing"))
     depCounts.join(missing, Seq("cand"), "left")
       .withColumn("missing", coalesce(col("missing"), lit(0L)))

@@ -37,22 +37,26 @@ object Pruning {
       .map(col) ++ (if (sound) Nil else Seq(col("plausible"))): _*)
   }
 
-  /** N-ary candidate generation by arity level (reference J2 / BINDER): an
-    * arity-n candidate is viable only if every unary projection pair is a
-    * validated unary IND — the classic apriori-style lattice walk. Input:
-    * validated unary INDs as (dep, ref) pairs (driver-side, tiny); output:
-    * arity-2 candidates ((depA, depB) → (refA, refB)) with all four columns
-    * distinct tables aligned.
-    */
-  def naryCandidates(unary: Seq[(String, String)]): Seq[((String, String), (String, String))] = {
+  /** N-ary candidate generation by arity level (reference J2 / BINDER): the
+    * classic apriori-style lattice walk — an arity-(n+1) candidate extends a
+    * validated arity-n IND with a validated unary IND on the same
+    * (depTable, refTable) pair. Canonical dep-column ordering (strictly
+    * increasing) deduplicates the lattice. Driver-side over tiny inputs. */
+  def naryCandidatesLevel(validated: Seq[(Seq[String], Seq[String])],
+                          unary: Seq[(String, String)]): Seq[(Seq[String], Seq[String])] = {
     def table(c: String) = c.split('.')(0)
     for {
-      (d1, r1) <- unary
-      (d2, r2) <- unary
-      if d1 < d2                       // unordered dep pair, deterministic order
-      if table(d1) == table(d2)        // both dep columns from one table
-      if table(r1) == table(r2)        // both ref columns from one table
-      if r1 != r2
-    } yield ((d1, d2), (r1, r2))
+      (deps, refs) <- validated
+      (dx, rx) <- unary
+      if dx > deps.last                    // canonical order, no dup columns
+      if table(dx) == table(deps.head)     // dep columns from one table
+      if table(rx) == table(refs.head)     // ref columns from one table
+      if !refs.contains(rx)
+    } yield (deps :+ dx, refs :+ rx)
   }
+
+  /** arity-2 candidates straight from the unary INDs. */
+  def naryCandidates(unary: Seq[(String, String)]): Seq[((String, String), (String, String))] =
+    naryCandidatesLevel(unary.map(u => (Seq(u._1), Seq(u._2))), unary)
+      .map { case (d, r) => ((d(0), d(1)), (r(0), r(1))) }
 }

@@ -106,6 +106,19 @@ class DedupTextSpec extends SparkSpec {
     assert(r.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("nid") == 3L)
   }
 
+  test("IVF top-k: clustered vectors find their cluster mates") {
+    // two tight clusters; IVF with nlist=2 must pair within clusters
+    val mk = (base: Float, j: Int) => Array.tabulate(8)(i =>
+      base + (if (i == j % 8) 0.01f else 0.0f))
+    val e = ((0 to 3).map(j => (j.toLong, mk(1.0f, j))) ++
+      (4 to 7).map(j => (j.toLong, mk(-1.0f, j)))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(e, "vec_id", "embedding", 2, nlist = 2, nprobe = 1)
+      .collect().map(x => x.getAs[Long]("qid") -> x.getAs[Long]("nid"))
+    assert(r.nonEmpty)
+    r.foreach { case (q, n) =>
+      assert((q <= 3) == (n <= 3), s"cross-cluster neighbor $q -> $n") }
+  }
+
   test("LSH top-k buckets identical vectors together") {
     val e = Seq(
       (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
