@@ -463,6 +463,23 @@ object SparkEntry {
           min(length(col("content"))).as("min_len"),
           max(length(col("content"))).as("max_len"))),
 
+    // per-partition uniqueness verdicts over the corpus (north_rule shape)
+    "q_corpus_partition_verdicts" -> ((s, _) =>
+      graft.checks.PartitionChecks.uniquePerPartition(
+        Corpus.generate(s, 20000L), "commit", "path")),
+
+    // cross-partition containment: repo sets across commit partitions
+    "q_corpus_commit_containment" -> ((s, _) =>
+      graft.checks.PartitionChecks.crossPartitionContainment(
+        Corpus.generate(s, 20000L), "commit", "repo", maxMissing = 5L)),
+
+    // per-partition referential verdicts on testdata (oracle-checked):
+    // each o_orderpriority partition's custkeys ⊆ customer keys
+    "q_partition_ref_verdicts" -> ((s, dir) =>
+      graft.checks.PartitionChecks.referentialPerPartition(
+        Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey",
+        Tables.load(s, dir, "customer"), "c_custkey")),
+
     // ---- multimodal plumbing (deterministic stub codec, rows-only) -------
 
     "q_multimodal_meta" -> ((s, _) =>
@@ -689,6 +706,20 @@ object SparkEntry {
         "events" -> "value").map { case (t, c) =>
         s"SELECT '$t.$c' AS col, count($c) AS cnt, min($c) AS min_val, max($c) AS max_val FROM $t"
       }.mkString(" UNION ALL "),
+
+    "q_partition_ref_verdicts" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT o_orderpriority AS partition, CAST(o_custkey AS VARCHAR) AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |refk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        |         WHERE c_custkey IS NOT NULL),
+        |miss AS (SELECT partition, count(*) AS missing FROM keys
+        |         WHERE k NOT IN (SELECT k FROM refk) GROUP BY partition)
+        |SELECT keys.partition, count(*) AS n_keys,
+        |  coalesce(max(miss.missing), 0) AS missing,
+        |  coalesce(max(miss.missing), 0) = 0 AS passed
+        |FROM keys LEFT JOIN miss ON miss.partition = keys.partition
+        |GROUP BY keys.partition""".stripMargin,
 
     "q_drift_lang_tvd" ->
       """WITH counts AS (SELECT source AS partition, lang AS cat, count(*) AS n

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.PartitionChecks
+
+class PartitionChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-partition uniqueness verdicts") {
+    val df = Seq(("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "a"))
+      .toDF("part", "k")
+    val v = PartitionChecks.uniquePerPartition(df, "part", "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("dup_rows"), r.getAs[Boolean]("passed"))).toMap
+    assert(v("p1") == ((0L, true)))
+    assert(v("p2") == ((1L, false)))
+  }
+
+  test("per-partition referential verdicts + violations") {
+    val df = Seq(("p1", 1), ("p1", 2), ("p2", 2), ("p2", 99)).toDF("part", "k")
+    val ref = Seq(1, 2, 3).toDF("rk")
+    val v = PartitionChecks.referentialPerPartition(df, "part", "k", ref, "rk")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("missing"), r.getAs[Boolean]("passed"))).toMap
+    assert(v("p1") == ((0L, true)))
+    assert(v("p2") == ((1L, false)))
+    val viol = PartitionChecks.violationsPerPartition(df, "part", "k", ref, "rk")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viol == Set(("p2", "99")))
+  }
+
+  test("cross-partition containment via the co-occurrence engine") {
+    val df = Seq(("c1", "r1"), ("c1", "r2"), ("c2", "r1"), ("c2", "r2"),
+      ("c2", "r3")).toDF("commit", "repo")
+    val v = PartitionChecks.crossPartitionContainment(df, "commit", "repo")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("missing"), r.getAs[Boolean]("passed"))).toMap
+    assert(v(("c1", "c2")) == ((0L, true)))  // c1's repos ⊆ c2's
+    assert(v(("c2", "c1")) == ((1L, false))) // r3 missing from c1
+  }
+}
