@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-partitioned) tables: the co-located-join path for the
+  * repeated big joins of a standing validation pipeline. Writing both sides
+  * bucketed by the join key lets every subsequent join/aggregation on that
+  * key run with ZERO exchanges — at 100 TB the shuffle is paid once at
+  * ingestion instead of per validation run. (Iceberg's bucket partition
+  * transform plays this role on a real cluster; the sandbox uses Spark's
+  * managed bucketed tables.)
+  */
+object Bucketing {
+
+  /** Write `df` as a managed bucketed table (sorted within buckets). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — planner emits a
+    * SortMergeJoin with NO Exchange on either side. */
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** true iff the physical plan contains no shuffle exchange. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+
+/** Bucketed co-located join: the repeated-join scale path must plan with
+  * zero shuffle exchanges. */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two same-bucketed tables plans without exchanges") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+      Bucketing.writeBucketed(o, "o_b", "l_orderkey", 8)
+      val joined = Bucketing.colocatedJoin(spark, "li_b", "o_b", "l_orderkey")
+      assert(Bucketing.isShuffleFree(joined), joined.queryExecution.executedPlan)
+      // and the unbucketed join DOES shuffle (the thing bucketing removes)
+      val plain = li.join(o, "l_orderkey")
+      assert(!Bucketing.isShuffleFree(plain))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
