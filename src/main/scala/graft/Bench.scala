@@ -8,7 +8,8 @@ object Bench {
   private val validationQueries = Set(
     "q_profile_stats", "q_unique_checks", "q_ind_exact", "q_ind_partial",
     "q_ref_violations", "q_drift_lang_tvd", "q_drift_value_ks",
-    "q_eval_confusion", "q_ind_candidates", "q_profile_numeric")
+    "q_eval_confusion", "q_ind_candidates", "q_profile_numeric",
+    "q_partition_ref_verdicts", "q_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -271,6 +271,13 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         TextAnalysis.langPredict(col("text")).as("lang_pred"))),
 
+    // document fingerprints: content sha256 + order-sensitive rolling hash
+    "q_doc_fingerprints" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("sha256"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))),
+
     // MinHash + LSH near-dup candidate pairs (4-char shingles, 4 bands × 2)
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text")),

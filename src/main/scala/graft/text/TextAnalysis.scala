@@ -85,8 +85,10 @@ object TextAnalysis {
     * order-sensitive alternative to sha256 that supports windowed winnowing
     * later. */
   def rollingHash(text: Column): Column = {
-    val prime = lit(1000003L)
-    val mod = lit((1L << 61) - 1)
+    // modulus small enough that acc·prime + cp never overflows Long under
+    // ANSI arithmetic (acc < 1e9+7, prime 131 → product < 2^37)
+    val prime = lit(131L)
+    val mod = lit(1000000007L)
     aggregate(
       split(text, ""),
       lit(0L),
