@@ -111,6 +111,29 @@ object Profiler {
     pieces.reduce(_ unionAll _).select("col", "cnt", "min_val", "max_val", "mean_val")
   }
 
+  /** Mergeable per-partition HLL sketches — the incremental profiling
+    * pattern at 10^12-file scale: each ingested partition stores its own
+    * sketch; global (or any-subset) distinct counts come from merging
+    * sketches, never from rescanning data. Returns (partition, hll binary).
+    */
+  def hllPerPartition(df: DataFrame, partCol: String, c: String,
+                      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(col(partCol).as("partition"))
+      .agg(hll_sketch_agg(col(c).cast(StringType), lit(lgConfigK)).as("hll"))
+
+  /** Merge per-partition sketches into one global distinct estimate. */
+  def hllMergedEstimate(sketches: DataFrame): Long =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("est"))
+      .head.getLong(0)
+
+  /** Direct (unpartitioned) sketch estimate — the reference value the
+    * merged estimate must equal exactly (HLL union is lossless for same-K
+    * sketches built from the same values). */
+  def hllDirectEstimate(df: DataFrame, c: String, lgConfigK: Int = 12): Long =
+    df.agg(hll_sketch_estimate(
+      hll_sketch_agg(col(c).cast(StringType), lit(lgConfigK))).as("est"))
+      .head.getLong(0)
+
   /** Equi-width histogram of a numeric column — the building block of the
     * distribution-drift check (north_star). Bins are fixed by (lo, hi, n)
     * so partitions can be histogrammed independently and compared.

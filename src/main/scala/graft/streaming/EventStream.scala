@@ -108,6 +108,19 @@ object EventStream {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
   }
 
+  /** Streaming referential check: events whose `keyCol` is absent from the
+    * static reference dimension are emitted as violations as they arrive
+    * (stream–static left_anti join — the dimension broadcasts). The
+    * always-on form of IndValidator.violations. */
+  def streamingRefViolations(events: DataFrame, keyCol: String,
+                             ref: DataFrame, refCol: String): DataFrame = {
+    val refKeys = ref.select(col(refCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull).dropDuplicates("__k")
+    events.withColumn("__k", col(keyCol).cast("string"))
+      .join(refKeys, Seq("__k"), "left_anti")
+      .drop("__k")
+  }
+
   /** Drive a bounded stream to completion into an in-memory table; returns
     * the result as a batch frame (test harness path). */
   def runToCompletion(streamed: DataFrame, queryName: String,

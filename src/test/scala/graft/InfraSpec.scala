@@ -110,6 +110,30 @@ class InfraSpec extends SparkSpec {
     assert(closed.subsetOf(batch.toSet)) // stateful emits the closed subset
   }
 
+  test("per-partition HLL sketches merge to the direct global estimate") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val sketches = graft.profiling.Profiler
+      .hllPerPartition(orders, "o_orderpriority", "o_custkey")
+    assert(sketches.count() > 1) // genuinely partitioned
+    val merged = graft.profiling.Profiler.hllMergedEstimate(sketches)
+    val direct = graft.profiling.Profiler.hllDirectEstimate(orders, "o_custkey")
+    assert(merged == direct) // union of same-K sketches is lossless
+  }
+
+  test("streaming referential check emits violations from the live stream") {
+    val dir = "/root/testdata/sf0.001"
+    val ref = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 5) // shrink ref so violations exist (user_id ∈ [0,14] at sf0.001)
+    val streamed = EventStream.streamingRefViolations(
+      EventStream.readEvents(spark, dir), "user_id", ref, "c_custkey")
+    val got = EventStream.runToCompletion(streamed, "ref_viol_test", "append")
+    val batch = Tables.load(spark, dir, "events")
+      .join(ref.select(col("c_custkey").cast("string").as("k")),
+        col("user_id").cast("string") === col("k"), "left_anti")
+    assert(got.count() == batch.count())
+    assert(got.count() > 0)
+  }
+
   test("streaming: stateful sessionization closes sessions on gap") {
     import java.sql.Timestamp
     val evs = Seq(
