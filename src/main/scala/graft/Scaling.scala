@@ -74,14 +74,20 @@ object Scaling {
       s.stop()
     }
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "2").toInt
     val results = levels.map { n =>
       val spark = session(n)
       val rows = workloadRows(spark, corpusPath, sfDir)
       // full warm-up pass: JIT + codegen caches + page cache, unmeasured
       workload(spark, corpusPath, sfDir)
-      val t0 = System.nanoTime()
-      workload(spark, corpusPath, sfDir)
-      val sec = (System.nanoTime() - t0) / 1e9
+      // best-of-N measured passes: this shared VM shows bursts of host CPU
+      // contention (same code measured 44 s and 85 s minutes apart); the
+      // minimum is the machine-capability number a quiet cluster would see
+      val sec = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        workload(spark, corpusPath, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       spark.stop()
       (n, rows, sec, rows / sec)
     }
