@@ -57,7 +57,7 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_CORPUS_ROWS", "16000000").toLong
+    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_CORPUS_ROWS", "24000000").toLong
     val corpusPath = s"/tmp/graft_scaling_corpus_$corpusRows"
     // N and 4N cores; default 2→8 — this VM's vCPUs stop scaling past ~8
     // for ANY pure-CPU work (all-core frequency/host contention, measured in
