@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-efficiency evidence for the north rule: the same validation
-  * workload at two parallelism levels (local[8] = N, local[32] = 4N — the
-  * sandbox stand-in for N vs 4N executors), reporting throughput at both and
-  * the efficiency ratio throughput_4N / (4 · throughput_N). Prints one JSON
-  * line; numbers land in BASELINE.md / BENCH.
+  * workload at two parallelism levels (default local[2] = N, local[8] = 4N —
+  * the sandbox stand-in for N vs 4N executors; this VM's vCPUs stop scaling
+  * past ~8 for any pure-CPU work, see BASELINE.md), reporting throughput at
+  * both and the efficiency ratio throughput_4N / (4 · throughput_N). Prints
+  * one JSON line; numbers land in BASELINE.md / BENCH.
   *
   * Setup (corpus generation + parquet write) happens once, unmeasured — the
   * measured part is the VALIDATION pass reading from storage, matching the
