@@ -480,6 +480,12 @@ object SparkEntry {
       graft.checks.PartitionChecks.crossPartitionContainment(
         Corpus.generate(s, 20000L), "commit", "repo", maxMissing = 5L)),
 
+    // cross-partition containment on testdata: user_id sets across
+    // event_type partitions (all ordered partition pairs, two shuffles)
+    "q_cross_containment" -> ((s, dir) =>
+      graft.checks.PartitionChecks.crossPartitionContainment(
+        Tables.load(s, dir, "events"), "event_type", "user_id", maxMissing = 3L)),
+
     // per-partition referential verdicts on testdata (oracle-checked):
     // each o_orderpriority partition's custkeys ⊆ customer keys
     "q_partition_ref_verdicts" -> ((s, dir) =>
@@ -713,6 +719,20 @@ object SparkEntry {
         "events" -> "value").map { case (t, c) =>
         s"SELECT '$t.$c' AS col, count($c) AS cnt, min($c) AS min_val, max($c) AS max_val FROM $t"
       }.mkString(" UNION ALL "),
+
+    "q_cross_containment" ->
+      """WITH d AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS col,
+        |                           CAST(user_id AS VARCHAR) AS val
+        |           FROM events WHERE user_id IS NOT NULL),
+        |cnt AS (SELECT col, count(*) AS u FROM d GROUP BY col),
+        |co AS (SELECT x.col AS dep, y.col AS ref, count(*) AS n
+        |       FROM d x JOIN d y ON x.val = y.val AND x.col <> y.col
+        |       GROUP BY 1, 2)
+        |SELECT a.col AS dep, b.col AS ref, a.u AS dep_unique, b.u AS ref_unique,
+        |  a.u - coalesce(co.n, 0) AS missing,
+        |  a.u - coalesce(co.n, 0) <= 3 AS passed
+        |FROM cnt a JOIN cnt b ON a.col <> b.col
+        |LEFT JOIN co ON co.dep = a.col AND co.ref = b.col""".stripMargin,
 
     "q_partition_ref_verdicts" ->
       """WITH keys AS (
