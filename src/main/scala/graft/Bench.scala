@@ -21,23 +21,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a failed query must FAIL the bench loudly (value −1, excluded from the
+    // total, non-zero exit) — silently adding its elapsed time would let a
+    // broken query masquerade as a slow one
+    // optional comma-separated name filter for local profiling
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    var failed = List.empty[String]
+    val results = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // BASELINE metric: validation throughput (rows/s) over the testdata rows
     val rows = Tables.all.map(t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => 0L }).sum
     val valSec = results.collect {
       case (k, v) if validationQueries(k) && v > 0 => v }.sum
     val rps = if (valSec > 0) math.round(rows / valSec) else 0L
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir",""" +
+      s""""queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
       s""""rows":$rows,"validation_sec":$valSec,"validation_rows_per_sec":$rps}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

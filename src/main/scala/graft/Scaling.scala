@@ -63,8 +63,13 @@ object Scaling {
     // N and 4N cores; default 2→8 — this VM's vCPUs stop scaling past ~8
     // for ANY pure-CPU work (all-core frequency/host contention, measured in
     // BASELINE.md), which separate hosts in a real N→4N cluster don't share
-    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
-      .split(",").toSeq.map(_.trim.toInt)
+    val allLevels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
+      .split(",").toSeq.map(_.trim.toInt).distinct.sorted
+    require(allLevels.size >= 2,
+      s"SPARK_GRAFT_LEVELS needs >=2 distinct core counts, got $allLevels")
+    // efficiency is reported between the extreme levels; intermediates are
+    // measured and printed but don't enter the ratio
+    val levels = Seq(allLevels.min, allLevels.max)
 
     // one-time setup (unmeasured): materialize the deterministic corpus
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusPath/_SUCCESS"))) {

@@ -49,6 +49,91 @@ object SparkEntry {
        |  LEFT JOIN co ON co.dep = a.col AND co.ref = b.col)
        |""".stripMargin
 
+  /** All ordered `arity`-tuples of each table's registered columns as
+    * (cols, key) rows — the tuple-level long form the n-ary IND oracle walks.
+    * Key tuples are chr(31)-joined (the same unit separator
+    * IndValidator.validateNaryBatch uses) and emitted only when every
+    * participating column is non-null. */
+  private def tupleLongFormSql(arity: Int): String =
+    Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
+      val cols = Tables.indColumns(t)
+      def tuples(k: Int): Seq[Seq[String]] =
+        if (k == 0) Seq(Seq.empty)
+        else tuples(k - 1).flatMap(p => cols.filterNot(p.contains).map(c => p :+ c))
+      val entries = tuples(arity).map { tup =>
+        val name = tup.map(c => s"$t.$c").mkString("+")
+        val key = tup.map(c => s"CAST($c AS VARCHAR)").mkString(" || chr(31) || ")
+        val nn = tup.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        s"{'cols': '$name', 'k': CASE WHEN $nn THEN $key END}"
+      }
+      // ONE scan per table (unnest of a struct list — the SQL twin of the
+      // Spark-side explode(array(structs)) unpivot); a per-tuple UNION ALL
+      // would reopen the parquet file per branch and trip the fd limit
+      if (entries.isEmpty) Nil
+      else Seq(s"SELECT r.cols AS cols, r.k AS k FROM $t, " +
+        s"unnest([${entries.mkString(", ")}]) AS _u$arity(r) WHERE r.k IS NOT NULL")
+    }.mkString(" UNION ALL ")
+
+  /** n-ary IND oracle: the apriori lattice walk (arity 2 then 3) expressed
+    * as CTEs — candidates from the unary exact verdict frame, validation by
+    * tuple-level distinct counts + co-occurrence, exactly the
+    * Pruning.naryCandidatesLevel / validateNaryBatch semantics. */
+  private val naryOracleSql: String =
+    s"""WITH lf AS ($longFormSql),
+       |d AS MATERIALIZED (SELECT DISTINCT col, val FROM lf),
+       |cnt AS (SELECT col, count(*) AS u FROM d GROUP BY col),
+       |co AS (SELECT x.col AS dep, y.col AS ref, count(*) AS n
+       |       FROM d x JOIN d y ON x.val = y.val AND x.col <> y.col
+       |       GROUP BY 1, 2),
+       |verdict AS (
+       |  SELECT a.col AS dep, b.col AS ref, a.u - coalesce(co.n, 0) AS missing
+       |  FROM cnt a JOIN cnt b ON a.col <> b.col
+       |  LEFT JOIN co ON co.dep = a.col AND co.ref = b.col),
+       |""".stripMargin +
+      s"""u AS MATERIALIZED (SELECT dep, ref FROM verdict WHERE missing = 0),
+         |cand2 AS MATERIALIZED (
+         |  SELECT a.dep || '+' || x.dep AS dep, a.ref || '+' || x.ref AS ref,
+         |         x.dep AS d_last, a.ref AS r1, x.ref AS r2
+         |  FROM u a JOIN u x ON x.dep > a.dep
+         |   AND split_part(x.dep, '.', 1) = split_part(a.dep, '.', 1)
+         |   AND split_part(x.ref, '.', 1) = split_part(a.ref, '.', 1)
+         |   AND x.ref <> a.ref),
+         |t2 AS (${tupleLongFormSql(2)}),
+         |d2 AS MATERIALIZED (SELECT DISTINCT cols, k FROM t2
+         |       WHERE cols IN (SELECT dep FROM cand2 UNION SELECT ref FROM cand2)),
+         |cnt2 AS (SELECT cols, count(*) AS u2 FROM d2 GROUP BY 1),
+         |co2 AS (SELECT c.dep, c.ref, count(*) AS n
+         |        FROM cand2 c
+         |        JOIN d2 x ON x.cols = c.dep
+         |        JOIN d2 y ON y.cols = c.ref AND y.k = x.k
+         |        GROUP BY 1, 2),
+         |v2 AS MATERIALIZED (SELECT c.dep, c.ref, c.d_last, c.r1, c.r2,
+         |              n2.u2 - coalesce(co2.n, 0) AS missing
+         |       FROM cand2 c JOIN cnt2 n2 ON n2.cols = c.dep
+         |       LEFT JOIN co2 ON co2.dep = c.dep AND co2.ref = c.ref),
+         |cand3 AS MATERIALIZED (
+         |  SELECT p.dep || '+' || x.dep AS dep, p.ref || '+' || x.ref AS ref
+         |  FROM v2 p JOIN u x ON p.missing = 0
+         |   AND x.dep > p.d_last
+         |   AND split_part(x.dep, '.', 1) = split_part(p.d_last, '.', 1)
+         |   AND split_part(x.ref, '.', 1) = split_part(p.r1, '.', 1)
+         |   AND x.ref <> p.r1 AND x.ref <> p.r2),
+         |t3 AS (${tupleLongFormSql(3)}),
+         |d3 AS MATERIALIZED (SELECT DISTINCT cols, k FROM t3
+         |       WHERE cols IN (SELECT dep FROM cand3 UNION SELECT ref FROM cand3)),
+         |cnt3 AS (SELECT cols, count(*) AS u3 FROM d3 GROUP BY 1),
+         |co3 AS (SELECT c.dep, c.ref, count(*) AS n
+         |        FROM cand3 c
+         |        JOIN d3 x ON x.cols = c.dep
+         |        JOIN d3 y ON y.cols = c.ref AND y.k = x.k
+         |        GROUP BY 1, 2),
+         |v3 AS (SELECT c.dep, c.ref, n3.u3 - coalesce(co3.n, 0) AS missing
+         |       FROM cand3 c JOIN cnt3 n3 ON n3.cols = c.dep
+         |       LEFT JOIN co3 ON co3.dep = c.dep AND co3.ref = c.ref)
+         |SELECT dep, ref, CAST(missing AS BIGINT) AS missing, missing = 0 AS passed
+         |FROM (SELECT dep, ref, missing FROM v2
+         |      UNION ALL SELECT dep, ref, missing FROM v3) _f""".stripMargin
+
   /** composite (length, value) key encoded as one sortable string — DuckDB's
     * min_by/max_by reject struct keys, so both engines order by this. */
   private def lenKeySql(v: String): String =
@@ -178,6 +263,19 @@ object SparkEntry {
           distinctLong = Some(cachedDistinctLong(s, dir))).cache())
     }
 
+  /** The fixed-budget sampled run feeds three queries (eval, credibility,
+    * top-k) — memoized per dir with its frames checkpointed so the sampling +
+    * verdict + baseline pipeline runs ONCE per suite, not three times. */
+  private val fbrCache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame, DataFrame)]
+  private def fixedBudgetRunCached(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    fbrCache.synchronized {
+      fbrCache.getOrElseUpdate(dir, {
+        val (v, e, c) = Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)
+        (v.localCheckpoint(), e.localCheckpoint(), c.localCheckpoint())
+      })
+    }
+
   /** All-pairs verdict frame (missing counts) — computed once per dir; the
     * exact/partial/eval/nary queries are all filters over it. */
   private val verdictCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -278,7 +376,8 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("sha256"),
         TextAnalysis.rollingHash(col("text")).as("rolling_hash"))),
 
-    // MinHash + LSH near-dup candidate pairs (4-char shingles, 4 bands × 2)
+    // MinHash + LSH near-dup candidate pairs (8-char shingles, 4 bands × 4
+    // rows — matches Dedup.minhashLsh defaults and shingleSql)
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
@@ -404,16 +503,16 @@ object SparkEntry {
     // SQL-expressible sampled run: fixed budget 200, smallest-value order,
     // k=25 partial INDs on the sample, scored against the exact baseline
     "q_sampled_run_eval" -> ((s, dir) =>
-      Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)
+      fixedBudgetRunCached(s, dir)
         ._2.select("tp", "fp", "fn", "precision", "recall")),
 
     // credibility of the sampled run's INDs (NULL = implausibility gate)
     "q_sampled_credibility" -> ((s, dir) =>
-      Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)._3),
+      fixedBudgetRunCached(s, dir)._3),
 
     // R4: top-k by credibility with full deterministic tie-break
     "q_ranked_topk" -> ((s, dir) =>
-      Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)._3
+      fixedBudgetRunCached(s, dir)._3
         .orderBy(col("credibility").desc_nulls_last, col("dep"), col("ref"))
         .limit(20)),
 
@@ -501,8 +600,14 @@ object SparkEntry {
         .select("asset_id", "kind", "magic_ok", "width", "height",
           "payload_len", "total_bytes", "out_width", "out_height")),
 
+    // flattened to scalar (asset_id, dim, value_e6) rows: the raw
+    // array<float> column is unsortable by the driver's pandas harness
     "q_multimodal_features" -> ((s, _) =>
-      Multimodal.featureExtractStub(Multimodal.syntheticAssets(s, 1000L))),
+      Multimodal.featureExtractStub(Multimodal.syntheticAssets(s, 1000L))
+        .select(col("asset_id"),
+          posexplode(col("features")).as(Seq("dim", "value")))
+        .select(col("asset_id"), col("dim").cast("long").as("dim"),
+          floor(col("value").cast("double") * 1000000).cast("long").as("value_e6"))),
 
     "q_multimodal_frames" -> ((s, _) =>
       Multimodal.frameSample(Multimodal.syntheticAssets(s, 1000L), 64, 4)),
@@ -625,6 +730,8 @@ object SparkEntry {
           |  fpm * 1.0 / fp AS mean_fp_missing
           |FROM m, nb""".stripMargin),
 
+    "q_ind_nary" -> naryOracleSql,
+
     "q_ind_candidates" ->
       s"""WITH lf AS ($longFormSql),
          |d AS (SELECT DISTINCT col, val FROM lf),
@@ -636,7 +743,7 @@ object SparkEntry {
 
     "q_events_window" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, " +
-        "count(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents " +
+        "count(*) AS n, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
         "FROM events GROUP BY 1, 2"),
 
     "q_sampled_run_eval" ->
@@ -704,7 +811,7 @@ object SparkEntry {
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_histogram" ->
@@ -784,10 +891,13 @@ object SparkEntry {
         |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) >= 5000 AS drifted
         |FROM cum GROUP BY partition""".stripMargin,
 
+    // NOTE: every oracle-side integer SUM is wrapped CAST(... AS BIGINT) —
+    // DuckDB promotes SUM(BIGINT) to HUGEINT, which pandas renders as float64
+    // and the driver's stringified compare then rejects ('579.0' vs '579').
     "q_agg_pricing" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
-        "SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents, " +
-        "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents, " +
+        "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents, " +
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents, " +
         "count(DISTINCT l_orderkey) AS n_orders " +
         "FROM lineitem GROUP BY 1, 2")
   )

@@ -104,42 +104,65 @@ object IndValidator {
     * combinations. Candidate generation by arity level lives in
     * `Pruning.naryCandidate`.
     */
-  /** Batched n-ary validation at ANY arity: ALL candidates in ONE job (a
-    * per-candidate driver loop costs one Spark job each — measured 53 s for
-    * a few dozen candidates at sf0.1). Long form keyed by candidate id with
-    * the key tuple packed into one concat-delimited string column (arities
-    * can then mix in a single frame), one anti-join + one aggregate for the
-    * lot. Candidates: (depCols, refCols) of equal arity, 'table.column'
-    * names, each side's columns from one table. Output: (dep, ref, missing,
-    * passed) with '+'-joined column lists. */
+  /** Batched n-ary validation at ANY arity: ALL candidates of a lattice
+    * level in ONE job (a per-candidate driver loop costs one Spark job each —
+    * measured 53 s for a few dozen candidates at sf0.1). Candidates:
+    * (depCols, refCols) of equal arity, 'table.column' names, each side's
+    * columns from one table. Output: (dep, ref, missing, passed) with
+    * '+'-joined column lists; missing = distinct dep tuples absent from ref
+    * (all-non-null rows only), exactly the unary SPIDER semantics lifted to
+    * tuples. */
   def validateNaryBatch(spark: SparkSession, sfDir: String,
                         candidates: Seq[(Seq[String], Seq[String])]): DataFrame = {
     import org.apache.spark.sql.types.StringType
-    def side(cols: Seq[String], candId: String): DataFrame = {
-      val table = cols.head.split('.')(0)
-      val names = cols.map(_.split('.')(1))
-      val df = Tables.load(spark, sfDir, table)
-      // unit-separator-delimited tuple key: unambiguous for any values not
-      // containing  (true of the string-cast testdata domains)
-      val key = concat_ws("", names.map(n => col(n).cast(StringType)): _*)
-      df.filter(names.map(n => col(n).isNotNull).reduce(_ && _))
-        .select(lit(candId).as("cand"), key.as("k"))
-    }
-    def candId(c: (Seq[String], Seq[String])) =
-      s"${c._1.mkString("+")}>${c._2.mkString("+")}"
-    // dedup ONCE after the union — a per-branch dropDuplicates would cost
-    // one shuffle per candidate side
-    val depAll = candidates.map(c => side(c._1, candId(c))).reduce(_ unionAll _)
-      .dropDuplicates("cand", "k")
-    val refAll = candidates.map(c => side(c._2, candId(c))).reduce(_ unionAll _)
-      .dropDuplicates("cand", "k")
-    val depCounts = depAll.groupBy("cand").agg(count("*").as("dep_distinct"))
-    val missing = depAll.join(refAll, Seq("cand", "k"), "left_anti")
-      .groupBy("cand").agg(count("*").as("missing"))
-    depCounts.join(missing, Seq("cand"), "left")
-      .withColumn("missing", coalesce(col("missing"), lit(0L)))
-      .withColumn("dep", split(col("cand"), ">").getItem(0))
-      .withColumn("ref", split(col("cand"), ">").getItem(1))
+    def comboId(cols: Seq[String]) = cols.mkString("+")
+    // Emit each DISTINCT column combo once (candidates share dep/ref sides
+    // heavily: one dep combo pairs with many refs), ONE scan per TABLE via
+    // the explode(array(structs)) unpivot — then validate ALL candidates
+    // with two value-keyed shuffles total. Shuffled rows are (int comboIdx,
+    // long tuple-hash): 12 bytes/row instead of two concat strings (the
+    // per-candidate-side string emission measured 83 s at sf0.1; this shape
+    // runs the same level in single-digit seconds).
+    val combos = (candidates.map(_._1) ++ candidates.map(_._2)).distinct
+    val comboIdx: Map[String, Int] =
+      combos.map(comboId).sorted.zipWithIndex.toMap
+    val tlf = combos.groupBy(_.head.split('.')(0)).toSeq.sortBy(_._1)
+      .map { case (table, group) =>
+        val df = Tables.load(spark, sfDir, table)
+        val entries = group.map { cols =>
+          val names = cols.map(_.split('.')(1))
+          // 8-byte xxhash64 tuple key over the string-cast values (string
+          // cast normalizes physical types across tables; per-column chained
+          // hashing keeps ("ab","c") != ("a","bc")). Collision risk over
+          // ~10^7 keys is ~2^-40; at 100 TB a 128-bit hash would take over.
+          val key = xxhash64(names.map(n => col(n).cast(StringType)): _*)
+          val nonNull = names.map(n => col(n).isNotNull).reduce(_ && _)
+          struct(lit(comboIdx(comboId(cols))).as("cid"), when(nonNull, key).as("val"))
+        }
+        df.select(explode(array(entries: _*)).as("cv"))
+          .select(col("cv.cid").as("cid"), col("cv.val").as("val"))
+          .filter(col("val").isNotNull)
+      }.reduce(_ unionAll _)
+      .dropDuplicates("cid", "val")
+      // materialize ONCE: consumed by the distinct-count agg and both sides
+      // of the co-occurrence join
+      .localCheckpoint()
+    // distinct tuple count per combo (tiny)
+    val u = tlf.groupBy("cid").agg(count("*").as("dep_distinct"))
+    // co-occurrence: codegen'd long-key self-join + count — tuple hashes are
+    // near-unique, so the join fan-out is bounded by true containments
+    val co = tlf.select(col("cid").as("dcid"), col("val"))
+      .join(tlf.select(col("cid").as("rcid"), col("val")), Seq("val"))
+      .filter(col("dcid") =!= col("rcid"))
+      .groupBy("dcid", "rcid").agg(count("*").as("co"))
+    val candDf = broadcast(spark.createDataFrame(
+      candidates.map { c =>
+        (comboId(c._1), comboId(c._2), comboIdx(comboId(c._1)), comboIdx(comboId(c._2)))
+      }).toDF("dep", "ref", "dcid", "rcid"))
+    candDf
+      .join(u.withColumnRenamed("cid", "dcid"), Seq("dcid"))
+      .join(co, Seq("dcid", "rcid"), "left")
+      .withColumn("missing", col("dep_distinct") - coalesce(col("co"), lit(0L)))
       .withColumn("passed", col("missing") === 0)
       .select("dep", "ref", "missing", "passed")
   }

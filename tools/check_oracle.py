@@ -12,8 +12,11 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         exp = con.sql(sql).df()
     except Exception as e:
@@ -27,10 +30,12 @@ for name, sql in sorted(oracle.items()):
         continue
     got = pd.concat([pd.read_parquet(f) for f in files])
     def norm(df):
+        # stringify EVERY column like the driver's hashed compare does —
+        # a numeric-tolerant compare masks dtype skew (DuckDB HUGEINT ->
+        # pandas float64 prints '579.0' where Spark int64 prints '579')
         df = df.reindex(sorted(df.columns), axis=1)
         for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].astype(str)
+            df[c] = df[c].astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
     exp, got = norm(exp), norm(got)
     if list(exp.columns) != list(got.columns):
@@ -42,7 +47,7 @@ for name, sql in sorted(oracle.items()):
         fail += 1
         continue
     try:
-        pd.testing.assert_frame_equal(exp, got, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(exp, got, check_exact=True)
         print(f"OK   {name} ({len(got)} rows)")
         ok += 1
     except AssertionError as e:
