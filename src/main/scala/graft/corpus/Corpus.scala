@@ -49,8 +49,13 @@ object Corpus {
   /** Generate the corpus with `rows` files spread over `numRepos` repos. */
   def generate(spark: SparkSession, rows: Long, numRepos: Int = 100): DataFrame = {
     val id = col("id")
-    // Zipf-ish repo skew: u^3 concentrates mass on low repo indices
-    val repoIdx = floor(pow(u01(id, "repo"), 3.0) * numRepos).cast("int")
+    // Zipf-ish repo skew: u·u·u concentrates mass on low repo indices.
+    // Written as plain multiplies, NOT pow(u, 3.0): IEEE-754 basic ops
+    // (+,-,*,/) are correctly rounded and bit-identical on every engine,
+    // while pow is a transcendental whose ULP may differ — the DuckDB
+    // oracle reproduces this column exactly only with the multiply form.
+    val u = u01(id, "repo")
+    val repoIdx = floor(u * u * u * numRepos).cast("int")
     val commitIdx = uInt(id, "commit", numCommits)
     // piecewise-constant inverse CDF over per-mille thresholds, with the
     // shifted distribution in the drifted commits
@@ -82,6 +87,23 @@ object Corpus {
       commitName(commitIdx).as("commit"),
       lang.as("lang"),
       content.as("content"))
+  }
+
+  /** The corpus with DESIGNED defects planted so the 0-row checks provably
+    * fire (a 0-row result is also what a broken pipeline returns):
+    *   - the first `dupRows` ids re-emitted verbatim → (repo, path, commit)
+    *     duplicates for the uniqueness check
+    *   - `ghostRows` rows whose repo is rewritten to a value OUTSIDE the
+    *     repos dimension → referential violations
+    * Everything stays a pure function of the row id, so the DuckDB oracle
+    * rebuilds the identical defect set. */
+  def withDefects(spark: SparkSession, rows: Long, numRepos: Int = 100,
+                  dupRows: Int = 20, ghostRows: Int = 5): DataFrame = {
+    val dups = generate(spark, dupRows.toLong, numRepos)
+    val ghosts = generate(spark, ghostRows.toLong, numRepos)
+      .withColumn("repo",
+        concat(lit("zzz/ghost"), substring(md5(col("path")), 1, 6)))
+    generate(spark, rows, numRepos).unionAll(dups).unionAll(ghosts)
   }
 
   /** The repos dimension (referential-check target: corpus.repo ⊆ repos.repo). */

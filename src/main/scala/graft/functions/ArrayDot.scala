@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot-product expressions over array columns, with LOOP codegen.
+  *
+  * Why not `Σ element_at(a,i)·element_at(b,i)` (unrolled) or
+  * `aggregate(zip_with(...))` (HOF)? The HOF path evaluates interpreted
+  * (measured 6×), and a 64-term unrolled tree generates a method so large
+  * that HotSpot refuses to JIT it — measured 25 µs/row, ~50× slower than
+  * this loop. A tiny generated for-loop is the codegen-friendly shape.
+  *
+  * Elements are assumed non-null (graft's fixed-point vectors are built with
+  * floor() over non-null floats); null ARRAYS propagate null via
+  * nullSafeCodeGen. Long dots of 1e6-scaled 64-dim vectors stay < 2^53, so
+  * they are exact in long AND in any engine's double (the DuckDB oracle uses
+  * list_dot_product).
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Double dot product; each side may be array<long> or array<double>
+  * (decided per child at plan time). Used for centroid similarity in IVF,
+  * where centroids are cell means. Summation order is the fixed index order
+  * — deterministic across runs and partitionings. */
+case class DoubleArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xl = elemType(left) == LongType
+    val yl = elemType(right) == LongType
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xl) x.getLong(i).toDouble else x.getDouble(i)
+      val yv = if (yl) y.getLong(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == LongType) s"(double) $arr.getLong($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(a, left)} * ${get(b, right)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  /** exact long dot of two array<long> columns */
+  def dotLong(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(LongArrayDot(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** double dot; sides may be array<long> or array<double> */
+  def dotDouble(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DoubleArrayDot(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.functions.ArrayDot
+
+class ArrayDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotLong: exact integer dot, codegen path") {
+    val df = Seq(
+      (1L, Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (2L, Array(-1000000L, 1000000L, 0L), Array(1000000L, 1000000L, 7L)))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), ArrayDot.dotLong(col("a"), col("b")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 4 + 10 + 18)
+    assert(got(2L) == -1000000L * 1000000L + 1000000L * 1000000L + 0L)
+  }
+
+  test("dotLong: null array propagates null") {
+    val df = Seq((1L, Array(1L, 2L))).toDF("id", "a")
+      .withColumn("b", lit(null).cast("array<bigint>"))
+    assert(df.select(ArrayDot.dotLong(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("dotDouble: mixed long/double sides") {
+    val df = Seq((Array(2L, 3L), Array(0.5, 2.0))).toDF("a", "b")
+    val d = df.select(ArrayDot.dotDouble(col("a"), col("b"))).head.getDouble(0)
+    assert(d == 2 * 0.5 + 3 * 2.0)
+  }
+
+  test("plane components are deterministic and within ±2^15") {
+    val c1 = Similarity.planeComponents(3, 64)
+    val c2 = Similarity.planeComponents(3, 64)
+    assert(c1.toSeq == c2.toSeq)
+    assert(c1.forall(v => v >= -32768L && v <= 32767L))
+    assert(Similarity.planeComponents(4, 64).toSeq != c1.toSeq)
+  }
+
+  test("bruteForceTopK: fixed-point cosine ranks a known neighborhood") {
+    // v0 ∥ v1 (cosine 1), v2 orthogonal to both, v3 opposite to v0
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") === 0), df, "vec_id", "embedding", 3, dim = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // by cosine desc
+    assert(out(0).getLong(2) == 1000000L)  // exact parallel → 1e6
+    assert(out(1).getLong(2) == 0L)        // orthogonal → 0
+    assert(out(2).getLong(2) == -1000000L) // opposite → −1e6
+  }
+
+  test("nearDupPairs: planted shifted copy is found above threshold") {
+    val base = Seq(
+      (0L, Array.tabulate(8)(i => 0.5f + 0.01f * i)),
+      (1L, Array.tabulate(8)(i => -0.5f - 0.01f * i))).toDF("vec_id", "embedding")
+    val intBase = Similarity.intFrame(base, "vec_id", "embedding", 8)
+    val planted = intBase.filter(col("id") === 0).select(
+      (col("id") + 100L).as("id"),
+      concat(array(lit(0L)), slice(col("iv"), 2, 7)).as("iv"),
+      (col("n") - element_at(col("iv"), 1) * element_at(col("iv"), 1)).as("n"))
+    // planes = 1: plane 0 separates the ±directions but not the zeroed copy
+    // (higher plane counts split (v0, v0') into different buckets — LSH
+    // recall is probabilistic by design)
+    val out = Similarity.nearDupPairs(intBase.unionAll(planted),
+      planes = 1, dim = 8, thresholdE6 = 900000L).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100L),
+      s"expected (0,100) pair, got ${out.mkString(",")}")
+    assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+  }
+}
