@@ -28,6 +28,12 @@ object SparkEntry {
 
   // ---- shared SQL fragments (oracle side) --------------------------------
 
+  /** the SQL-expressible sampling methods ('first' needs source row order) —
+    * defined ahead of the oracle vals that reference it (object vals
+    * initialize top-to-bottom) */
+  private val oracleMethods =
+    Seq("random", "smallest-value", "biggest-value", "longest-value", "evenly-spaced")
+
   /** long form: every participating column as (col, val) string rows. */
   private val longFormSql: String =
     Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
@@ -74,11 +80,12 @@ object SparkEntry {
         s"unnest([${entries.mkString(", ")}]) AS _u$arity(r) WHERE r.k IS NOT NULL")
     }.mkString(" UNION ALL ")
 
-  /** n-ary IND oracle: the apriori lattice walk (arity 2 then 3) expressed
-    * as CTEs — candidates from the unary exact verdict frame, validation by
-    * tuple-level distinct counts + co-occurrence, exactly the
-    * Pruning.naryCandidatesLevel / validateNaryBatch semantics. */
-  private val naryOracleSql: String =
+  /** n-ary lattice CTEs (shared by the q_ind_nary and q_eval_nary oracles):
+    * the apriori walk (arity 2 then 3) — candidates from the unary exact
+    * verdict frame, validation by tuple-level distinct counts +
+    * co-occurrence, exactly the Pruning.naryCandidatesLevel /
+    * validateNaryBatch semantics. */
+  private val naryCoreCtes: String =
     s"""WITH lf AS ($longFormSql),
        |d AS MATERIALIZED (SELECT DISTINCT col, val FROM lf),
        |cnt AS (SELECT col, count(*) AS u FROM d GROUP BY col),
@@ -130,9 +137,113 @@ object SparkEntry {
          |v3 AS (SELECT c.dep, c.ref, n3.u3 - coalesce(co3.n, 0) AS missing
          |       FROM cand3 c JOIN cnt3 n3 ON n3.cols = c.dep
          |       LEFT JOIN co3 ON co3.dep = c.dep AND co3.ref = c.ref)
-         |SELECT dep, ref, CAST(missing AS BIGINT) AS missing, missing = 0 AS passed
-         |FROM (SELECT dep, ref, missing FROM v2
-         |      UNION ALL SELECT dep, ref, missing FROM v3) _f""".stripMargin
+         |""".stripMargin
+
+  private val naryOracleSql: String =
+    naryCoreCtes +
+      """SELECT dep, ref, CAST(missing AS BIGINT) AS missing, missing = 0 AS passed
+        |FROM (SELECT dep, ref, missing FROM v2
+        |      UNION ALL SELECT dep, ref, missing FROM v3) _f""".stripMargin
+
+  /** E2 oracle: per-arity confusion of the k=5 partial run (unary + lattice)
+    * vs the exact baseline — mirrors Evaluation.compareNary. */
+  private val evalNaryOracleSql: String =
+    naryCoreCtes +
+      """, f AS (SELECT dep, ref, 1 AS arity FROM verdict WHERE missing <= 5
+        |       UNION ALL SELECT dep, ref, 2 FROM v2 WHERE missing <= 5
+        |       UNION ALL SELECT dep, ref, 3 FROM v3 WHERE missing <= 5),
+        |bse AS (SELECT dep, ref, 1 AS arity FROM verdict WHERE missing = 0
+        |       UNION ALL SELECT dep, ref, 2 FROM v2 WHERE missing = 0
+        |       UNION ALL SELECT dep, ref, 3 FROM v3 WHERE missing = 0),
+        |tagged AS (SELECT f.arity, (b.dep IS NOT NULL) AS in_b
+        |           FROM f LEFT JOIN bse b ON b.dep = f.dep AND b.ref = f.ref),
+        |paf AS (SELECT arity, count(*) FILTER (WHERE in_b) AS tp,
+        |               count(*) FILTER (WHERE NOT in_b) AS fp
+        |        FROM tagged GROUP BY 1),
+        |pab AS (SELECT arity, count(*) AS n_base FROM bse GROUP BY 1),
+        |cm AS (SELECT pab.arity, coalesce(paf.tp, 0) AS tp, coalesce(paf.fp, 0) AS fp,
+        |              pab.n_base - coalesce(paf.tp, 0) AS fn
+        |       FROM pab LEFT JOIN paf ON paf.arity = pab.arity),
+        |met AS (SELECT arity, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END AS prec,
+        |  CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS rec
+        |  FROM cm)
+        |SELECT arity, tp, fp, fn, prec AS "precision", rec AS recall,
+        |  CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+        |       ELSE 'NaN'::DOUBLE END AS f1
+        |FROM met""".stripMargin
+
+  /** V1 oracle: the fixed-budget multi-method experiment slice of
+    * Experiment.fixedBudgetEvalByMethod, mean metrics by method. */
+  private val evalByMethodOracleSql: String = {
+    val budgets = Seq(100L, 200L)
+    def rn(m: String) = "rn_" + m.replace('-', '_')
+    val rankCols = Seq(
+      "random" -> "md5(val), val",
+      "smallest-value" -> "length(val), val",
+      "biggest-value" -> "length(val) ASC, val DESC",
+      "longest-value" -> "length(val) DESC, val",
+      "evenly-spaced" -> "val").map { case (m, ord) =>
+      s"row_number() OVER (PARTITION BY col ORDER BY $ord) AS ${rn(m)}"
+    }.mkString(",\n    ")
+    val sampBranches = (for { m <- oracleMethods; b <- budgets } yield {
+      val cond = m match {
+        case "evenly-spaced" =>
+          s"(${rn(m)} - 1) % greatest(CAST(ceil(u * 1.0 / $b) AS BIGINT), 1) = 0"
+        case _ => s"${rn(m)} <= $b"
+      }
+      s"SELECT '${m}_$b' AS run_id, col, val FROM ranked WHERE $cond"
+    }).mkString("\n  UNION ALL ")
+    val runValues = (for { m <- oracleMethods; b <- budgets }
+      yield s"('${m}_$b', '$m', $b)").mkString(", ")
+    indCoreSql +
+      s""", ranked AS MATERIALIZED (
+         |  SELECT col, val,
+         |    $rankCols,
+         |    count(*) OVER (PARTITION BY col) AS u
+         |  FROM d),
+         |samp AS MATERIALIZED (
+         |  $sampBranches),
+         |scnt AS (SELECT run_id, col, count(*) AS su FROM samp GROUP BY 1, 2),
+         |sco AS (SELECT x.run_id, x.col AS dep, y.col AS ref, count(*) AS n
+         |        FROM samp x JOIN samp y
+         |          ON x.run_id = y.run_id AND x.val = y.val AND x.col <> y.col
+         |        GROUP BY 1, 2, 3),
+         |sfound AS (SELECT a.run_id, a.col AS dep, b.col AS ref,
+         |             a.su - coalesce(sc.n, 0) AS missing
+         |           FROM scnt a JOIN scnt b
+         |             ON a.run_id = b.run_id AND a.col <> b.col
+         |           LEFT JOIN sco sc ON sc.run_id = a.run_id
+         |             AND sc.dep = a.col AND sc.ref = b.col
+         |           WHERE a.su - coalesce(sc.n, 0) <= 25),
+         |bl AS (SELECT dep, ref FROM verdict WHERE missing = 0),
+         |nb AS (SELECT count(*) AS n FROM bl),
+         |tagged AS (SELECT s.run_id, (b.dep IS NOT NULL) AS is_tp
+         |           FROM sfound s LEFT JOIN bl b ON b.dep = s.dep AND b.ref = s.ref),
+         |m AS (SELECT run_id, count(*) AS n_found,
+         |        count(*) FILTER (WHERE is_tp) AS tp,
+         |        count(*) FILTER (WHERE NOT is_tp) AS fp
+         |      FROM tagged GROUP BY 1),
+         |runs(run_id, method, budget) AS (VALUES $runValues),
+         |pr AS (SELECT r.method, coalesce(m.n_found, 0) AS n_found,
+         |         coalesce(m.tp, 0) AS tp, coalesce(m.fp, 0) AS fp,
+         |         (SELECT n FROM nb) - coalesce(m.tp, 0) AS fn
+         |       FROM runs r LEFT JOIN m ON m.run_id = r.run_id),
+         |met AS (SELECT method, n_found, tp, fp, fn,
+         |  CASE WHEN n_found = 0 THEN 0.0 WHEN tp + fp = 0 THEN 'NaN'::DOUBLE
+         |       ELSE tp * 1.0 / (tp + fp) END AS prec,
+         |  CASE WHEN n_found = 0 THEN 0.0 WHEN tp + fn = 0 THEN 'NaN'::DOUBLE
+         |       ELSE tp * 1.0 / (tp + fn) END AS rec
+         |  FROM pr),
+         |met2 AS (SELECT method, n_found, prec, rec,
+         |  CASE WHEN n_found = 0 THEN 0.0
+         |       WHEN prec + rec = 0 OR isnan(prec + rec) THEN 'NaN'::DOUBLE
+         |       ELSE 2 * prec * rec / (prec + rec) END AS f1
+         |  FROM met)
+         |SELECT method, count(*) AS runs, avg(prec) AS mean_precision,
+         |  avg(rec) AS mean_recall, avg(f1) AS mean_f1
+         |FROM met2 GROUP BY method""".stripMargin
+  }
 
   /** DuckDB CTEs reproducing `Corpus.generate(rows, 100)` bit-for-bit —
     * every column is md5-derived integer math plus IEEE basic ops (+,-,*,/
@@ -351,6 +462,38 @@ object SparkEntry {
           .select("dep", "ref", "dep_unique", "ref_unique", "missing").cache())
     }
 
+  /** BINDER-style apriori lattice (arity 2 then 3): candidates from exact
+    * unary INDs, each level validated as ONE batched job — memoized per dir
+    * (shared by q_ind_nary and the E2 evaluation). */
+  private val naryCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def naryLattice(s: SparkSession, dir: String): DataFrame =
+    naryCache.synchronized {
+      naryCache.getOrElseUpdate(dir, {
+        val unary = cachedVerdicts(s, dir)
+          .filter(col("missing") === 0).select("dep", "ref")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+        val empty = s.createDataFrame(Seq.empty[(String, String, Long, Boolean)])
+          .toDF("dep", "ref", "missing", "passed")
+        var level = unary.map(u => (Seq(u._1), Seq(u._2)))
+        var out = empty
+        var arity = 2
+        while (level.nonEmpty && arity <= 3) {
+          val cands = Pruning.naryCandidatesLevel(level, unary)
+          if (cands.isEmpty) { level = Nil }
+          else {
+            val verdicts = IndValidator.validateNaryBatch(s, dir, cands)
+              .localCheckpoint()
+            out = out.unionAll(verdicts)
+            level = verdicts.filter(col("passed")).select("dep", "ref").collect()
+              .map(r => (r.getString(0).split('+').toSeq,
+                         r.getString(1).split('+').toSeq)).toSeq
+          }
+          arity += 1
+        }
+        out
+      })
+    }
+
   // ---- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -489,6 +632,28 @@ object SparkEntry {
       }.reduce(_ unionAll _)
     }),
 
+    // exact discrete quantiles (value at rank ceil(p·n)) — the test-tier twin
+    // of q_quantiles: rank-based so values pass through untouched (exact on
+    // any engine), numbered with the two-phase partition-prefix pass. At
+    // 100 TB the approx sketch (q_quantiles) is the production path; this
+    // exact form stays viable because no task sorts more than one range
+    // partition.
+    "q_quantiles_exact" -> ((s, dir) => {
+      val cols = Seq("lineitem" -> "l_extendedprice", "orders" -> "o_totalprice",
+        "events" -> "value", "customer" -> "c_acctbal")
+      val lf = cols.map { case (t, c) =>
+        Tables.load(s, dir, t).filter(col(c).isNotNull)
+          .select(lit(s"$t.$c").as("col"), col(c).cast("double").as("val"))
+      }.reduce(_ unionAll _)
+      val numbered = Samplers.numberedByVal(lf, Seq("col"))
+      val n = numbered.groupBy("col").agg(count("*").as("n"))
+      val aggs = Seq(25, 50, 75, 95).map(p =>
+        max(when(col("rn") === ceil(lit(p / 100.0) * col("n")), col("val")))
+          .as(s"p$p"))
+      numbered.join(broadcast(n), Seq("col"))
+        .groupBy("col").agg(aggs.head, aggs.tail: _*)
+    }),
+
     // native numeric profile (no string casts; exact value pass-through)
     "q_profile_numeric" -> ((s, dir) => {
       val numericCols = Map(
@@ -540,30 +705,27 @@ object SparkEntry {
     // J2: level-wise n-ary IND discovery (BINDER-style apriori lattice) —
     // arity-2 candidates from exact unary INDs, arity-3 from validated
     // arity-2, each level validated as ONE batched job
-    "q_ind_nary" -> ((s, dir) => {
+    "q_ind_nary" -> ((s, dir) => naryLattice(s, dir)),
+
+    // E2: per-arity confusion matrix — the partial run (k=5 over unary +
+    // lattice candidates) scored against the exact baseline, per arity
+    // (reference compare_csv_line.py:69-103)
+    "q_eval_nary" -> ((s, dir) => {
       val unary = cachedVerdicts(s, dir)
-        .filter(col("missing") === 0).select("dep", "ref")
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-      val empty = s.createDataFrame(Seq.empty[(String, String, Long, Boolean)])
-        .toDF("dep", "ref", "missing", "passed")
-      var level = unary.map(u => (Seq(u._1), Seq(u._2)))
-      var out = empty
-      var arity = 2
-      while (level.nonEmpty && arity <= 3) {
-        val cands = Pruning.naryCandidatesLevel(level, unary)
-        if (cands.isEmpty) { level = Nil }
-        else {
-          val verdicts = IndValidator.validateNaryBatch(s, dir, cands)
-            .localCheckpoint()
-          out = out.unionAll(verdicts)
-          level = verdicts.filter(col("passed")).select("dep", "ref").collect()
-            .map(r => (r.getString(0).split('+').toSeq,
-                       r.getString(1).split('+').toSeq)).toSeq
-        }
-        arity += 1
-      }
-      out
+      val nary = naryLattice(s, dir)
+      val found = unary.filter(col("missing") <= 5).select("dep", "ref")
+        .unionAll(nary.filter(col("missing") <= 5).select("dep", "ref"))
+      val base = unary.filter(col("missing") === 0).select("dep", "ref")
+        .unionAll(nary.filter(col("missing") === 0).select("dep", "ref"))
+      Evaluation.compareNary(found, base)
     }),
+
+    // V1: mean metrics by sampling method (reference plots.py:37-66) over a
+    // fixed-budget, fully SQL-expressible experiment slice
+    "q_eval_by_method" -> ((s, dir) =>
+      Experiment.fixedBudgetEvalByMethod(s, cachedDistinctLong(s, dir),
+        cachedVerdicts(s, dir).filter(col("missing") === 0).select("dep", "ref"),
+        oracleMethods, Seq(100L, 200L), k = 25L)),
 
     // SQL-expressible sampled run: fixed budget 200, smallest-value order,
     // k=25 partial INDs on the sample, scored against the exact baseline
@@ -802,6 +964,10 @@ object SparkEntry {
 
     "q_ind_nary" -> naryOracleSql,
 
+    "q_eval_nary" -> evalNaryOracleSql,
+
+    "q_eval_by_method" -> evalByMethodOracleSql,
+
     // ---- ANN fixed-point oracles ------------------------------------------
     // iv = floor(x·1e6) per element; integer dots stay < 2^53 so DuckDB's
     // double list_dot_product is exact; sqrt + division are IEEE
@@ -986,6 +1152,22 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_quantiles_exact" -> {
+      val branches = Seq("lineitem" -> "l_extendedprice", "orders" -> "o_totalprice",
+        "events" -> "value", "customer" -> "c_acctbal").map { case (t, c) =>
+        s"SELECT '$t.$c' AS col, CAST($c AS DOUBLE) AS val FROM $t WHERE $c IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      val aggs = Seq(25, 50, 75, 95).map { p =>
+        s"max(CASE WHEN rn = CAST(ceil(${p / 100.0} * n) AS BIGINT) THEN val END) AS p$p"
+      }.mkString(", ")
+      s"""WITH lf AS ($branches),
+         |w AS (SELECT col, val,
+         |        row_number() OVER (PARTITION BY col ORDER BY val) AS rn,
+         |        count(*) OVER (PARTITION BY col) AS n
+         |      FROM lf)
+         |SELECT col, $aggs FROM w GROUP BY col""".stripMargin
+    },
 
     "q_histogram" ->
       ("SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 0), 21) AS bin, " +

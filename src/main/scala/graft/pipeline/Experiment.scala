@@ -50,32 +50,26 @@ object Experiment {
       min("val").as("min_val"),
       max("val").as("max_val"))
 
-  /** One sampling run over ALL columns in a single window pass: each method
-    * is a per-column total order; budget/stride arrive via a broadcast join.
-    * (Per-column top-k; the window partitions by column so columns sample in
-    * parallel. A pathologically hot column is bounded by its distinct count,
-    * not the table size, because the input is already deduped.)
-    */
-  def sampleLongForm(distinctLong: DataFrame, budgets: DataFrame,
-                     method: String): DataFrame = {
-    val ordered = method match {
-      case "random"         => Window.partitionBy("col").orderBy(md5(col("val")), col("val"))
-      case "first"          => Window.partitionBy("col").orderBy(col("rowId"), col("val"))
-      case "smallest-value" => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
-      case "biggest-value"  => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").desc)
-      case "longest-value"  => Window.partitionBy("col").orderBy(length(col("val")).desc, col("val").asc)
-      case "evenly-spaced"  => Window.partitionBy("col").orderBy(col("val"))
-      case other => throw new IllegalArgumentException(s"unknown method $other")
-    }
-    val withRn = distinctLong
-      .join(broadcast(budgets), Seq("col"))
-      .withColumn("rn", row_number().over(ordered))
-    val kept = method match {
-      case "evenly-spaced" => withRn.filter((col("rn") - 1) % col("stride") === 0)
-      case _               => withRn.filter(col("rn") <= col("budget"))
-    }
-    kept.select("col", "val", "rowId")
+  /** Per-column total order of one TOP-K sampling method. */
+  private def methodWindow(method: String) = method match {
+    case "random"         => Window.partitionBy("col").orderBy(md5(col("val")), col("val"))
+    case "first"          => Window.partitionBy("col").orderBy(col("rowId"), col("val"))
+    case "smallest-value" => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
+    case "biggest-value"  => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").desc)
+    case "longest-value"  => Window.partitionBy("col").orderBy(length(col("val")).desc, col("val").asc)
+    case other => throw new IllegalArgumentException(s"not a top-k method: $other")
   }
+
+  /** Per-column ranks of one top-k method, capped by a LITERAL `cap` —
+    * Catalyst rewrites the rank filter into WindowGroupLimit (map-side
+    * partial top-cap per column BEFORE the exchange + bounded final pass),
+    * so no task ever holds a whole column's distinct values. Output:
+    * (method, col, val, rn ≤ cap). */
+  def cappedRank(distinctLong: DataFrame, method: String, cap: Long): DataFrame =
+    distinctLong
+      .withColumn("rn", row_number().over(methodWindow(method)))
+      .filter(col("rn") <= cap)
+      .select(lit(method).as("method"), col("col"), col("val"), col("rn"))
 
   /** A single sampled run with a FIXED per-column budget (no waterfall) and
     * deterministic smallest-value sampling — the SQL-expressible slice of
@@ -117,6 +111,72 @@ object Experiment {
     (sampledVerdicts, eval, cred)
   }
 
+  /** V1 (reference pysrc/utils/plots.py:37-66): mean metrics by sampling
+    * method — the plot-level aggregation the reference computes before
+    * rendering. Runs a FIXED-budget experiment over the SQL-expressible
+    * methods (everything except 'first', which needs source row order), so
+    * the whole pipeline has an exact DuckDB oracle: per (method × budget)
+    * sample → partial INDs (k) → confusion vs the exact baseline → mean by
+    * method. All runs validate in ONE keyed job, like `run`. */
+  def fixedBudgetEvalByMethod(spark: SparkSession, distinctLong: DataFrame,
+                              baseline: DataFrame,
+                              methods: Seq[String], budgets: Seq[Long],
+                              k: Long): DataFrame = {
+    val dl = distinctLong.select("col", "val")
+    val u = dl.groupBy("col").agg(count("*").as("u"))
+    val ranked = rankedAll(dl, methods, budgets.max)
+      .join(broadcast(u), Seq("col"))
+    val specs = for { m <- methods; b <- budgets } yield (s"${m}_$b", m, b)
+    val sampledAll = specs.map { case (rid, m, b) =>
+      val base = ranked.filter(col("method") === m)
+      val kept = m match {
+        case "evenly-spaced" =>
+          val stride = greatest(ceil(col("u") * 1.0 / b), lit(1L))
+          base.filter((col("rn") - 1) % stride === 0)
+        case _ => base.filter(col("rn") <= b)
+      }
+      kept.select(lit(rid).as("run_id"), col("col"), col("val"))
+    }.reduce(_ unionAll _).localCheckpoint()
+    // SPIDER co-occurrence for ALL runs in one shuffle (same shape as `run`)
+    val co = sampledAll.groupBy("run_id", "val")
+      .agg(collect_set(col("col")).as("cols"))
+      .select(col("run_id"), explode(col("cols")).as("dep"), col("cols"))
+      .select(col("run_id"), col("dep"), explode(col("cols")).as("ref"))
+      .filter(col("dep") =!= col("ref"))
+      .groupBy("run_id", "dep", "ref").agg(count("*").as("co"))
+    val runStats = sampledAll.groupBy("run_id", "col")
+      .agg(count("*").as("su"))
+    val found = runStats.select(col("run_id"), col("col").as("dep"),
+        col("su").as("dep_su"))
+      .join(runStats.select(col("run_id"), col("col").as("ref")), Seq("run_id"))
+      .filter(col("dep") =!= col("ref"))
+      .join(co, Seq("run_id", "dep", "ref"), "left")
+      .withColumn("missing", col("dep_su") - coalesce(col("co"), lit(0L)))
+      .filter(col("missing") <= k)
+      .select("run_id", "dep", "ref", "missing")
+    val specsDf = spark.createDataFrame(specs).toDF("run_id", "method", "budget")
+    Evaluation.compareUnaryByRun(found, baseline, specsDf)
+      .groupBy("method").agg(
+        count("*").as("runs"),
+        avg("precision").as("mean_precision"),
+        avg("recall").as("mean_recall"),
+        avg("f1").as("mean_f1"))
+  }
+
+  /** End-to-end artifact emission, matching the reference's outputs: the
+    * per-run metric table as a QUOTE_ALL CSV `data.csv`
+    * (pysrc/scripts/evaluation.py:26-43) and the credibility ranking as
+    * JSON-lines `ranked_inds.json` (:134-139), both via the RefCsv sinks.
+    * Returns the result so callers can keep composing. */
+  def runAndEmit(spark: SparkSession, sfDir: String, outDir: String,
+                 methods: Seq[String] = defaultMethods,
+                 budgets: Seq[Long] = Seq(1000L, 10000L)): ExperimentResult = {
+    val r = run(spark, sfDir, methods, budgets)
+    graft.sources.RefCsv.writeQuoteAll(r.evalPerRun, s"$outDir/data.csv")
+    graft.sources.RefCsv.writeJson(r.ranked, s"$outDir/ranked_inds.json")
+    r
+  }
+
   /** Everything one experiment produces. */
   case class ExperimentResult(
     baselineStats: DataFrame,   // (col, unique_count, min_val, max_val)
@@ -126,27 +186,26 @@ object Experiment {
     ranked: DataFrame,          // (dep, ref, credibility, is_tp)
     sweep: DataFrame)           // (threshold, tps, fps, fns, tns, acc, p, r)
 
-  /** Per-method rank column name. */
-  private def rnCol(method: String) = "rn_" + method.replace('-', '_')
-
-  /** All six method orders as rank columns in ONE pass over the deduped long
-    * form: one exchange keyed by col, six in-partition sorts — instead of a
-    * window job per (method × budget) run. */
-  def rankedLongForm(distinctLong: DataFrame, methods: Seq[String]): DataFrame =
-    methods.foldLeft(distinctLong) { (df, m) =>
-      val w = m match {
-        case "random"         => Window.partitionBy("col").orderBy(md5(col("val")), col("val"))
-        case "first"          => Window.partitionBy("col").orderBy(col("rowId"), col("val"))
-        case "smallest-value" => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
-        case "biggest-value"  => Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").desc)
-        case "longest-value"  => Window.partitionBy("col").orderBy(length(col("val")).desc, col("val").asc)
-        case "evenly-spaced"  => Window.partitionBy("col").orderBy(col("val"))
-        case other => throw new IllegalArgumentException(s"unknown method $other")
-      }
-      df.withColumn(rnCol(m), row_number().over(w))
-    }
-
   val defaultMethods: Seq[String] = graft.sampling.Samplers.methods
+
+  /** Every method's ranked long form, scale-safe:
+    * top-k methods via `cappedRank` (WindowGroupLimit two-phases them),
+    * evenly-spaced via the two-phase partition-prefix numbering
+    * (Samplers.numberedByVal — it needs FULL per-column numbering for the
+    * stride, which no top-k cap can bound). One frame:
+    * (method, col, val, rn), materialized. */
+  def rankedAll(distinctLong: DataFrame, methods: Seq[String],
+                maxBudget: Long): DataFrame = {
+    val topK = methods.filterNot(_ == "evenly-spaced").map { m =>
+      cappedRank(distinctLong, m, maxBudget)
+    }
+    val evenly =
+      if (!methods.contains("evenly-spaced")) Nil
+      else Seq(graft.sampling.Samplers
+        .numberedByVal(distinctLong.select("col", "val"), Seq("col"))
+        .select(lit("evenly-spaced").as("method"), col("col"), col("val"), col("rn")))
+    (topK ++ evenly).reduce(_ unionAll _).localCheckpoint()
+  }
 
   /** Reference budgets are {10k, 100k} (configuration.py:57-58); scaled to
     * the sandbox tiers by default.
@@ -177,8 +236,10 @@ object Experiment {
       .filter(col("missing") === 0).select("dep", "ref", "missing").cache()
 
     val specs = for { m <- methods; b <- budgets } yield RunSpec(s"${m}_$b", m, b)
-    val ranked6 = rankedLongForm(distinctLong, methods)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // every method's per-column ranks, scale-safe (capped top-k windows +
+    // two-phase numbering for evenly-spaced); budgets.max is a sound cap
+    // because the waterfall never allocates a column more than the run total
+    val ranked6 = rankedAll(distinctLong, methods, budgets.max)
 
     // B1 fair-share allocation per budget level on the driver (tiny input)
     val allocByBudget: Map[Long, DataFrame] = budgets.map { b =>
@@ -193,11 +254,12 @@ object Experiment {
     // every run's sample, keyed by run_id — 12 cheap filters of the cached
     // rank frame, ONE downstream pipeline
     val sampledAll = specs.map { spec =>
-      val joined = ranked6.join(allocByBudget(spec.budget), Seq("col"))
+      val joined = ranked6.filter(col("method") === spec.method)
+        .join(allocByBudget(spec.budget), Seq("col"))
       val kept = spec.method match {
         case "evenly-spaced" =>
-          joined.filter((col(rnCol(spec.method)) - 1) % col("stride") === 0)
-        case m => joined.filter(col(rnCol(m)) <= col("budget"))
+          joined.filter((col("rn") - 1) % col("stride") === 0)
+        case _ => joined.filter(col("rn") <= col("budget"))
       }
       kept.select(lit(spec.runId).as("run_id"), col("col"), col("val"))
     }.reduce(_ unionAll _)

@@ -58,16 +58,56 @@ object Samplers {
   def longestValue(values: DataFrame, n: Int): DataFrame =
     values.orderBy(length(col("val")).desc, col("val").asc).limit(n).select("val")
 
+  /** Row numbers in `val` order (optionally per `keyCols` group, ≤ 1 key)
+    * WITHOUT a single-partition global sort: two-phase partition-prefix
+    * numbering. Range-partition by (key, val), count rows per (key,
+    * partition) — a tiny driver-side frame — prefix-sum the counts into
+    * per-partition offsets, then number within each (key, partition) and add
+    * the offset. Every sort is bounded by one range partition; the only
+    * driver state is #partitions × #keys counts. Output: input + `rn`. */
+  def numberedByVal(values: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.size <= 1, "numberedByVal supports at most one key column")
+    val spark = values.sparkSession
+    val parts = (keyCols :+ "val").map(col)
+    val parted = values.repartitionByRange(parts: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pins partition ids for the two consumers below
+    val counts = parted
+      .groupBy((keyCols :+ "_pid").map(col): _*).agg(count("*").as("_cnt"))
+      .collect()
+    val offsetsDf = keyCols match {
+      case Seq(k) =>
+        val rows = counts.map(r => (r.getAs[String](k), r.getAs[Int]("_pid"), r.getAs[Long]("_cnt")))
+          .groupBy(_._1).toSeq.flatMap { case (key, group) =>
+            group.sortBy(_._2).scanLeft((key, -1, 0L, 0L)) { case ((_, _, acc, c), (_, pid, cnt)) =>
+              (key, pid, acc + c, cnt)
+            }.tail
+          }.map { case (key, pid, off, _) => (key, pid, off) }
+        spark.createDataFrame(rows).toDF(k, "_pid", "_off")
+      case Nil =>
+        val rows = counts.map(r => (r.getAs[Int]("_pid"), r.getAs[Long]("_cnt")))
+          .sortBy(_._1).scanLeft((-1, 0L, 0L)) { case ((_, acc, c), (pid, cnt)) =>
+            (pid, acc + c, cnt)
+          }.tail.map { case (pid, off, _) => (pid, off) }
+        spark.createDataFrame(rows.toSeq).toDF("_pid", "_off")
+    }
+    val w = Window.partitionBy((keyCols :+ "_pid").map(col): _*).orderBy(col("val"))
+    parted.join(broadcast(offsetsDf), keyCols :+ "_pid")
+      .withColumn("rn", col("_off") + row_number().over(w))
+      .drop("_pid", "_off")
+  }
+
   /** M6 `evenly-spaced`: systematic sampling with stride ceil(len/n)
     * (sampling_methods.py:90-99). The reference picks a random start in
     * [0, stride); we fix start=0 over the value-sorted order — documented
     * deviation for determinism. `total` = distinct count (collected once).
-    */
+    * Numbering is the two-phase partition-prefix pass (`numberedByVal`), so
+    * no task ever sorts more than one range partition — the previous global
+    * `Window.orderBy` serialized the whole column through ONE task. */
   def evenlySpaced(values: DataFrame, n: Int, total: Long): DataFrame = {
     if (total == 0) return values.select("val").limit(0)
     val stride = math.max(1L, math.ceil(total.toDouble / n).toLong)
-    val w = Window.orderBy(col("val"))
-    values.withColumn("rn", row_number().over(w))
+    numberedByVal(values.select("val"))
       .filter((col("rn") - 1) % stride === 0)
       .select("val")
   }

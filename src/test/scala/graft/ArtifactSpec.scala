@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Experiment
+
+/** End-to-end artifact emission: the experiment writes the reference's
+  * outputs (QUOTE_ALL data.csv + ranked_inds.json) and both round-trip. */
+class ArtifactSpec extends SparkSpec {
+
+  test("runAndEmit writes data.csv (QUOTE_ALL) and ranked_inds.json, round-trippable") {
+    val out = Files.createTempDirectory("graft_artifacts").toString
+    val r = Experiment.runAndEmit(spark, "/root/testdata/sf0.001", out,
+      budgets = Seq(200L))
+
+    // data.csv: every field quoted, header present, row-parity with evalPerRun
+    val csvLines = spark.read.text(s"$out/data.csv").collect().map(_.getString(0))
+    assert(csvLines.nonEmpty)
+    assert(csvLines.forall(l => l.startsWith("\"")), "QUOTE_ALL violated")
+    val back = spark.read.option("header", "true").csv(s"$out/data.csv")
+    assert(back.count() == r.evalPerRun.count())
+    assert(back.columns.contains("precision") && back.columns.contains("run_id"))
+
+    // ranked_inds.json: JSON-lines, row- and key-parity with the ranking
+    val rankedBack = spark.read.json(s"$out/ranked_inds.json")
+    assert(rankedBack.count() == r.ranked.count())
+    assert(Seq("dep", "ref", "credibility", "is_tp")
+      .forall(rankedBack.columns.contains))
+    // spot value: top credibility survives the round trip
+    val top = r.ranked.agg(max("credibility")).head.getDouble(0)
+    val topBack = rankedBack.agg(max("credibility")).head.getDouble(0)
+    assert(top == topBack)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Experiment
+import graft.sampling.Samplers
+
+/** Plan proofs that sampling never serializes a column through one task:
+  * top-k ranks compile to WindowGroupLimit (map-side partial top-k before
+  * the exchange), and evenly-spaced numbering never plans a
+  * single-partition exchange. */
+class SamplerScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values = (1 to 500)
+    .map(i => (s"col${i % 3}", f"v$i%04d", i.toLong))
+    .toDF("col", "val", "rowId")
+
+  test("cappedRank plans a WindowGroupLimit, not a full per-column sort") {
+    val plan = Experiment.cappedRank(values, "smallest-value", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"), s"no map-side partial pass in:\n$plan")
+  }
+
+  test("numberedByVal: no single-partition exchange in the plan") {
+    val df = Samplers.numberedByVal(values.select("col", "val"), Seq("col"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+  }
+
+  test("numberedByVal matches a naive global row numbering") {
+    val dv = values.select("val").dropDuplicates("val")
+    val naive = dv.withColumn("rn", row_number().over(Window.orderBy("val")))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong)).toMap
+    val got = Samplers.numberedByVal(dv)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == naive)
+  }
+
+  test("evenlySpaced two-phase numbering keeps the sampled set") {
+    val dv = values.select("val").dropDuplicates("val")
+    val total = dv.count()
+    val naiveKept = dv
+      .withColumn("rn", row_number().over(Window.orderBy("val")))
+      .filter((col("rn") - 1) % math.max(1L, math.ceil(total / 50.0).toLong) === 0)
+      .select("val").collect().map(_.getString(0)).toSet
+    val got = Samplers.evenlySpaced(dv, 50, total)
+      .collect().map(_.getString(0)).toSet
+    assert(got == naiveKept)
+    val plan = Samplers.evenlySpaced(dv, 50, total)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
+  }
+
+  test("rankedAll covers every method with consistent ranks") {
+    val ranked = Experiment.rankedAll(values, Samplers.methods, 5)
+    val methods = ranked.select("method").distinct().collect().map(_.getString(0)).toSet
+    assert(methods == Samplers.methods.toSet)
+    // top-k methods are capped, evenly-spaced is fully numbered
+    val maxTopK = ranked.filter(col("method") =!= "evenly-spaced")
+      .agg(max("rn")).head.getLong(0)
+    assert(maxTopK <= 5L)
+    val evenlyCount = ranked.filter(col("method") === "evenly-spaced").count()
+    assert(evenlyCount == values.select("col", "val").distinct().count())
+  }
+}
