@@ -1012,6 +1012,112 @@ object SparkEntry {
          |      END >= 900000""".stripMargin
     },
 
+    "q_ann_lsh" -> {
+      val buckets = (0 until 8).map { p =>
+        val cs = Similarity.planeComponents(p, 64).mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(iv, $cs) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id AS id, $intVecSql AS iv FROM embeddings),
+         |en AS (SELECT id, iv, list_dot_product(iv, iv) AS n FROM e),
+         |b AS (SELECT id, iv, n, $buckets AS bucket FROM en),
+         |p AS (SELECT x.id AS qid, y.id AS nid,
+         |        CASE WHEN x.n = 0 OR y.n = 0 THEN NULL
+         |             ELSE CAST(floor(list_dot_product(x.iv, y.iv)
+         |                    / (sqrt(x.n) * sqrt(y.n)) * 1000000) AS BIGINT)
+         |        END AS cosine_e6
+         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY qid ORDER BY cosine_e6 DESC, nid) AS rank FROM p)
+         |SELECT qid, nid, cosine_e6, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    // IVF: the whole pipeline (md5-ordered seeds, one Lloyd step, 2-probe
+    // search) is engine-exact — centroid means are exact (integer-valued
+    // double sums < 2^53), and centroid dots accumulate in index order on
+    // both engines (ArrayDot loop ↔ list_dot_product)
+    "q_ann_ivf" -> {
+      def assignSql(cents: String) =
+        s"""SELECT id, cell FROM (
+           |  SELECT en.id, c.cell, row_number() OVER (PARTITION BY en.id
+           |    ORDER BY list_dot_product(en.iv, c.cv) / (sqrt(en.n) * sqrt(c.cn)) DESC,
+           |             c.cell) AS pr
+           |  FROM en CROSS JOIN $cents c) _a WHERE pr = 1""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, $intVecSql AS iv FROM embeddings),
+         |en AS (SELECT id, iv, list_dot_product(iv, iv) AS n FROM e),
+         |seeds AS (SELECT row_number() OVER (
+         |    ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cell, iv
+         |  FROM en QUALIFY row_number() OVER (
+         |    ORDER BY md5(CAST(id AS VARCHAR)), id) <= 16),
+         |c0 AS (SELECT cell, [CAST(x AS DOUBLE) FOR x IN iv] AS cv FROM seeds),
+         |c0n AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn FROM c0),
+         |a0 AS (${assignSql("c0n")}),
+         |dims AS (SELECT a0.cell, t.i, avg(en.iv[CAST(t.i AS INT) + 1]) AS m
+         |         FROM en JOIN a0 USING (id), unnest(range(64)) AS t(i)
+         |         GROUP BY 1, 2),
+         |c1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM dims GROUP BY cell),
+         |c1n AS (SELECT cell, cv, list_dot_product(cv, cv) AS cn FROM c1),
+         |a1 AS (${assignSql("c1n")}),
+         |probes AS (SELECT id AS qid, iv AS qv, n AS qn, cell FROM (
+         |    SELECT en.*, c.cell, row_number() OVER (PARTITION BY en.id
+         |      ORDER BY list_dot_product(en.iv, c.cv) / (sqrt(en.n) * sqrt(c.cn)) DESC,
+         |               c.cell) AS pr
+         |    FROM en CROSS JOIN c1n c) _p WHERE pr <= 2),
+         |cells AS (SELECT en.id AS nid, en.iv AS nv, en.n AS nn, a1.cell
+         |          FROM en JOIN a1 USING (id)),
+         |scored AS (SELECT qid, nid,
+         |    CASE WHEN qn = 0 OR nn = 0 THEN NULL
+         |         ELSE CAST(floor(list_dot_product(qv, nv)
+         |                / (sqrt(qn) * sqrt(nn)) * 1000000) AS BIGINT)
+         |    END AS cosine_e6
+         |  FROM probes JOIN cells USING (cell) WHERE qid <> nid),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY qid ORDER BY cosine_e6 DESC, nid) AS rank FROM scored)
+         |SELECT qid, nid, cosine_e6, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    // order-sensitive polynomial fold reproduced with list_reduce; sha256 is
+    // engine-identical hex
+    "q_doc_fingerprints" ->
+      """SELECT doc_id, sha256(text) AS sha256,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CASE WHEN c = '' THEN 0 ELSE ord(c) END
+        |       FOR c IN string_split(text, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS rolling_hash
+        |FROM documents""".stripMargin,
+
+    // ---- multimodal: header fields are pure functions of the asset id ----
+
+    "q_multimodal_meta" ->
+      """WITH base AS (
+        |  SELECT id AS asset_id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    CAST(64 + (id * 37) % 192 AS INT) AS width,
+        |    CAST(64 + (id * 53) % 128 AS INT) AS height,
+        |    CAST(256 + (id * 97) % 1024 AS INT) AS payload_len
+        |  FROM range(1000) _r(id)),
+        |sized AS (SELECT *, true AS magic_ok,
+        |    CAST(13 + payload_len AS BIGINT) AS total_bytes,
+        |    least(128.0 / width, 128.0 / height, 1.0) AS scale
+        |  FROM base)
+        |SELECT asset_id, kind, magic_ok, width, height, payload_len,
+        |  total_bytes,
+        |  CAST(floor(width * scale) AS INT) AS out_width,
+        |  CAST(floor(height * scale) AS INT) AS out_height
+        |FROM sized""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH base AS (
+        |  SELECT id AS asset_id,
+        |    CAST(floor((256 + (id * 97) % 1024) / 64.0) AS BIGINT) AS n_frames
+        |  FROM range(1000) _r(id))
+        |SELECT asset_id, CAST(t.i AS INT) AS frame_idx
+        |FROM base, unnest(range(n_frames)) AS t(i)
+        |WHERE t.i % 4 = 0""".stripMargin,
+
     // ---- corpus family: DuckDB regenerates the deterministic corpus -------
 
     "q_corpus_fingerprints" ->
