@@ -419,7 +419,9 @@ object SparkEntry {
   private def experiment(s: SparkSession, dir: String): Experiment.ExperimentResult =
     experimentCache.synchronized {
       experimentCache.getOrElseUpdate(dir,
-        Experiment.run(s, dir, budgets = Seq(500L, 5000L)))
+        Experiment.run(s, dir, budgets = Seq(500L, 5000L),
+          baseline = Some(cachedVerdicts(s, dir)
+            .filter(col("missing") === 0).select("dep", "ref", "missing"))))
     }
 
   /** The deduped long form and the profile are shared by many queries —
@@ -447,7 +449,9 @@ object SparkEntry {
   private def fixedBudgetRunCached(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     fbrCache.synchronized {
       fbrCache.getOrElseUpdate(dir, {
-        val (v, e, c) = Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L)
+        val (v, e, c) = Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L,
+          baselineInds = Some(cachedVerdicts(s, dir)
+            .filter(col("missing") === 0).select("dep", "ref")))
         (v.localCheckpoint(), e.localCheckpoint(), c.localCheckpoint())
       })
     }

@@ -78,7 +78,8 @@ object Experiment {
     * with NULL (instead of NaN) for the implausibility gates.
     * Returns (sampledVerdicts, eval, credibility). */
   def fixedBudgetRun(spark: SparkSession, distinctLong: DataFrame,
-                     budget: Int, k: Long): (DataFrame, DataFrame, DataFrame) = {
+                     budget: Int, k: Long,
+                     baselineInds: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     val w = Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
     val sampled = distinctLong.select("col", "val")
       .withColumn("rn", row_number().over(w))
@@ -86,8 +87,11 @@ object Experiment {
     val sampledVerdicts = IndValidator.verdicts(sampled, k)
       .filter(col("missing") <= k)
       .select("dep", "ref", "missing")
-    val baseline = IndValidator.verdicts(distinctLong, 0L)
-      .filter(col("missing") === 0).select("dep", "ref")
+    // callers that already hold the exact verdict frame pass it in — the
+    // all-pairs co-occurrence over the full long form is the expensive part
+    val baseline = baselineInds.getOrElse(
+      IndValidator.verdicts(distinctLong, 0L)
+        .filter(col("missing") === 0).select("dep", "ref"))
     val eval = graft.eval.Evaluation.compareUnary(sampledVerdicts, baseline)
 
     // stats for the credibility gates: baseline uniques + lexicographic
@@ -219,7 +223,8 @@ object Experiment {
   def run(spark: SparkSession, sfDir: String,
           methods: Seq[String] = defaultMethods,
           budgets: Seq[Long] = Seq(1000L, 10000L),
-          thresholds: Seq[Double] = (0 to 20).map(_ * 0.05)): ExperimentResult = {
+          thresholds: Seq[Double] = (0 to 20).map(_ * 0.05),
+          baseline: Option[DataFrame] = None): ExperimentResult = {
     import org.apache.spark.storage.StorageLevel
 
     val distinctLong = distinctLongFormWithRowId(spark, sfDir)
@@ -231,9 +236,11 @@ object Experiment {
     // A2: error budget from the largest distinct count (sampling.py:196-199)
     val allowedMissing = BudgetAllocator.allowedMissingValues(uniqueCounts.map(_._2))
 
-    // exact baseline (k=0, run_metanome.py:60)
-    val baselineInds = IndValidator.verdicts(distinctLong, 0L)
-      .filter(col("missing") === 0).select("dep", "ref", "missing").cache()
+    // exact baseline (k=0, run_metanome.py:60) — verdicts don't depend on
+    // rowId, so callers holding the shared verdict frame pass it in
+    val baselineInds = baseline.getOrElse(
+      IndValidator.verdicts(distinctLong, 0L)
+        .filter(col("missing") === 0).select("dep", "ref", "missing")).cache()
 
     val specs = for { m <- methods; b <- budgets } yield RunSpec(s"${m}_$b", m, b)
     // every method's per-column ranks, scale-safe (capped top-k windows +

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-health proofs on the real testdata scans: column pruning and filter
+  * pushdown must reach the parquet source, and the headline aggregate must
+  * keep map-side partial aggregation — the properties that decide scan and
+  * shuffle volume at 100 TB. */
+class PlanHealthSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_agg_pricing: scan is column-pruned to the aggregate's inputs") {
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 5 referenced columns, none of the other 11 lineitem columns
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_orderkey")
+      .foreach(c => assert(scan.contains(c), s"$c missing from ReadSchema: $scan"))
+    Seq("l_comment", "l_shipdate", "l_tax").foreach(c =>
+      assert(!scan.contains(c), s"unpruned column $c in ReadSchema: $scan"))
+  }
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 10 && col("l_returnflag") === "A")
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThan(l_quantity") || plan.contains("IsNotNull(l_quantity")),
+      s"no pushed filters in:\n$plan")
+  }
+
+  test("headline aggregate keeps whole-stage codegen and partial aggregation") {
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sf)
+    df.collect() // finalize the adaptive plan — codegen spans appear post-execution
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes = whole-stage-codegen spans in the final plan string
+    assert(plan.contains("*("), s"no codegen spans in:\n$plan")
+    // partial_ aggregate markers = map-side combine before the exchange
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("broadcast joins: small dimension sides broadcast, not shuffle") {
+    val plan = SparkEntry.queries("q_ref_violations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"referential anti-join does not broadcast the dimension side:\n$plan")
+  }
+}
