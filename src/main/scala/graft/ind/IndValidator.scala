@@ -36,7 +36,13 @@ object IndValidator {
     * Input: deduped long form (col, val).
     */
   def coOccurrence(distinctLong: DataFrame): DataFrame = {
-    val sets = distinctLong.groupBy("val")
+    // group by the 8-byte xxhash64 of the value, not the value itself: the
+    // exchange moves longs instead of full strings (the input is already
+    // distinct per (col, val), so the hash only keys the shuffle). A
+    // cross-value collision would merge two attribute sets — probability
+    // ~|values|²/2^64 ≈ 1e-6 at 10^7 distinct values; at larger scales swap
+    // in a 128-bit hash.
+    val sets = distinctLong.groupBy(xxhash64(col("val")).as("hval"))
       .agg(collect_set(col("col")).as("cols"))
       .select(explode(col("cols")).as("dep"), col("cols"))
       .select(col("dep"), explode(col("cols")).as("ref"))
