@@ -310,6 +310,165 @@ object SparkEntry {
   private val intVecSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
+  /** B1 fair-share waterfall oracle: the reference's iterative budget
+    * re-distribution (BudgetAllocator.allocate) as a recursive CTE — state
+    * is one row per column plus uniform pool/basic/track scalars; each round
+    * recomputes them with window aggregates over the previous round (DuckDB
+    * allows window functions in the recursive term). All arithmetic is
+    * non-negative integer division, identical on both sides. */
+  private def waterfallCtes(name: String, cntCte: String, budget: Long): String =
+    s"""${name}_init AS (SELECT $budget // count(*) AS basic0 FROM $cntCte),
+       |$name(col, u, allowed, fits, pool, basic, track, done) AS (
+       |  SELECT col, u, u,
+       |         u <= (SELECT basic0 FROM ${name}_init),
+       |         (SELECT coalesce(sum(CASE WHEN c2.u <= i.basic0
+       |                    THEN i.basic0 - c2.u ELSE 0 END), 0)
+       |          FROM $cntCte c2, ${name}_init i),
+       |         (SELECT basic0 FROM ${name}_init),
+       |         CAST(0 AS BIGINT), false
+       |  FROM $cntCte
+       |  UNION ALL
+       |  SELECT col, u,
+       |    CASE WHEN terminal THEN (CASE WHEN fits THEN allowed ELSE per + basic END)
+       |         ELSE allowed END,
+       |    CASE WHEN terminal THEN fits
+       |         ELSE fits OR allowed <= per + basic END,
+       |    CASE WHEN terminal THEN pool
+       |         ELSE pool - per * stillcnt + surplus END,
+       |    CASE WHEN terminal THEN basic ELSE basic + per END,
+       |    CASE WHEN terminal THEN track ELSE hungry END,
+       |    terminal
+       |  FROM (
+       |    SELECT *,
+       |      (hungry = track OR per = 0) AS terminal,
+       |      sum(CASE WHEN NOT fits AND allowed > per + basic
+       |               THEN 1 ELSE 0 END) OVER () AS stillcnt,
+       |      sum(CASE WHEN NOT fits AND allowed <= per + basic
+       |               THEN basic - allowed ELSE 0 END) OVER () AS surplus
+       |    FROM (
+       |      SELECT *,
+       |        CASE WHEN hungry <> 0 THEN pool // hungry ELSE 0 END AS per
+       |      FROM (
+       |        SELECT *,
+       |          sum(CASE WHEN NOT fits THEN 1 ELSE 0 END) OVER () AS hungry
+       |        FROM $name WHERE NOT done) _h) _p) _t)""".stripMargin
+
+  private val budgetAllocOracleSql: String =
+    s"""WITH RECURSIVE lf AS ($longFormSql),
+       |d AS (SELECT DISTINCT col, val FROM lf),
+       |cnt AS (SELECT col, count(*) AS u FROM d GROUP BY col),
+       |${waterfallCtes("state", "cnt", 10000L)}
+       |SELECT col, CAST(allowed AS BIGINT) AS budget, fits AS full_fits
+       |FROM state WHERE done""".stripMargin
+
+  /** Full 13-run experiment oracle (per-run confusion matrices): the
+    * blank-filtered long form with key-order first-occurrence ids, the
+    * fair-share waterfall per budget (recursive CTEs), all six sampling
+    * orders, per-run SPIDER validation with the A2 error budget, and the
+    * compareUnaryByRun edge semantics. Every output metric is a single
+    * integer division or a fixed-order scalar expression — engine-exact.
+    * (The credibility RANKING stays rows-only: its per-IND sum of doubles
+    * across runs has no order-independent cross-engine form.) */
+  private val experimentEvalOracleSql: String = {
+    val budgets = Seq(500L, 5000L)
+    val methods6 = Seq("random", "first", "smallest-value", "biggest-value",
+      "longest-value", "evenly-spaced")
+    val lfR = Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
+      val key = Tables.indColumns(t).head
+      Tables.indColumns(t).map { c =>
+        s"SELECT '$t.$c' AS col, CAST($c AS VARCHAR) AS val, CAST($key AS BIGINT) AS rid " +
+          s"FROM $t WHERE $c IS NOT NULL AND length(trim(CAST($c AS VARCHAR))) > 0"
+      }
+    }.mkString(" UNION ALL ")
+    def rn(m: String) = "rn_" + m.replace('-', '_')
+    val rankCols = Seq(
+      "random" -> "md5(val), val",
+      "first" -> "rid, val",
+      "smallest-value" -> "length(val), val",
+      "biggest-value" -> "length(val) ASC, val DESC",
+      "longest-value" -> "length(val) DESC, val",
+      "evenly-spaced" -> "val").map { case (m, ord) =>
+      s"row_number() OVER (PARTITION BY col ORDER BY $ord) AS ${rn(m)}"
+    }.mkString(",\n    ")
+    val sampBranches = (for { b <- budgets; m <- methods6 } yield {
+      val cond = m match {
+        case "evenly-spaced" => s"(r.${rn(m)} - 1) % a.stride = 0"
+        case _ => s"r.${rn(m)} <= a.b"
+      }
+      s"SELECT '${m}_$b' AS run_id, r.col, r.val FROM ranked r JOIN alloc$b a USING (col) WHERE $cond"
+    }).mkString("\n  UNION ALL ")
+    val allocCtes = budgets.map { b =>
+      waterfallCtes(s"w$b", "cnt", b) + s""",
+         |alloc$b AS (SELECT s.col, s.allowed AS b,
+         |    greatest(CAST(ceil(c.u * 1.0 / greatest(s.allowed, 1)) AS BIGINT), 1) AS stride
+         |  FROM w$b s JOIN cnt c USING (col) WHERE s.done)""".stripMargin
+    }.mkString(",\n")
+    val runValues = (for { m <- methods6; b <- budgets }
+      yield s"('${m}_$b', '$m', $b)").mkString(", ")
+    s"""WITH RECURSIVE lfb AS ($longFormSql),
+       |db AS MATERIALIZED (SELECT DISTINCT col, val FROM lfb),
+       |cntb AS (SELECT col, count(*) AS u FROM db GROUP BY col),
+       |cob AS (SELECT x.col AS dep, y.col AS ref, count(*) AS n
+       |        FROM db x JOIN db y ON x.val = y.val AND x.col <> y.col
+       |        GROUP BY 1, 2),
+       |bl AS MATERIALIZED (
+       |  SELECT a.col AS dep, b.col AS ref
+       |  FROM cntb a JOIN cntb b ON a.col <> b.col
+       |  LEFT JOIN cob ON cob.dep = a.col AND cob.ref = b.col
+       |  WHERE a.u - coalesce(cob.n, 0) = 0),
+       |nb AS (SELECT count(*) AS n FROM bl),
+       |lfr AS ($lfR),
+       |d AS MATERIALIZED (SELECT col, val, min(rid) AS rid FROM lfr GROUP BY 1, 2),
+       |cnt AS (SELECT col, count(*) AS u FROM d GROUP BY col),
+       |kk AS (SELECT CAST(ceil(0.5 * max(u)) AS BIGINT) AS k FROM cnt),
+       |$allocCtes,
+       |ranked AS MATERIALIZED (SELECT col, val, $rankCols FROM d),
+       |samp AS MATERIALIZED (
+       |  $sampBranches),
+       |scnt AS (SELECT run_id, col, count(*) AS su FROM samp GROUP BY 1, 2),
+       |sco AS (SELECT x.run_id, x.col AS dep, y.col AS ref, count(*) AS n
+       |        FROM samp x JOIN samp y
+       |          ON x.run_id = y.run_id AND x.val = y.val AND x.col <> y.col
+       |        GROUP BY 1, 2, 3),
+       |sfound AS (SELECT a.run_id, a.col AS dep, b.col AS ref,
+       |             a.su - coalesce(sc.n, 0) AS missing
+       |           FROM scnt a JOIN scnt b
+       |             ON a.run_id = b.run_id AND a.col <> b.col
+       |           LEFT JOIN sco sc ON sc.run_id = a.run_id
+       |             AND sc.dep = a.col AND sc.ref = b.col
+       |           WHERE a.su - coalesce(sc.n, 0) <= (SELECT k FROM kk)),
+       |tagged AS (SELECT s.run_id, s.missing, (b.dep IS NOT NULL) AS is_tp
+       |           FROM sfound s LEFT JOIN bl b ON b.dep = s.dep AND b.ref = s.ref),
+       |m AS (SELECT run_id, count(*) AS n_found,
+       |        count(*) FILTER (WHERE is_tp) AS tp,
+       |        count(*) FILTER (WHERE NOT is_tp) AS fp,
+       |        sum(missing) FILTER (WHERE is_tp) AS tpm,
+       |        sum(missing) FILTER (WHERE NOT is_tp) AS fpm
+       |      FROM tagged GROUP BY 1),
+       |runs(run_id, method, budget) AS (VALUES $runValues),
+       |pr AS (SELECT r.run_id, r.method, r.budget,
+       |         coalesce(m.n_found, 0) AS n_found,
+       |         coalesce(m.tp, 0) AS tp, coalesce(m.fp, 0) AS fp,
+       |         (SELECT n FROM nb) - coalesce(m.tp, 0) AS fn, m.tpm, m.fpm
+       |       FROM runs r LEFT JOIN m USING (run_id)),
+       |met AS (SELECT *,
+       |  CASE WHEN n_found = 0 THEN 0.0 WHEN tp + fp = 0 THEN 'NaN'::DOUBLE
+       |       ELSE tp * 1.0 / (tp + fp) END AS prec,
+       |  CASE WHEN n_found = 0 THEN 0.0 WHEN tp + fn = 0 THEN 'NaN'::DOUBLE
+       |       ELSE tp * 1.0 / (tp + fn) END AS rec
+       |  FROM pr)
+       |SELECT run_id, method, CAST(budget AS BIGINT) AS budget,
+       |  tp, fp, fn, prec AS "precision", rec AS recall,
+       |  CASE WHEN n_found = 0 THEN 0.0
+       |       WHEN prec + rec = 0 OR isnan(prec + rec) THEN 'NaN'::DOUBLE
+       |       ELSE 2 * prec * rec / (prec + rec) END AS f1,
+       |  CASE WHEN n_found = 0 THEN 0.0 WHEN tp > 0 THEN tpm * 1.0 / tp
+       |       ELSE 'NaN'::DOUBLE END AS mean_tp_missing,
+       |  CASE WHEN n_found = 0 THEN 0.0 WHEN fp > 0 THEN fpm * 1.0 / fp
+       |       ELSE 'NaN'::DOUBLE END AS mean_fp_missing
+       |FROM met""".stripMargin
+  }
+
   /** composite (length, value) key encoded as one sortable string — DuckDB's
     * min_by/max_by reject struct keys, so both engines order by this. */
   private def lenKeySql(v: String): String =
@@ -599,6 +758,11 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, "doc_id", "text",
         Dedup.minhashLsh(docs, "doc_id", "text"))
     }),
+
+    // MOSS-style winnowing fingerprints (k=8 shingles, w=4 windows): any
+    // shared substring ≥ 11 chars guarantees a shared fingerprint
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnow(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
     // SimHash signatures (32-bit, token-vote) — bit math ports exactly
     "q_simhash_sig" -> ((s, dir) =>
@@ -968,6 +1132,10 @@ object SparkEntry {
 
     "q_ind_nary" -> naryOracleSql,
 
+    "q_budget_alloc" -> budgetAllocOracleSql,
+
+    "q_experiment_eval" -> experimentEvalOracleSql,
+
     "q_eval_nary" -> evalNaryOracleSql,
 
     "q_eval_by_method" -> evalByMethodOracleSql,
@@ -1093,6 +1261,36 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // ---- multimodal: header fields are pure functions of the asset id ----
+
+    // the stub codec digests the lowercase-hex rendering of the asset bytes,
+    // so DuckDB rebuilds the identical md5 input from id arithmetic; the
+    // 256-entry float table is precomputed driver-side (float rounding is
+    // not reproduced in SQL, just looked up)
+    "q_multimodal_features" -> {
+      val table = Multimodal.featureE6Table.mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT id AS asset_id,
+         |    CAST(id % 3 AS INT) AS kind,
+         |    CAST(64 + (id * 37) % 192 AS INT) AS w,
+         |    CAST(64 + (id * 53) % 128 AS INT) AS h,
+         |    CAST(256 + (id * 97) % 1024 AS INT) AS payload_len
+         |  FROM range(1000) _r(id)),
+         |payload AS (
+         |  SELECT b.asset_id,
+         |    string_agg(printf('%02x', (b.asset_id * 31 + t.i * 7) % 251),
+         |               '' ORDER BY t.i) AS phex
+         |  FROM base b, unnest(range(b.payload_len)) AS t(i)
+         |  GROUP BY b.asset_id),
+         |hm AS (
+         |  SELECT b.asset_id,
+         |    md5('47524654' || printf('%02x', kind) || printf('%04x', w) ||
+         |        printf('%04x', h) || printf('%08x', payload_len) || p.phex) AS m
+         |  FROM base b JOIN payload p USING (asset_id))
+         |SELECT asset_id, CAST(t.i AS BIGINT) AS dim,
+         |  list_extract($table,
+         |    ('0x' || substr(m, CAST(t.i % 16 AS INT) * 2 + 1, 2))::INT + 1) AS value_e6
+         |FROM hm, unnest(range(16)) AS t(i)""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """WITH base AS (
@@ -1237,6 +1435,22 @@ object SparkEntry {
           |JOIN scnt sd ON sd.col = f.dep
           |JOIN scnt sr ON sr.col = f.ref
           |ORDER BY credibility DESC NULLS LAST, f.dep, f.ref LIMIT 20""".stripMargin),
+
+    "q_winnow_fingerprints" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         |         substr(text, CAST(t.i AS INT) + 1, 8) AS sh
+         |  FROM documents, unnest(range(length(text) - 7)) AS t(i)
+         |  WHERE length(text) >= 11),
+         |h AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS h
+         |      FROM g),
+         |wmin AS (SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM h)
+         |SELECT DISTINCT doc_id AS id, minh FROM wmin WHERE i <= n - 4""".stripMargin,
 
     "q_simhash_sig" -> simhashSigSql,
 

@@ -98,6 +98,32 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** MOSS-style winnowing fingerprints: per-position k-shingle hashes, the
+    * MINIMUM of every w-length window of consecutive positions, distinct per
+    * doc. Guarantees any shared substring of length ≥ k+w−1 produces a
+    * shared fingerprint — the standard local-similarity sketch for
+    * plagiarism/near-dup detection. Pure expression pipeline: positional
+    * explode + a per-doc sliding window (bounded by doc length, never corpus
+    * size). Output: (id, minh) distinct. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positional = docs
+      .filter(length(col(textCol)) >= k + w - 1) // ≥ one full window
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), length(col(textCol)) - k),
+          i => substring(col(textCol), lit(1) + i, lit(k)))).as(Seq("i", "sh")))
+      .select(col("id"), col("i"),
+        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
+          lit(MinhashP)).as("h"))
+    val sliding = Window.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    positional
+      .withColumn("minh", min("h").over(sliding))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("i") <= col("n") - w) // full windows only
+      .select("id", "minh").distinct()
+  }
+
   /** 32-bit SimHash over whitespace tokens: per token take md5, use its first
     * 8 hex chars as 32 bits; per bit position sum +1/−1 votes; sign → bit.
     * Pure expression pipeline: explode tokens → conv(hex→long) → per-doc,

@@ -76,13 +76,23 @@ object Multimodal {
         // per-partition "codec init" happens here, once per batch
         val digest = java.security.MessageDigest.getInstance("MD5")
         batch.map { case (id, data) =>
-          val h = digest.digest(data)
+          // digest the lowercase-hex rendering of the bytes (not the raw
+          // bytes): byte-identical to what a SQL oracle can feed md5()
+          val hex = data.map(b => f"${b & 0xFF}%02x").mkString
+          val h = digest.digest(hex.getBytes("US-ASCII"))
           val vec = Array.tabulate(dim)(i => ((h(i % 16) & 0xFF) / 255.0f) - 0.5f)
           (id, vec)
         }
       }
     out.toDF("asset_id", "features")
   }
+
+  /** All 256 possible 1e6-scaled feature values (byte → floor(1e6·(b/255f −
+    * 0.5f))), precomputed with the SAME float arithmetic as the stub — the
+    * oracle inlines this table instead of re-deriving float rounding in SQL.
+    */
+  def featureE6Table: Seq[Long] =
+    (0 to 255).map(b => math.floor(((b / 255.0f) - 0.5f).toDouble * 1e6).toLong)
 
   /** Frame sampling: split the payload into fixed-size "frames" and keep
     * every `stride`-th — pure expression pipeline (posexplode over chunk

@@ -27,11 +27,16 @@ object Experiment {
   case class RunSpec(runId: String, method: String, budget: Long)
 
   /** Long form with first-occurrence rowId, deduped keeping min rowId per
-    * (col, val) — the reference's keep-first dedup (P1) semantics. */
+    * (col, val) — the reference's keep-first dedup (P1) semantics. "Source
+    * order" is the table's declared key order (its first registered column),
+    * NOT physical scan order: a 100 TB table has no stable "file order"
+    * (Spark packs splits by size), while key order is deterministic under
+    * any storage layout AND reproducible by the DuckDB oracle. Documented
+    * deviation, same as M1's seeded-hash randomness. */
   def distinctLongFormWithRowId(spark: SparkSession, sfDir: String): DataFrame = {
     val lf = Tables.all.filter(Tables.indColumns.contains).map { t =>
       val df = Tables.load(spark, sfDir, t)
-        .withColumn("rowId", monotonically_increasing_id())
+        .withColumn("rowId", col(Tables.indColumns(t).head).cast("long"))
       val entries = Tables.indColumns(t).map { c =>
         struct(lit(s"$t.$c").as("col"), col(c).cast("string").as("val"))
       }

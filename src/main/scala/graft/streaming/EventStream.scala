@@ -121,6 +121,16 @@ object EventStream {
       .drop("__k")
   }
 
+  /** Streaming exact dedup: keep only the FIRST arrival of each key within
+    * the watermark horizon (the always-on twin of Dedup.exact for an
+    * ingestion stream). `dropDuplicatesWithinWatermark` bounds the dedup
+    * state to O(arrival rate × lateness horizon) — never O(corpus) — which
+    * is what makes continuous dedup viable on a 100 TB firehose. */
+  def streamingDedup(docs: DataFrame, tsCol: String, keyCols: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Drive a bounded stream to completion into an in-memory table; returns
     * the result as a batch frame (test harness path). */
   def runToCompletion(streamed: DataFrame, queryName: String,

@@ -129,4 +129,26 @@ class DedupTextSpec extends SparkSpec {
     assert(r.contains((0L, 1L)) && r.contains((1L, 0L)))
     assert(!r.contains((0L, 2L)))
   }
+
+  test("winnowing: shared substring >= k+w-1 chars yields a shared fingerprint") {
+    import spark.implicits._
+    // doc 1 and 2 share a 16-char run; doc 3 is unrelated
+    val docs = Seq(
+      (1L, "xxxxSHAREDRUN0123456789yyyy"),
+      (2L, "aaaaaaaSHAREDRUN0123456789b"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val fp = graft.dedup.Dedup.winnow(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fp.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared run produced no shared fingerprint")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+  }
+
+  test("winnowing: docs shorter than one full window are dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "0123456789")).toDF("doc_id", "text") // 10 < 8+4-1
+    assert(graft.dedup.Dedup.winnow(docs, "doc_id", "text").count() == 0)
+  }
 }

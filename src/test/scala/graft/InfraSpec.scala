@@ -147,4 +147,26 @@ class InfraSpec extends SparkSpec {
     val closed = sessions.collect()
     assert(closed.exists(s => s.user_id == 1L && s.n_events == 2 && s.value_sum == 3.0))
   }
+
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    // 6 arrivals, 3 distinct content hashes, all within one minute
+    Seq(
+      (new java.sql.Timestamp(0L), "h1", 1L),
+      (new java.sql.Timestamp(1000L), "h2", 2L),
+      (new java.sql.Timestamp(2000L), "h1", 3L),
+      (new java.sql.Timestamp(3000L), "h3", 4L),
+      (new java.sql.Timestamp(4000L), "h2", 5L),
+      (new java.sql.Timestamp(5000L), "h1", 6L)
+    ).toDF("ts", "text_hash", "doc_id").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val deduped = EventStream.streamingDedup(stream, "ts", Seq("text_hash"),
+      watermark = "10 minutes")
+    val got = EventStream.runToCompletion(deduped, "stream_dedup_test", "append")
+    assert(got.count() == 3)
+    assert(got.select("text_hash").distinct().count() == 3)
+  }
 }
