@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.ArrayDot
+import graft.ind.IndValidator
+import graft.sampling.Samplers
+
+/** Property-based checks of the distributed operators against naive
+  * single-machine models: random inputs, exact equality. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: ArrayDot.dotLong equals the naive dot for in-range vectors") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000000L, 1000000L)).map(_.toArray)
+    checkProp(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val expected = a.zip(b).map { case (x, y) => x * y }.sum
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(ArrayDot.dotLong(col("a"), col("b"))).head.getLong(0)
+      got == expected
+    }, n = 20)
+  }
+
+  test("property: SPIDER verdicts equal naive per-pair set containment") {
+    // small random two-column universes; every ordered pair's missing count
+    val valsGen = Gen.listOfN(12, Gen.choose(0, 9)).map(_.map(_.toString))
+    checkProp(Prop.forAll(valsGen, valsGen, valsGen) { (a, b, c) =>
+      val lf = (a.map(("t.a", _)) ++ b.map(("t.b", _)) ++ c.map(("t.c", _)))
+        .toDF("col", "val").dropDuplicates("col", "val")
+      val got = IndValidator.verdicts(lf, 0L)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("missing")).toMap
+      val sets = Map("t.a" -> a.toSet, "t.b" -> b.toSet, "t.c" -> c.toSet)
+      sets.keys.forall { dep =>
+        sets.keys.filter(_ != dep).forall { ref =>
+          got((dep, ref)) == (sets(dep) -- sets(ref)).size.toLong
+        }
+      }
+    }, n = 15)
+  }
+
+  test("property: two-phase numbering equals a global row_number") {
+    val valsGen = Gen.listOfN(40, Gen.alphaNumStr.map(_.take(6)))
+      .map(_.filter(_.nonEmpty).distinct)
+    checkProp(Prop.forAll(valsGen) { vals =>
+      vals.isEmpty || {
+        val df = vals.toDF("val")
+        val naive = df.withColumn("rn", row_number().over(Window.orderBy("val")))
+          .collect().map(r => (r.getString(0), r.getInt(1).toLong)).toMap
+        val got = Samplers.numberedByVal(df)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        got == naive
+      }
+    }, n = 15)
+  }
+
+  test("property: winnowing guarantee — shared run >= k+w-1 chars implies shared fingerprint") {
+    val k = 8; val w = 4
+    val baseGen = Gen.listOfN(30, Gen.alphaChar).map(_.mkString)
+    val runGen = Gen.listOfN(k + w - 1, Gen.numChar).map(_.mkString)
+    checkProp(Prop.forAll(baseGen, baseGen, runGen) { (p1, p2, run) =>
+      val docs = Seq((1L, p1 + run + p1), (2L, p2 + run + p2)).toDF("doc_id", "text")
+      val fp = graft.dedup.Dedup.winnow(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val f1 = fp.filter(_._1 == 1L).map(_._2).toSet
+      val f2 = fp.filter(_._1 == 2L).map(_._2).toSet
+      (f1 & f2).nonEmpty
+    }, n = 10)
+  }
+}
