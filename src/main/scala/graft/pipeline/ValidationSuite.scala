@@ -33,6 +33,15 @@ object ValidationSuite {
   case class KsDrift(name: String, table: String, column: String,
                      partitionBy: String, lo: Double, hi: Double, bins: Int,
                      thresholdE5: Long) extends Check
+  /** `column` unique WITHIN each `partitionBy` partition; one verdict row
+    * per partition (north_rule shape). */
+  case class UniquePerPartition(name: String, table: String, column: String,
+                                partitionBy: String) extends Check
+  /** every ordered partition pair's `column` sets contained within
+    * `maxMissing` (commit→commit containment). */
+  case class CrossContainment(name: String, table: String, column: String,
+                              partitionBy: String,
+                              maxMissing: Long = 0L) extends Check
 
   case class Config(checks: Seq[Check], checkpointDir: String)
 
@@ -94,6 +103,26 @@ object ValidationSuite {
         violationFrames(name) = bad
         outcomes += CheckOutcome(name, "ks_drift", n == 0, n,
           s"$table.$column by $part ks_threshold_e5=$thr")
+
+      case UniquePerPartition(name, table, column, part) =>
+        val verdicts = Checkpoint.stage(spark, dir, name)(
+          graft.checks.PartitionChecks.uniquePerPartition(
+            Tables.load(spark, sfDir, table), part, column)).df
+        val bad = verdicts.filter(!col("passed"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "unique_per_partition", n == 0, n,
+          s"$table.$column unique within each $part partition")
+
+      case CrossContainment(name, table, column, part, maxMissing) =>
+        val verdicts = Checkpoint.stage(spark, dir, name)(
+          graft.checks.PartitionChecks.crossPartitionContainment(
+            Tables.load(spark, sfDir, table), part, column, maxMissing)).df
+        val bad = verdicts.filter(!col("passed"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "cross_containment", n == 0, n,
+          s"$table.$column across $part partitions budget=$maxMissing")
     }
 
     val verdicts = outcomes.toSeq.toDF()
@@ -114,6 +143,10 @@ object ValidationSuite {
       maxMissing = 10L),
     CategoricalDrift("drift_doc_lang", "documents", "lang", "source", 25000L),
     KsDrift("drift_event_value", "events", "value", "event_type",
-      0.0, 50.0, 25, 5000L)
+      0.0, 50.0, 25, 5000L),
+    UniquePerPartition("ppk_orders_by_priority", "orders", "o_orderkey",
+      "o_orderpriority"),
+    CrossContainment("users_across_event_types", "events", "user_id",
+      "event_type", maxMissing = 10L)
   ), checkpointDir)
 }

@@ -48,4 +48,19 @@ class ValidationSuiteSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("passed"))
     assert(r.getAs[Long]("violations") > 0)
   }
+
+  test("per-partition and cross-containment checks emit north-rule verdicts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_part").toString
+    val cfg = Config(Seq(
+      UniquePerPartition("ppk", "orders", "o_orderkey", "o_orderpriority"),
+      CrossContainment("xc", "events", "user_id", "event_type", maxMissing = 10L)
+    ), dir)
+    val (v, viols) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val byName = v.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("ppk").getAs[String]("kind") == "unique_per_partition")
+    assert(byName("ppk").getAs[Boolean]("passed")) // orderkeys unique per partition
+    assert(byName("xc").getAs[String]("kind") == "cross_containment")
+    // violation frames carry the per-partition verdict rows that failed
+    assert(viols.contains("ppk") && viols.contains("xc"))
+  }
 }
