@@ -369,7 +369,8 @@ object SparkEntry {
     * integer division or a fixed-order scalar expression — engine-exact.
     * (The credibility RANKING stays rows-only: its per-IND sum of doubles
     * across runs has no order-independent cross-engine form.) */
-  private val experimentEvalOracleSql: String = {
+  private val (experimentEvalOracleSql: String, rankedIndsOracleSql: String,
+               thresholdSweepOracleSql: String) = {
     val budgets = Seq(500L, 5000L)
     val methods6 = Seq("random", "first", "smallest-value", "biggest-value",
       "longest-value", "evenly-spaced")
@@ -405,7 +406,7 @@ object SparkEntry {
     }.mkString(",\n")
     val runValues = (for { m <- methods6; b <- budgets }
       yield s"('${m}_$b', '$m', $b)").mkString(", ")
-    s"""WITH RECURSIVE lfb AS ($longFormSql),
+    val prelude = s"""WITH RECURSIVE lfb AS ($longFormSql),
        |db AS MATERIALIZED (SELECT DISTINCT col, val FROM lfb),
        |cntb AS (SELECT col, count(*) AS u FROM db GROUP BY col),
        |cob AS (SELECT x.col AS dep, y.col AS ref, count(*) AS n
@@ -430,13 +431,16 @@ object SparkEntry {
        |        FROM samp x JOIN samp y
        |          ON x.run_id = y.run_id AND x.val = y.val AND x.col <> y.col
        |        GROUP BY 1, 2, 3),
-       |sfound AS (SELECT a.run_id, a.col AS dep, b.col AS ref,
+       |sfound AS MATERIALIZED (SELECT a.run_id, a.col AS dep, b.col AS ref,
        |             a.su - coalesce(sc.n, 0) AS missing
        |           FROM scnt a JOIN scnt b
        |             ON a.run_id = b.run_id AND a.col <> b.col
        |           LEFT JOIN sco sc ON sc.run_id = a.run_id
        |             AND sc.dep = a.col AND sc.ref = b.col
        |           WHERE a.su - coalesce(sc.n, 0) <= (SELECT k FROM kk)),
+       |runs(run_id, method, budget) AS (VALUES $runValues)""".stripMargin
+
+    val evalSql = prelude + s""",
        |tagged AS (SELECT s.run_id, s.missing, (b.dep IS NOT NULL) AS is_tp
        |           FROM sfound s LEFT JOIN bl b ON b.dep = s.dep AND b.ref = s.ref),
        |m AS (SELECT run_id, count(*) AS n_found,
@@ -445,7 +449,6 @@ object SparkEntry {
        |        sum(missing) FILTER (WHERE is_tp) AS tpm,
        |        sum(missing) FILTER (WHERE NOT is_tp) AS fpm
        |      FROM tagged GROUP BY 1),
-       |runs(run_id, method, budget) AS (VALUES $runValues),
        |pr AS (SELECT r.run_id, r.method, r.budget,
        |         coalesce(m.n_found, 0) AS n_found,
        |         coalesce(m.tp, 0) AS tp, coalesce(m.fp, 0) AS fp,
@@ -467,6 +470,66 @@ object SparkEntry {
        |  CASE WHEN n_found = 0 THEN 0.0 WHEN fp > 0 THEN fpm * 1.0 / fp
        |       ELSE 'NaN'::DOUBLE END AS mean_fp_missing
        |FROM met""".stripMargin
+
+    // ranked CTEs: per-run integer credibility with the three NULL gates,
+    // per-IND sums with the -1e6 / -2e6 sentinels, is_tp vs the baseline
+    val rankedCtes = s""",
+       |bstats AS (SELECT col, count(*) AS u, min(val) AS mn, max(val) AS mx
+       |           FROM d GROUP BY col),
+       |cred AS (
+       |  SELECT s.run_id, s.dep, s.ref,
+       |    CASE WHEN bd.u > br.u THEN NULL
+       |         WHEN bd.mn < br.mn OR bd.mx > br.mx THEN NULL
+       |         WHEN s.missing > br.u - sr.su THEN NULL
+       |         ELSE ((sd.su - s.missing) * r.budget * 1000000) // sd.su
+       |    END AS ce6
+       |  FROM sfound s
+       |  JOIN runs r USING (run_id)
+       |  JOIN bstats bd ON bd.col = s.dep
+       |  JOIN bstats br ON br.col = s.ref
+       |  JOIN scnt sd ON sd.run_id = s.run_id AND sd.col = s.dep
+       |  JOIN scnt sr ON sr.run_id = s.run_id AND sr.col = s.ref),
+       |sums AS (SELECT dep, ref, CAST(sum(ce6) AS BIGINT) AS cred_sum,
+       |                count(*) AS n_runs, count(ce6) AS n_valid
+       |         FROM cred GROUP BY 1, 2),
+       |alli AS (SELECT DISTINCT dep, ref FROM
+       |  (SELECT dep, ref FROM sfound UNION ALL SELECT dep, ref FROM bl) _u),
+       |rk AS MATERIALIZED (
+       |  SELECT a.dep, a.ref,
+       |    CASE WHEN s.n_runs IS NULL THEN -2000000
+       |         WHEN s.n_valid < s.n_runs THEN -1000000
+       |         ELSE s.cred_sum END AS credibility_e6,
+       |    (b.dep IS NOT NULL) AS is_tp
+       |  FROM alli a
+       |  LEFT JOIN sums s ON s.dep = a.dep AND s.ref = a.ref
+       |  LEFT JOIN bl b ON b.dep = a.dep AND b.ref = a.ref)""".stripMargin
+
+    val rankedSql = prelude + rankedCtes +
+      "\nSELECT dep, ref, CAST(credibility_e6 AS BIGINT) AS credibility_e6, is_tp FROM rk"
+
+    val sweepSql = prelude + rankedCtes + s""",
+       |mx AS (SELECT max(credibility_e6) AS m FROM rk),
+       |tot AS (SELECT count(*) AS t FROM rk),
+       |th AS (SELECT CAST(t.i AS DOUBLE) * 0.05::DOUBLE AS threshold
+       |       FROM range(21) AS t(i)),
+       |pred AS (SELECT th.threshold, rk.is_tp,
+       |    ((th.threshold > 0 AND rk.credibility_e6 >= th.threshold * (SELECT m FROM mx))
+       |     OR (th.threshold = 0 AND rk.credibility_e6 > 0)) AS p
+       |  FROM rk CROSS JOIN th),
+       |agg AS (SELECT threshold,
+       |    count(*) FILTER (WHERE p AND is_tp) AS tps,
+       |    count(*) FILTER (WHERE p AND NOT is_tp) AS fps,
+       |    count(*) FILTER (WHERE NOT p AND is_tp) AS fns,
+       |    count(*) FILTER (WHERE NOT p AND NOT is_tp) AS tns
+       |  FROM pred GROUP BY 1)
+       |SELECT threshold, tps, fps, fns, tns,
+       |  CASE WHEN (SELECT t FROM tot) > 0
+       |       THEN ((tps + tns) * 100000) // (SELECT t FROM tot) ELSE 0 END AS accuracy_e5,
+       |  CASE WHEN tps + fps > 0 THEN (tps * 100000) // (tps + fps) ELSE 0 END AS precision_e5,
+       |  CASE WHEN tps + fns > 0 THEN (tps * 100000) // (tps + fns) ELSE 0 END AS recall_e5
+       |FROM agg""".stripMargin
+
+    (evalSql, rankedSql, sweepSql)
   }
 
   /** composite (length, value) key encoded as one sortable string — DuckDB's
@@ -1135,6 +1198,10 @@ object SparkEntry {
     "q_budget_alloc" -> budgetAllocOracleSql,
 
     "q_experiment_eval" -> experimentEvalOracleSql,
+
+    "q_ranked_inds" -> rankedIndsOracleSql,
+
+    "q_threshold_sweep" -> thresholdSweepOracleSql,
 
     "q_eval_nary" -> evalNaryOracleSql,
 

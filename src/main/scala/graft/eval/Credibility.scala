@@ -6,8 +6,19 @@ import org.apache.spark.sql.functions._
 /** Credibility scoring + ranking of candidate INDs across sampled runs
   * (reference R2/R3/R4/R5: pysrc/utils/ind_credibility.py:6-42,
   * pysrc/models/metanome_run_batch.py:27-64, pysrc/scripts/evaluation.py:
-  * 127-172). A per-(IND, run) scalar with three NaN plausibility gates, then
-  * a per-IND sum over runs with the reference's −1.0 / −2.0 sentinels.
+  * 127-172). A per-(IND, run) score with three plausibility gates, then a
+  * per-IND sum over runs with the reference's −1 / −2 sentinels.
+  *
+  * Numerics — documented deviation from the reference: scores are 1e6-scaled
+  * INTEGERS (`credibility_e6 = ⌊(1 − missing/sampledDepU)·budget·1e6⌋`,
+  * computed as one exact integer division), and the gates yield NULL instead
+  * of NaN. The reference's float scores summed across runs are
+  * order-sensitive (float addition does not commute bit-for-bit), so no
+  * distributed engine can reproduce them deterministically; exact integers
+  * make the ranking identical under ANY partitioning AND exactly
+  * reproducible by the DuckDB oracle — the same trick the drift statistics
+  * use (tvd_e5/ks_e5). Sentinels: −1e6 for a gate-poisoned IND, −2e6 for an
+  * IND only ever seen in the baseline.
   */
 object Credibility {
 
@@ -18,11 +29,11 @@ object Credibility {
     *    metanome_run_configuration.py:39-44)
     *  - baselineStats: (col, unique_count, min_val, max_val) on FULL data
     *  - runStats: (run_id, col, unique_count) on that run's SAMPLED data
-    * NaN gates (ind_credibility.py:29-38):
+    * NULL gates (reference NaN gates, ind_credibility.py:29-38):
     *  1. baseline dep uniques > baseline ref uniques
     *  2. baseline dep min < ref min, or dep max > ref max (lexicographic)
     *  3. missing > baseline_ref_uniques − sampled_ref_uniques
-    * else cred = (1 − missing / sampled_dep_uniques) · budget  (:39)
+    * else cred_e6 = ⌊(sampledDepU − missing)·budget·1e6 / sampledDepU⌋ (:39)
     */
   def perRun(verdicts: DataFrame, baselineStats: DataFrame, runStats: DataFrame): DataFrame = {
     val bDep = baselineStats.select(col("col").as("dep"),
@@ -35,63 +46,66 @@ object Credibility {
       col("unique_count").as("s_dep_u"))
     val sRef = runStats.select(col("run_id"), col("col").as("ref"),
       col("unique_count").as("s_ref_u"))
-    val nan = lit(Double.NaN)
     verdicts
       .join(broadcast(bDep), Seq("dep"))
       .join(broadcast(bRef), Seq("ref"))
       .join(broadcast(sDep), Seq("run_id", "dep"))
       .join(broadcast(sRef), Seq("run_id", "ref"))
-      .withColumn("credibility",
-        when(col("b_dep_u") > col("b_ref_u"), nan)
+      .withColumn("credibility_e6",
+        when(col("b_dep_u") > col("b_ref_u"), lit(null))
           .when(col("b_dep_min") < col("b_ref_min") ||
-                col("b_dep_max") > col("b_ref_max"), nan)
-          .when(col("missing") > col("b_ref_u") - col("s_ref_u"), nan)
-          .otherwise((lit(1.0) - col("missing") / col("s_dep_u")) * col("budget")))
-      .select("run_id", "dep", "ref", "missing", "credibility")
+                col("b_dep_max") > col("b_ref_max"), lit(null))
+          .when(col("missing") > col("b_ref_u") - col("s_ref_u"), lit(null))
+          .otherwise(expr(
+            "((s_dep_u - missing) * budget * 1000000) div s_dep_u")))
+      .select("run_id", "dep", "ref", "missing", "credibility_e6")
   }
 
   /** R1+R3: dedup INDs across all runs, sum credibility per IND.
-    * Sentinels (metanome_run_batch.py:56-64): NaN sum → −1.0; an IND only
-    * ever seen in the baseline (never in a sampled run) → −2.0.
+    * Sentinels (metanome_run_batch.py:56-64): any gate-NULL run → −1e6
+    * (reference: NaN sum → −1.0); an IND only ever seen in the baseline
+    * (never in a sampled run) → −2e6 (reference −2.0).
     * `allInds`: (dep, ref) — the union of INDs over ALL runs incl. baseline.
     */
   def ranked(allInds: DataFrame, perRunCreds: DataFrame): DataFrame = {
     val sums = perRunCreds.groupBy("dep", "ref")
-      // Spark sum() skips NaN? No — NaN propagates through DoubleType sum,
-      // matching Python's sum(); nulls cannot occur here.
-      .agg(sum(col("credibility")).as("cred_sum"), count("*").as("n_runs"))
+      .agg(sum(col("credibility_e6")).as("cred_sum"), // skips NULLs
+        count(lit(1)).as("n_runs"),
+        count(col("credibility_e6")).as("n_valid"))
     allInds.select("dep", "ref").dropDuplicates()
       .join(sums, Seq("dep", "ref"), "left")
-      .withColumn("credibility",
-        when(col("n_runs").isNull, -2.0)
-          .when(isnan(col("cred_sum")), -1.0)
+      .withColumn("credibility_e6",
+        when(col("n_runs").isNull, -2000000L)
+          .when(col("n_valid") < col("n_runs"), -1000000L)
           .otherwise(col("cred_sum")))
-      .select("dep", "ref", "credibility")
+      .select("dep", "ref", "credibility_e6")
   }
 
   /** R4: top-k by credibility (desc), deterministic tie-break; k < 0 → all
     * (evaluation.py:127-133). */
   def topK(rankedInds: DataFrame, k: Int): DataFrame = {
-    val sorted = rankedInds.orderBy(col("credibility").desc, col("dep"), col("ref"))
+    val sorted = rankedInds.orderBy(col("credibility_e6").desc, col("dep"), col("ref"))
     if (k < 0) sorted else sorted.limit(k)
   }
 
   /** R5: threshold-sweep classifier (evaluation.py:142-172). For each
     * threshold t: predict IND real iff cred ≥ t·maxCred (t>0) or cred > 0
     * (t=0); score against is_tp (null is_tp rows are skipped, like the
-    * reference's `continue`). Input: (dep, ref, credibility, is_tp);
+    * reference's `continue`). Input: (dep, ref, credibility_e6, is_tp);
     * accuracy divides by the TOTAL IND count incl. null-is_tp rows (:167).
-    * A tiny cross join (|thresholds| × |inds|) with one conditional agg.
+    * Metrics are 1e5-scaled floored integers (one exact division each), so
+    * the sweep is engine-exact. A tiny cross join (|thresholds| × |inds|)
+    * with one conditional agg.
     */
   def thresholdSweep(ranked: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val spark = ranked.sparkSession
     import spark.implicits._
-    val maxCred = ranked.agg(max("credibility")).head.getDouble(0)
+    val maxCred = ranked.agg(max("credibility_e6")).head.getLong(0)
     val total = ranked.count()
     val t = thresholds.toDF("threshold")
     val predicted =
-      (col("threshold") > 0.0 && col("credibility") >= col("threshold") * lit(maxCred)) ||
-      (col("threshold") === 0.0 && col("credibility") > 0.0)
+      (col("threshold") > 0.0 && col("credibility_e6") >= col("threshold") * lit(maxCred)) ||
+      (col("threshold") === 0.0 && col("credibility_e6") > 0L)
     ranked.crossJoin(broadcast(t))
       .withColumn("predicted", predicted)
       .filter(col("is_tp").isNotNull)
@@ -100,15 +114,15 @@ object Credibility {
         sum(when(col("predicted") && !col("is_tp"), 1L).otherwise(0L)).as("fps"),
         sum(when(!col("predicted") && col("is_tp"), 1L).otherwise(0L)).as("fns"),
         sum(when(!col("predicted") && !col("is_tp"), 1L).otherwise(0L)).as("tns"))
-      .withColumn("accuracy",
-        when(lit(total) > 0, round((col("tps") + col("tns")) / lit(total.toDouble), 5))
-          .otherwise(0.0))
-      .withColumn("precision",
+      .withColumn("accuracy_e5",
+        when(lit(total) > 0, expr(s"((tps + tns) * 100000) div ${total}L"))
+          .otherwise(0L))
+      .withColumn("precision_e5",
         when(col("tps") + col("fps") > 0,
-          round(col("tps") / (col("tps") + col("fps")), 5)).otherwise(0.0))
-      .withColumn("recall",
+          expr("(tps * 100000) div (tps + fps)")).otherwise(0L))
+      .withColumn("recall_e5",
         when(col("tps") + col("fns") > 0,
-          round(col("tps") / (col("tps") + col("fns")), 5)).otherwise(0.0))
+          expr("(tps * 100000) div (tps + fns)")).otherwise(0L))
       .orderBy("threshold")
   }
 }

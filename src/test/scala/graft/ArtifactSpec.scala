@@ -26,11 +26,11 @@ class ArtifactSpec extends SparkSpec {
     // ranked_inds.json: JSON-lines, row- and key-parity with the ranking
     val rankedBack = spark.read.json(s"$out/ranked_inds.json")
     assert(rankedBack.count() == r.ranked.count())
-    assert(Seq("dep", "ref", "credibility", "is_tp")
+    assert(Seq("dep", "ref", "credibility_e6", "is_tp")
       .forall(rankedBack.columns.contains))
     // spot value: top credibility survives the round trip
-    val top = r.ranked.agg(max("credibility")).head.getDouble(0)
-    val topBack = rankedBack.agg(max("credibility")).head.getDouble(0)
+    val top = r.ranked.agg(max("credibility_e6")).head.getLong(0)
+    val topBack = rankedBack.agg(max("credibility_e6")).head.getLong(0)
     assert(top == topBack)
   }
 }

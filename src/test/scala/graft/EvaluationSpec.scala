@@ -51,7 +51,7 @@ class EvaluationSpec extends SparkSpec {
     assert(rows(2) == ((1L, 1L, 1L)))
   }
 
-  test("R2 credibility: formula and the three NaN gates") {
+  test("R2 credibility: formula and the three plausibility gates") {
     val verdicts = Seq(
       ("r1", "a", "b", 0L, 100L),   // clean: cred = 1.0 * 100
       ("r1", "c", "b", 2L, 100L),   // missing beyond hidden values → NaN
@@ -65,35 +65,36 @@ class EvaluationSpec extends SparkSpec {
     val runStats = Seq(
       ("r1", "a", 4L), ("r1", "b", 9L), ("r1", "c", 5L), ("r1", "d", 4L)
     ).toDF("run_id", "col", "unique_count")
-    val m = Credibility.perRun(verdicts, baseStats, runStats)
-      .collect().map(r => (r.getString(1), r.getString(2)) ->
-        r.getAs[Double]("credibility")).toMap
-    assert(m(("a", "b")) == 100.0)
-    assert(m(("c", "b")).isNaN)   // missing 2 > b_ref_u 10 - s_ref_u 9 = 1
-    assert(m(("b", "a")).isNaN)   // 10 > 5
-    assert(m(("d", "b")) == 75.0)
+    val rows = Credibility.perRun(verdicts, baseStats, runStats).collect()
+    val m = rows.map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(r.fieldIndex("credibility_e6"))) None
+         else Some(r.getAs[Long]("credibility_e6")))).toMap
+    assert(m(("a", "b")) == Some(100000000L)) // 100 at e6 scale
+    assert(m(("c", "b")).isEmpty)  // missing 2 > b_ref_u 10 - s_ref_u 9 = 1
+    assert(m(("b", "a")).isEmpty)  // 10 > 5
+    assert(m(("d", "b")) == Some(75000000L))  // 75 at e6 scale
   }
 
-  test("R3 sentinels: NaN sum → −1.0, never-sampled IND → −2.0") {
+  test("R3 sentinels: gate-poisoned IND → −1e6, never-sampled IND → −2e6") {
     val perRun = Seq(
-      ("r1", "a", "b", 0L, Double.NaN),
-      ("r1", "c", "d", 0L, 50.0),
-      ("r2", "c", "d", 0L, 25.0)
-    ).toDF("run_id", "dep", "ref", "missing", "credibility")
+      ("r1", "a", "b", 0L, None: Option[Long]),       // gate-poisoned run
+      ("r1", "c", "d", 0L, Some(50000000L)),
+      ("r2", "c", "d", 0L, Some(25000000L))
+    ).toDF("run_id", "dep", "ref", "missing", "credibility_e6")
     val allInds = Seq(("a", "b"), ("c", "d"), ("e", "f")).toDF("dep", "ref")
     val m = Credibility.ranked(allInds, perRun)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        r.getAs[Double]("credibility")).toMap
-    assert(m(("a", "b")) == -1.0)
-    assert(m(("c", "d")) == 75.0)
-    assert(m(("e", "f")) == -2.0)
+        r.getAs[Long]("credibility_e6")).toMap
+    assert(m(("a", "b")) == -1000000L)
+    assert(m(("c", "d")) == 75000000L)
+    assert(m(("e", "f")) == -2000000L)
   }
 
   test("R5 threshold sweep: t=0 means cred>0, t>0 means cred ≥ t·max") {
     val ranked = Seq(
-      ("a", "b", 100.0, true), ("c", "d", 50.0, true),
-      ("e", "f", 10.0, false), ("g", "h", -2.0, false)
-    ).toDF("dep", "ref", "credibility", "is_tp")
+      ("a", "b", 100000000L, true), ("c", "d", 50000000L, true),
+      ("e", "f", 10000000L, false), ("g", "h", -2000000L, false)
+    ).toDF("dep", "ref", "credibility_e6", "is_tp")
     val rows = Credibility.thresholdSweep(ranked, Seq(0.0, 0.6))
       .collect().map(r => r.getAs[Double]("threshold") ->
         (r.getAs[Long]("tps"), r.getAs[Long]("fps"),

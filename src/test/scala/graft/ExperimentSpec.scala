@@ -30,8 +30,8 @@ class ExperimentSpec extends SparkSpec {
     val rows = result.ranked.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val c = r.getAs[Double]("credibility")
-      assert(c == -2.0 || c == -1.0 || c >= 0.0 || c.isNaN == false)
+      val c = r.getAs[Long]("credibility_e6")
+      assert(c == -2000000L || c == -1000000L || c >= 0L)
     }
     // every baseline IND appears in the ranking (possibly at −2)
     assert(rows.count(_.getAs[Boolean]("is_tp")) >= result.baselineInds.count())
