@@ -827,6 +827,12 @@ object SparkEntry {
     "q_winnow_fingerprints" -> ((s, dir) =>
       Dedup.winnow(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // dedup clusters: connected components over the MinHash-LSH candidate
+    // pairs (hash-to-min label propagation; min id = canonical doc)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text"))),
+
     // SimHash signatures (32-bit, token-vote) — bit math ports exactly
     "q_simhash_sig" -> ((s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")),
@@ -1502,6 +1508,22 @@ object SparkEntry {
           |JOIN scnt sd ON sd.col = f.dep
           |JOIN scnt sr ON sr.col = f.ref
           |ORDER BY credibility DESC NULLS LAST, f.dep, f.ref LIMIT 20""".stripMargin),
+
+    // transitive closure over the undirected candidate edges (recursive CTE
+    // with set-semantics UNION), then per-node minimum reachable id
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $shingleSql, " +
+        """e AS (SELECT a AS x, b AS y FROM pairs
+          |       UNION SELECT b AS x, a AS y FROM pairs),
+          |closure(x, y) AS (
+          |  SELECT x, y FROM e
+          |  UNION
+          |  SELECT c.x, e.y FROM closure c JOIN e ON e.x = c.y),
+          |nodes AS (SELECT DISTINCT x AS id FROM e)
+          |SELECT n.id, least(n.id, coalesce(min(c.y), n.id)) AS cluster_id,
+          |  n.id = least(n.id, coalesce(min(c.y), n.id)) AS keep
+          |FROM nodes n LEFT JOIN closure c ON c.x = n.id
+          |GROUP BY n.id""".stripMargin),
 
     "q_winnow_fingerprints" ->
       s"""WITH g AS (

@@ -163,6 +163,43 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** Dedup cluster assignment: connected components over a near-dup pair
+    * frame — the step between candidate pairs and actual removal (each
+    * cluster keeps its minimum id as the canonical document). Iterative
+    * min-label propagation: every round each node adopts the minimum label
+    * in its neighborhood; converges in O(component diameter) rounds, each
+    * round ONE join + ONE aggregate keyed by node — the standard
+    * hash-to-min connected components that scales to 10^12 edges (no
+    * driver-side graph, no all-pairs anything). Near-dup components are
+    * naturally tiny, so the loop ends in a few rounds. Output:
+    * (id, cluster_id, keep = id == cluster_id). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(pairs.select(col("b").as("x"), col("a").as("y")))
+      .dropDuplicates("x", "y")
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id"))
+      .dropDuplicates("id")
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "y"), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard similarity for a set of candidate pairs (the
     * verify step after LSH): joins each pair's shingle sets and computes
     * |∩| / |∪|. `candidates`: (a, b). */

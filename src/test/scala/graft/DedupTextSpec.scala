@@ -151,4 +151,17 @@ class DedupTextSpec extends SparkSpec {
     val docs = Seq((1L, "0123456789")).toDF("doc_id", "text") // 10 < 8+4-1
     assert(graft.dedup.Dedup.winnow(docs, "doc_id", "text").count() == 0)
   }
+
+  test("connected components: chains merge to one cluster, min id is canonical") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, and 20-20 isolated via self-pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val got = graft.dedup.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_)._1 == 1L))
+    assert(got(10L)._1 == 10L && got(11L)._1 == 10L)
+    assert(got(20L)._1 == 20L)
+    assert(got.count(_._2._2) == 3) // one keeper per component
+  }
 }
