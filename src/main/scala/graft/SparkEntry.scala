@@ -1094,6 +1094,18 @@ object SparkEntry {
         thresholdE6 = 900000L)
     }),
 
+    // token document-frequency vocabulary (top-100) — the corpus pass a
+    // tokenizer-training / vocab-pruning pipeline starts from
+    "q_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), "doc_id", "text", 100)),
+
+    // int8 embedding quantization + per-element reconstruction error — the
+    // 4x storage-compression path of an ANN index
+    "q_emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 50),
+        "vec_id", "embedding", 64)),
+
     // headline relational aggregate (bench anchor)
     "q_agg_pricing" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -1658,6 +1670,34 @@ object SparkEntry {
         |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) AS ks_e5,
         |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) >= 5000 AS drifted
         |FROM cum GROUP BY partition""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok FROM documents,
+        |    unnest(string_split(text, ' ')) AS t(tok)
+        |  WHERE length(t.tok) > 0)
+        |SELECT tok, count(DISTINCT doc_id) AS doc_freq,
+        |  count(*) AS occurrences
+        |FROM toks GROUP BY tok
+        |ORDER BY doc_freq DESC, occurrences DESC, tok LIMIT 100""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id AS id, CAST(t.i AS INT) AS dim,
+        |    CAST(list_extract(embedding, CAST(t.i AS INT) + 1) AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(len(embedding))) AS t(i)
+        |  WHERE vec_id < 50),
+        |mx AS (SELECT id, max(abs(x)) AS maxabs FROM ex GROUP BY id),
+        |qz AS (SELECT ex.id, ex.dim, ex.x, mx.maxabs,
+        |    CASE WHEN mx.maxabs = 0 THEN 0
+        |         ELSE greatest(-127, least(127,
+        |           CAST(floor(ex.x * 127.0 / mx.maxabs + 0.5) AS BIGINT))) END AS q
+        |  FROM ex JOIN mx USING (id))
+        |SELECT id, dim, q,
+        |  CAST(floor(abs(x - (CASE WHEN maxabs = 0 THEN 0.0
+        |    ELSE CAST(q AS DOUBLE) * maxabs / 127.0 END)) * 1000000.0) AS BIGINT)
+        |    AS err_e6
+        |FROM qz""".stripMargin,
 
     // NOTE: every oracle-side integer SUM is wrapped CAST(... AS BIGINT) —
     // DuckDB promotes SUM(BIGINT) to HUGEINT, which pandas renders as float64

@@ -214,6 +214,32 @@ object Similarity {
       .filter(col("cosine_e6") >= thresholdE6)
   }
 
+  /** Int8 quantization of the embedding column — the storage-compression
+    * path an ANN index takes at scale (4× smaller than float32):
+    * q_d = round-half-up(x_d · 127 / max|x|), clamped to ±127, with the
+    * per-element reconstruction error 1e6-scaled. All scalar IEEE ops in a
+    * fixed order (floor(x+0.5) is round-half-up — deterministic on every
+    * engine, unlike round()'s half-even ULP edge). Output:
+    * (id, dim, q, err_e6). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .localCheckpoint() // consumed twice (max agg + quantization)
+    val mx = ex.groupBy("id").agg(max(abs(col("x"))).as("maxabs"))
+    ex.join(mx, Seq("id"))
+      .withColumn("q",
+        when(col("maxabs") === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(col("x") * 127.0 / col("maxabs") + 0.5).cast("long")))))
+      .withColumn("deq",
+        when(col("maxabs") === 0.0, lit(0.0))
+          .otherwise(col("q").cast("double") * col("maxabs") / 127.0))
+      .withColumn("err_e6", floor(abs(col("x") - col("deq")) * 1e6).cast("long"))
+      .select("id", "dim", "q", "err_e6")
+  }
+
   // ---- float-path helpers kept for compatibility (non-hot paths) ----------
 
   /** Cosine similarity of two float-array columns as a double expression

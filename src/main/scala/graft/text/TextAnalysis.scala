@@ -76,6 +76,22 @@ object TextAnalysis {
     }
   }
 
+  /** Vocabulary statistics: per token, the number of documents containing
+    * it (document frequency) and its total occurrence count — the corpus
+    * pass a tokenizer-training / vocab-pruning pipeline starts from. One
+    * explode + one map-side-combinable aggregate; top-k compiles to
+    * TakeOrderedAndProject (no global sort). */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(
+        count_distinct(col("id")).as("doc_freq"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("doc_freq").desc, col("occurrences").desc, col("tok"))
+      .limit(k)
+
   /** Document fingerprint: sha256 of the text — the per-row content
     * invariant of the north rule (`input_hint`), also used by exact dedup. */
   def fingerprint(text: Column): Column = sha2(text, 256)

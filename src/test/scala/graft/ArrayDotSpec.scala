@@ -74,4 +74,17 @@ class ArrayDotSpec extends SparkSpec {
       s"expected (0,100) pair, got ${out.mkString(",")}")
     assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
   }
+
+  test("quantizeInt8: max element hits ±127, zero vector stays zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got((1L, 1))._1 == -127L)          // the max-magnitude element
+    assert(got((1L, 0))._1 == 64L)            // 0.5/1.0*127 = 63.5 → half-up 64
+    assert(got((1L, 3)) == ((0L, 0L)))        // exact zero, no error
+    assert((0 until 4).forall(d => got((2L, d)) == ((0L, 0L)))) // zero vector
+  }
 }
