@@ -678,6 +678,16 @@ object SparkEntry {
       })
     }
 
+  /** MinHash-LSH candidate pairs over documents — shared by the LSH,
+    * Jaccard-verify, and cluster queries; computed once per dir. */
+  private val lshCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshCache.synchronized {
+      lshCache.getOrElseUpdate(dir,
+        Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint())
+    }
+
   /** All-pairs verdict frame (missing counts) — computed once per dir; the
     * exact/partial/eval/nary queries are all filters over it. */
   private val verdictCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -812,15 +822,12 @@ object SparkEntry {
 
     // MinHash + LSH near-dup candidate pairs (8-char shingles, 4 bands × 4
     // rows — matches Dedup.minhashLsh defaults and shingleSql)
-    "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text")),
+    "q_minhash_lsh" -> ((s, dir) => cachedLshPairs(s, dir)),
 
     // n-gram Jaccard verify over the LSH candidates
-    "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.ngramJaccard(docs, "doc_id", "text",
-        Dedup.minhashLsh(docs, "doc_id", "text"))
-    }),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.load(s, dir, "documents"), "doc_id", "text",
+        cachedLshPairs(s, dir))),
 
     // MOSS-style winnowing fingerprints (k=8 shingles, w=4 windows): any
     // shared substring ≥ 11 chars guarantees a shared fingerprint
@@ -830,8 +837,7 @@ object SparkEntry {
     // dedup clusters: connected components over the MinHash-LSH candidate
     // pairs (hash-to-min label propagation; min id = canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.minhashLsh(Tables.load(s, dir, "documents"), "doc_id", "text"))),
+      Dedup.connectedComponents(cachedLshPairs(s, dir))),
 
     // SimHash signatures (32-bit, token-vote) — bit math ports exactly
     "q_simhash_sig" -> ((s, dir) =>

@@ -187,13 +187,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .groupBy(col("x").as("id")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
+      // pointer doubling: also adopt the current label OF the label — path
+      // compression that turns O(diameter) rounds into O(log diameter)
+      val next = stepped.join(
+          labels.select(col("id").as("lbl1"), col("lbl").as("plbl")),
+          Seq("lbl1"), "left")
+        .select(col("id"), col("old"),
+          least(col("lbl1"), coalesce(col("plbl"), col("lbl1"))).as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
       converged = changed == 0
     }
     labels.select(col("id"), col("lbl").as("cluster_id"),
