@@ -236,17 +236,4 @@ object Dedup {
       .select("a", "b", "inter", "ua", "ub", "jaccard_e5")
   }
 
-  /** Embedding-cosine near-dup pairs among LSH candidates (or any pair
-    * frame): joins embeddings and keeps pairs with cosine ≥ threshold. */
-  def embeddingNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
-                       candidates: DataFrame, threshold: Double): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cos = graft.ann.Similarity.cosine(col("va"), col("vb"))
-    candidates
-      .join(e.select(col("id").as("a"), col("v").as("va")), Seq("a"))
-      .join(e.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .withColumn("cosine", cos)
-      .filter(col("cosine") >= threshold)
-      .select("a", "b", "cosine")
-  }
 }
