@@ -1100,6 +1100,11 @@ object SparkEntry {
         thresholdE6 = 900000L)
     }),
 
+    // Gopher/C4-style repetition quality filters (top-token fraction,
+    // distinct ratio, duplicated-2gram fraction — 1e5-scaled exact integers)
+    "q_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // token document-frequency vocabulary (top-100) — the corpus pass a
     // tokenizer-training / vocab-pruning pipeline starts from
     "q_vocab_topk" -> ((s, dir) =>
@@ -1676,6 +1681,31 @@ object SparkEntry {
         |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) AS ks_e5,
         |  CAST((max(abs(cum_n * t - cum_gn * pt)) * 100000) // (max(pt) * max(t)) AS BIGINT) >= 5000 AS drifted
         |FROM cum GROUP BY partition""".stripMargin,
+
+    "q_repetition_stats" ->
+      """WITH split_t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(t.i AS INT) AS i,
+        |         list_extract(parts, CAST(t.i AS INT) + 1) AS tok
+        |  FROM split_t, unnest(range(len(parts))) AS t(i)),
+        |toksf AS (SELECT * FROM toks WHERE length(tok) > 0),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM toksf GROUP BY 1, 2),
+        |per_doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              max(c) AS top_cnt, count(*) AS n_distinct
+        |            FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, tok || ' ' ||
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        |       FROM toksf),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL
+        |        GROUP BY 1, 2),
+        |bg_doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+        |           FROM bgc GROUP BY 1)
+        |SELECT p.doc_id AS id, p.n_tokens,
+        |  (p.top_cnt * 100000) // p.n_tokens AS top_token_frac_e5,
+        |  (p.n_distinct * 100000) // p.n_tokens AS distinct_ratio_e5,
+        |  coalesce((b.dup_occ * 100000) // b.n_bigrams, 0) AS dup_bigram_frac_e5
+        |FROM per_doc p LEFT JOIN bg_doc b USING (doc_id)""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH toks AS (

@@ -92,6 +92,40 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("occurrences").desc, col("tok"))
       .limit(k)
 
+  /** Gopher/C4-style repetition quality filters, per document:
+    *   - top_token_frac_e5: occurrences of the most frequent token / tokens
+    *   - distinct_ratio_e5: distinct tokens / tokens
+    *   - dup_bigram_frac_e5: occurrences belonging to repeated 2-grams /
+    *     total 2-grams
+    * The repetition signals large-scale corpus cleaning prunes on (boiler-
+    * plate, generation loops). All counts integer, ratios 1e5-scaled floored
+    * — engine-exact. Two aggregates keyed by doc; the bigram window is
+    * bounded by document length. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("i", "tok")))
+      .filter(length(col("tok")) > 0)
+    val tokCounts = toks.groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val perDoc = tokCounts.groupBy("id").agg(
+      sum("c").as("n_tokens"), max("c").as("top_cnt"),
+      count(lit(1)).as("n_distinct"))
+    val bigrams = toks
+      .withColumn("nxt", lead("tok", 1).over(
+        Window.partitionBy("id").orderBy("i")))
+      .filter(col("nxt").isNotNull)
+      .select(col("id"), concat(col("tok"), lit(" "), col("nxt")).as("bg"))
+    val bgPerDoc = bigrams.groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n_bigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"))
+    perDoc.join(bgPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        expr("(top_cnt * 100000) div n_tokens").as("top_token_frac_e5"),
+        expr("(n_distinct * 100000) div n_tokens").as("distinct_ratio_e5"),
+        coalesce(expr("(dup_occ * 100000) div n_bigrams"), lit(0L))
+          .as("dup_bigram_frac_e5"))
+  }
+
   /** Document fingerprint: sha256 of the text — the per-row content
     * invariant of the north rule (`input_hint`), also used by exact dedup. */
   def fingerprint(text: Column): Column = sha2(text, 256)

@@ -164,4 +164,15 @@ class DedupTextSpec extends SparkSpec {
     assert(got(20L)._1 == 20L)
     assert(got.count(_._2._2) == 3) // one keeper per component
   }
+
+  test("repetition stats: known fractions on a crafted doc") {
+    import spark.implicits._
+    // tokens: a a a b  → top 3/4, distinct 2/4; bigrams: "a a" x2, "a b" x1
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text").head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("top_token_frac_e5") == 75000L)
+    assert(r.getAs[Long]("distinct_ratio_e5") == 50000L)
+    assert(r.getAs[Long]("dup_bigram_frac_e5") == 66666L) // 2 of 3 bigrams
+  }
 }
