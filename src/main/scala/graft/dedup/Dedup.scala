@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, n-gram Jaccard, embedding-cosine near-dup. Everything is
+  * SimHash, n-gram Jaccard, winnowing fingerprints, and cluster assignment
+  * (embedding-cosine near-dup lives in ann.Similarity). Everything is
   * expression-based (md5/sha2 + array functions — no UDFs), deterministic
   * under any parallelism, and shuffle-bounded:
   *   - exact dedup: one hash groupBy (map-side combine collapses dup texts)
