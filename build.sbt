@@ -26,8 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with the suite's cached/checkpointed frames needs headroom:
-  // at 8g the later queries go GC-bound (suite total drifted 104→130 s at
-  // sf0.1); the sandbox has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Heap: SPARK_DRIVER_MEM wins; otherwise derive from host RAM — 24g only
+  // when the machine actually has the headroom (the full sf0.1 suite's
+  // cached frames go GC-bound at 8g: total drifted 104→130 s), 8g as the
+  // portable default so a typical dev machine still starts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val memKb = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal")).map(_.split("\\s+")(1).toLong).getOrElse(0L)
+    } catch { case _: Exception => 0L }
+    if (memKb >= 64L * 1024 * 1024) "24g" else "8g"
+  })}",
 )

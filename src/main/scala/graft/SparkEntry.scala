@@ -600,22 +600,29 @@ object SparkEntry {
         |bl AS (SELECT dep, ref FROM verdict WHERE missing = 0)
         |""".stripMargin
 
-  /** 32-bit SimHash in SQL: explode whitespace tokens, md5-derived 32-bit
-    * int per token, per-bit ±1 votes, sign → bit (mirrors Dedup.simhash). */
+  /** 64-bit SimHash in SQL: explode whitespace tokens, md5-derived 64-bit
+    * int per token (two 32-bit hex halves, like the engine), per-bit ±1
+    * votes, sign → bit (mirrors Dedup.simhash). Bit 63 is the two's-
+    * complement Long.MinValue term; DuckDB's `>>` on BIGINT is arithmetic
+    * like Spark's shiftright, so banding the signed signature matches. */
   private val simhashSigSql: String = {
-    val votes = (0 until 32).map { b =>
-      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    val votes = (0 until 64).map { b =>
+      val h = if (b < 32) "hlo" else "hhi"
+      s"sum(CASE WHEN ($h >> ${b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(", ")
-    val sig = (0 until 32).map { b =>
+    val sig = (0 until 63).map { b =>
       s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    }.mkString(" + ") +
+      " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
     s"""WITH toks AS (
        |  SELECT doc_id, t.tok FROM documents,
        |    unnest(string_split(text, ' ')) AS t(tok)
        |  WHERE length(t.tok) > 0),
-       |hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+       |hs AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+       |  ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi FROM toks),
        |votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
-       |SELECT doc_id AS id, $sig AS simhash FROM votes""".stripMargin
+       |SELECT doc_id AS id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
   }
 
   private def langScoreSql(markers: Seq[String]): String =
@@ -1569,7 +1576,7 @@ object SparkEntry {
     "q_simhash_candidates" ->
       (s"WITH sig AS ($simhashSigSql), bands AS (" +
         (0 until 4).map { b =>
-          s"SELECT id, 's$b:' || ((simhash >> ${b * 8}) & 255) AS band FROM sig"
+          s"SELECT id, 's$b:' || ((simhash >> ${b * 16}) & 65535) AS band FROM sig"
         }.mkString(" UNION ALL ") + ") " +
         "SELECT DISTINCT x.id AS a, y.id AS b FROM bands x JOIN bands y " +
         "ON x.band = y.band AND x.id < y.id"),

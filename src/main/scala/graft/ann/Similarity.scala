@@ -199,7 +199,7 @@ object Similarity {
 
   /** Embedding near-dup pairs over sign-LSH bucket candidates, fixed-point:
     * (a, b, cosine_e6) for same-bucket pairs with cosine_e6 ≥ thresholdE6.
-    * `extraRows` lets callers union designed near-dups into the base frame
+    * Callers may union designed near-dups into `intBase` before calling
     * (see SparkEntry q_emb_neardup). */
   def nearDupPairs(intBase: DataFrame, planes: Int, dim: Int,
                    thresholdE6: Long): DataFrame = {

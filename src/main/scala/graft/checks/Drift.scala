@@ -3,6 +3,7 @@ package graft.checks
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distribution-drift checks across partitions (north_star): categorical
   * total-variation distance and a histogram/KS statistic, each comparing a
@@ -21,9 +22,16 @@ object Drift {
                   thresholdE5: Long = 10000L): DataFrame = {
     val counts = df.groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
       .agg(count("*").as("n"))
+    categoricalFromCounts(counts, df.count(), thresholdE5)
+  }
+
+  /** TVD from pre-aggregated (partition, cat, n) counts — the mergeable form
+    * (per-ingest partial counts union here without rescanning data), and the
+    * form the overflow property test drives with planted > 2^31 counts. */
+  def categoricalFromCounts(counts: DataFrame, globalTotal: Long,
+                            thresholdE5: Long = 10000L): DataFrame = {
     val partTotals = counts.groupBy("partition").agg(sum("n").as("pt"))
     val globalCounts = counts.groupBy("cat").agg(sum("n").as("gn"))
-    val globalTotal = df.count()
     // per (partition, cat): |p - q|; cats absent from a partition contribute
     // q, handled by a right join against the full cat list per partition
     val full = partTotals.crossJoin(globalCounts)
@@ -32,13 +40,19 @@ object Drift {
     // exact integer arithmetic: TVD = Σ|n·t − gn·pt| / (2·pt·t); a single
     // integer division at the end makes the 1e5-scaled statistic identical
     // on every engine (float summation order flipped floor() at boundaries).
-    // Note: n·t stays in Long range up to ~3·10^9-row inputs; beyond that
-    // switch to the double formula (the statistic is approximate anyway).
+    // The numerator is DECIMAL(38,0): n·t alone overflows Long past ~3·10^9
+    // rows and a 100 TB corpus is 10^11-10^12 — decimal keeps the statistic
+    // exact to 10^19-row inputs (sum of |terms| < 10^38). DuckDB mirrors
+    // this for free (its BIGINT sums widen to HUGEINT). Spark's `div` on
+    // decimals is exact integral division back to Long.
+    val dec = DecimalType(38, 0)
     full.groupBy("partition")
       .agg(max("pt").as("pt"),
-        sum(abs(col("n") * lit(globalTotal) - col("gn") * col("pt"))).as("num"))
+        sum(abs(col("n").cast(dec) * lit(globalTotal) - col("gn").cast(dec) * col("pt")))
+          .as("num"))
       .withColumn("tvd_e5",
-        expr(s"(num * 100000) div (2 * pt * ${globalTotal}L)"))
+        expr(s"(num * 100000) div (2 * CAST(pt AS DECIMAL(38,0)) * ${globalTotal}L)")
+          .cast("long"))
       .withColumn("drifted", col("tvd_e5") >= thresholdE5)
       .select(col("partition"), col("pt").as("n_rows"), col("tvd_e5"), col("drifted"))
   }
@@ -56,8 +70,14 @@ object Drift {
         least(greatest(floor((col(numCol) - lit(lo)) / lit(w)), lit(0L)),
           lit(bins - 1L)).as("bin"))
     val counts = binned.groupBy("partition", "bin").agg(count("*").as("n"))
-    val globalCounts = binned.groupBy("bin").agg(count("*").as("gn"))
-    val globalTotal = binned.count()
+    ksFromCounts(counts, binned.count(), thresholdE5)
+  }
+
+  /** KS from pre-aggregated (partition, bin, n) counts — mergeable form +
+    * the overflow property-test surface (see categoricalFromCounts). */
+  def ksFromCounts(counts: DataFrame, globalTotal: Long,
+                   thresholdE5: Long = 10000L): DataFrame = {
+    val globalCounts = counts.groupBy("bin").agg(sum("n").as("gn"))
     val partTotals = counts.groupBy("partition").agg(sum("n").as("pt"))
     // densify: every (partition, bin) pair so cumulative sums align
     val full = partTotals.crossJoin(globalCounts)
@@ -66,15 +86,20 @@ object Drift {
     val cumW = Window.partitionBy("partition").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // exact integers: KS = max|C·t − G·pt| / (pt·t) with C,G cumulative
-    // counts — same engine-portable single-division trick as `categorical`
+    // counts — same engine-portable single-division trick (and the same
+    // DECIMAL(38,0) widening: C·t overflows Long past ~3·10^9 rows) as
+    // `categoricalFromCounts`
+    val dec = DecimalType(38, 0)
     full
       .withColumn("cum_n", sum("n").over(cumW))
       .withColumn("cum_gn", sum("gn").over(cumW))
       .withColumn("dev",
-        abs(col("cum_n") * lit(globalTotal) - col("cum_gn") * col("pt")))
+        abs(col("cum_n").cast(dec) * lit(globalTotal) - col("cum_gn").cast(dec) * col("pt")))
       .groupBy("partition")
       .agg(max("pt").as("pt"), max("dev").as("dev"))
-      .withColumn("ks_e5", expr(s"(dev * 100000) div (pt * ${globalTotal}L)"))
+      .withColumn("ks_e5",
+        expr(s"(dev * 100000) div (CAST(pt AS DECIMAL(38,0)) * ${globalTotal}L)")
+          .cast("long"))
       .withColumn("drifted", col("ks_e5") >= thresholdE5)
       .select(col("partition"), col("pt").as("n_rows"), col("ks_e5"), col("drifted"))
   }

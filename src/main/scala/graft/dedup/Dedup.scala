@@ -125,30 +125,40 @@ object Dedup {
       .select("id", "minh").distinct()
   }
 
-  /** 32-bit SimHash over whitespace tokens: per token take md5, use its first
-    * 8 hex chars as 32 bits; per bit position sum +1/−1 votes; sign → bit.
-    * Pure expression pipeline: explode tokens → conv(hex→long) → per-doc,
-    * per-bit vote aggregation in ONE groupBy (map-side combinable). */
+  /** 64-bit SimHash over whitespace tokens: per token take md5, use its
+    * first 16 hex chars as 64 bits (two 32-bit conv halves — conv of the
+    * full 16 chars would overflow the signed-long cast); per bit position
+    * sum +1/−1 votes; sign → bit. Pure expression pipeline: explode tokens →
+    * conv(hex→long) → per-doc, per-bit vote aggregation in ONE groupBy
+    * (map-side combinable). 64 bits (not 32) so the banded candidate join
+    * has 65,536-value bands — at 32 bits the 256-value byte-bands made
+    * bucket populations grow as N/256 and the candidate join quadratic. The
+    * signature is a signed two's-complement long (bit 63 = Long.MinValue
+    * term — addition can't overflow since bits 0-62 sum < 2^63). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("id"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
-    val votes = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("hhi"))
+    val votes = (0 until 64).map { b =>
+      val h = if (b < 32) col("hlo") else col("hhi")
+      sum(when(shiftright(h, b % 32).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$b")
     }
     val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 32).map { b =>
+    val sig = (0 until 63).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.reduce(_ + _) + when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
     voted.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: split the 32-bit signature into 4 bytes;
-    * pairs agreeing on any byte-band are candidates (Hamming ≤ 3 guaranteed
-    * to collide on ≥1 band). */
+  /** SimHash near-dup candidates: split the 64-bit signature into 4 16-bit
+    * bands; pairs agreeing on any band are candidates (Hamming ≤ 3
+    * guaranteed to collide on ≥1 band). 16-bit bands keep expected bucket
+    * population at N/65,536 — the banded self-join stays near-linear where
+    * 8-bit bands (256 values) degenerate quadratically. */
   def simhashCandidates(sig0: DataFrame): DataFrame = {
     // same rationale as minhashLsh: 8 derivations of the signature pipeline
     // otherwise (4 band branches × 2 join sides)
@@ -156,7 +166,7 @@ object Dedup {
     val banded = (0 until 4).map { b =>
       sig.select(col("id"),
         concat(lit(s"s$b:"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).cast("string")).as("band"))
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).cast("string")).as("band"))
     }.reduce(_ unionAll _)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))

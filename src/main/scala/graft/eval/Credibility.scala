@@ -100,7 +100,10 @@ object Credibility {
   def thresholdSweep(ranked: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val spark = ranked.sparkSession
     import spark.implicits._
-    val maxCred = ranked.agg(max("credibility_e6")).head.getLong(0)
+    // max() over an empty frame is NULL — an empty ranking yields an
+    // all-zero sweep (mirrors the oracle, where a NULL max predicts nothing)
+    val maxRow = ranked.agg(max("credibility_e6")).head
+    val maxCred = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val total = ranked.count()
     val t = thresholds.toDF("threshold")
     val predicted =

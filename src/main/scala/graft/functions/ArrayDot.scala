@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   *
   * Elements are assumed non-null (graft's fixed-point vectors are built with
   * floor() over non-null floats); null ARRAYS propagate null via
-  * nullSafeCodeGen. Long dots of 1e6-scaled 64-dim vectors stay < 2^53, so
+  * nullSafeCodeGen. A LENGTH MISMATCH throws: a ragged or truncated
+  * embedding must fail fast, not silently contribute a partial dot product
+  * to an ANN ranking. Long dots of 1e6-scaled 64-dim vectors stay < 2^53, so
   * they are exact in long AND in any engine's double (the DuckDB oracle uses
   * list_dot_product).
   */
@@ -28,7 +30,7 @@ case class LongArrayDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = ArrayDot.checkedLength(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
@@ -41,7 +43,7 @@ case class LongArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.ArrayDot.checkedLength($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getLong($i) * $b.getLong($i);
@@ -72,7 +74,7 @@ case class DoubleArrayDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val xl = elemType(left) == LongType
     val yl = elemType(right) == LongType
-    val n = math.min(x.numElements(), y.numElements())
+    val n = ArrayDot.checkedLength(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -93,7 +95,7 @@ case class DoubleArrayDot(left: Expression, right: Expression)
         if (elemType(e) == LongType) s"(double) $arr.getLong($i)"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.ArrayDot.checkedLength($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${get(a, left)} * ${get(b, right)};
@@ -108,6 +110,14 @@ case class DoubleArrayDot(left: Expression, right: Expression)
 }
 
 object ArrayDot {
+  /** Both eval paths funnel length checks here (called from generated code,
+    * so it must stay public + JVM-static via the object). */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"ArrayDot: vector length mismatch ($a vs $b) — corrupt or truncated embedding")
+    a
+  }
+
   /** exact long dot of two array<long> columns */
   def dotLong(a: Column, b: Column): Column =
     GraftExpressionBridge.column(LongArrayDot(

@@ -36,13 +36,18 @@ object IndValidator {
     * Input: deduped long form (col, val).
     */
   def coOccurrence(distinctLong: DataFrame): DataFrame = {
-    // group by the 8-byte xxhash64 of the value, not the value itself: the
-    // exchange moves longs instead of full strings (the input is already
-    // distinct per (col, val), so the hash only keys the shuffle). A
-    // cross-value collision would merge two attribute sets — probability
-    // ~|values|²/2^64 ≈ 1e-6 at 10^7 distinct values; at larger scales swap
-    // in a 128-bit hash.
-    val sets = distinctLong.groupBy(xxhash64(col("val")).as("hval"))
+    // group by a 128-bit key (two independently-seeded xxhash64 halves) of
+    // the value, not the value itself: the exchange moves 16 bytes instead
+    // of full strings (the input is already distinct per (col, val), so the
+    // hashes only key the shuffle). This is the EXACT baseline every
+    // confusion matrix and credibility ranking is scored against, so a
+    // single 64-bit hash (collision ~1e-6 at 10^7 values, near-certain at
+    // 10^10) is not enough: a cross-value collision would merge two
+    // attribute sets and report a false exact IND. At 128 bits the collision
+    // probability stays < 1e-18 even at 10^10 distinct values.
+    val sets = distinctLong.groupBy(
+        xxhash64(col("val")).as("h1"),
+        xxhash64(lit("graft-seed-2"), col("val")).as("h2"))
       .agg(collect_set(col("col")).as("cols"))
       .select(explode(col("cols")).as("dep"), col("cols"))
       .select(col("dep"), explode(col("cols")).as("ref"))
@@ -137,19 +142,25 @@ object IndValidator {
         val df = Tables.load(spark, sfDir, table)
         val entries = group.map { cols =>
           val names = cols.map(_.split('.')(1))
-          // 8-byte xxhash64 tuple key over the string-cast values (string
-          // cast normalizes physical types across tables; per-column chained
-          // hashing keeps ("ab","c") != ("a","bc")). Collision risk over
-          // ~10^7 keys is ~2^-40; at 100 TB a 128-bit hash would take over.
-          val key = xxhash64(names.map(n => col(n).cast(StringType)): _*)
+          // 128-bit tuple key: two independently-seeded xxhash64 halves over
+          // the string-cast values (string cast normalizes physical types
+          // across tables; per-column chained hashing keeps
+          // ("ab","c") != ("a","bc")). 16 bytes/row keeps the shuffle
+          // compact while the exact-baseline verdict stays collision-safe
+          // past 10^10 distinct tuples (a lone 64-bit key collides with
+          // near-certainty there and would report a false exact IND).
+          val vals = names.map(n => col(n).cast(StringType))
+          val k1 = xxhash64(vals: _*)
+          val k2 = xxhash64(lit("graft-seed-2") +: vals: _*)
           val nonNull = names.map(n => col(n).isNotNull).reduce(_ && _)
-          struct(lit(comboIdx(comboId(cols))).as("cid"), when(nonNull, key).as("val"))
+          struct(lit(comboIdx(comboId(cols))).as("cid"),
+            when(nonNull, k1).as("v1"), when(nonNull, k2).as("v2"))
         }
         df.select(explode(array(entries: _*)).as("cv"))
-          .select(col("cv.cid").as("cid"), col("cv.val").as("val"))
-          .filter(col("val").isNotNull)
+          .select(col("cv.cid").as("cid"), col("cv.v1").as("v1"), col("cv.v2").as("v2"))
+          .filter(col("v1").isNotNull)
       }.reduce(_ unionAll _)
-      .dropDuplicates("cid", "val")
+      .dropDuplicates("cid", "v1", "v2")
       // materialize ONCE: consumed by the distinct-count agg and both sides
       // of the co-occurrence join
       .localCheckpoint()
@@ -157,8 +168,8 @@ object IndValidator {
     val u = tlf.groupBy("cid").agg(count("*").as("dep_distinct"))
     // co-occurrence: codegen'd long-key self-join + count — tuple hashes are
     // near-unique, so the join fan-out is bounded by true containments
-    val co = tlf.select(col("cid").as("dcid"), col("val"))
-      .join(tlf.select(col("cid").as("rcid"), col("val")), Seq("val"))
+    val co = tlf.select(col("cid").as("dcid"), col("v1"), col("v2"))
+      .join(tlf.select(col("cid").as("rcid"), col("v1"), col("v2")), Seq("v1", "v2"))
       .filter(col("dcid") =!= col("rcid"))
       .groupBy("dcid", "rcid").agg(count("*").as("co"))
     val candDf = broadcast(spark.createDataFrame(

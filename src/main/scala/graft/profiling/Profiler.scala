@@ -33,7 +33,6 @@ object Profiler {
     * lexicographic like the reference (descriptive_statistics.py:27).
     */
   def stringStats(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
-    val total = df.count() // row count of the table, reused for null counts
     def statsFor(c: String): Seq[Column] = {
       val v = col(c).cast(StringType)
       // min_by/max_by with a null ordering key skip null rows, so nulls
@@ -47,10 +46,13 @@ object Profiler {
         min_by(v, ord).as(s"${c}__shortest"),
         max_by(v, ord).as(s"${c}__longest"))
     }
-    val aggs = cols.flatMap(statsFor)
+    // the table row count rides in the SAME aggregate (a separate df.count()
+    // would be a second full scan per table — measurable at 100 TB)
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap(statsFor)
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into one row per column (driver-side tiny)
     val row = wide.collect()(0)
+    val total = row.getAs[Long]("__total")
     val out = cols.map { c =>
       (s"$table.$c",
         row.getAs[Long](s"${c}__cnt"),

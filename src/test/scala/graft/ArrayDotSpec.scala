@@ -25,6 +25,18 @@ class ArrayDotSpec extends SparkSpec {
     assert(df.select(ArrayDot.dotLong(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("dotLong: ragged arrays throw instead of silently truncating") {
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L))).toDF("a", "b")
+    // surfaces as SparkException from an executor, or directly when the
+    // local relation is constant-folded on the driver
+    val e = intercept[Exception] {
+      df.select(ArrayDot.dotLong(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("length mismatch")))
+  }
+
   test("dotDouble: mixed long/double sides") {
     val df = Seq((Array(2L, 3L), Array(0.5, 2.0))).toDF("a", "b")
     val d = df.select(ArrayDot.dotDouble(col("a"), col("b"))).head.getDouble(0)

@@ -81,4 +81,29 @@ class CorpusDriftSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("ks_e5"))
     assert(ks2.forall(_ == 0L))
   }
+
+  test("TVD/KS numerators survive planted counts > 2^31 (no Long overflow)") {
+    import spark.implicits._
+    // 4e9 rows per partition: each |n·t − gn·pt| term is 8e18 and the
+    // per-partition numerator sum 1.6e19 > Long.MaxValue (9.2e18) — the
+    // pre-decimal Long path wrapped negative here. Expected TVD is 0.25
+    // exactly (worked with BigInt): num = 16e18, denom = 2·4e9·8e9 = 64e18.
+    val big = 3_000_000_000L // > 2^31
+    val small = 1_000_000_000L
+    val counts = Seq(
+      ("p1", "a", big), ("p1", "b", small),
+      ("p2", "a", small), ("p2", "b", big)).toDF("partition", "cat", "n")
+    val total = 2 * (big + small)
+    val tvd = Drift.categoricalFromCounts(counts, total)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tvd_e5")).toMap
+    assert(tvd("p1") == 25000L && tvd("p2") == 25000L, s"got $tvd")
+    // KS twin: same planted counts as bins — cumulative C·t reaches 3.2e19.
+    // Expected max dev 8e18 → ks = 8e18·1e5 / (4e9·8e9) = 25000.
+    val binCounts = Seq(
+      ("p1", 0L, big), ("p1", 1L, small),
+      ("p2", 0L, small), ("p2", 1L, big)).toDF("partition", "bin", "n")
+    val ks = Drift.ksFromCounts(binCounts, total)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ks_e5")).toMap
+    assert(ks("p1") == 25000L && ks("p2") == 25000L, s"got $ks")
+  }
 }

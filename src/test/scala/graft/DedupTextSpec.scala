@@ -49,6 +49,21 @@ class DedupTextSpec extends SparkSpec {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("simhash banding prunes: distinct docs emit candidates << all pairs") {
+    // 400 mutually-unrelated docs: with 4 × 16-bit bands the expected
+    // accidental band collisions are ~4·C(400,2)/65536 ≈ 5 pairs; the old
+    // 8-bit banding produced ~19% of ALL pairs (quadratic at scale). Bound
+    // the ratio at 2% — loose enough to never flake, tight enough that a
+    // regression to small bands trips it immediately.
+    val n = 400
+    val many = (0 until n).map(i =>
+        (i.toLong, (0 until 12).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(Dedup.simhash(many, "doc_id", "text")).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cands < allPairs / 50, s"$cands candidates of $allPairs pairs")
+  }
+
   test("token counts, punctuation, quality") {
     val one = Seq((0L, "Hello world, this is a test! It has 2 numbers 42."))
       .toDF("doc_id", "text")
@@ -124,7 +139,7 @@ class DedupTextSpec extends SparkSpec {
       (0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
       (2L, Array.fill(8)(-1.0f))
     ).toDF("vec_id", "embedding")
-    val r = Similarity.lshTopK(e, "vec_id", "embedding", 5, planes = 4)
+    val r = Similarity.lshTopK(e, "vec_id", "embedding", 5, planes = 4, dim = 8)
       .collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("nid"))).toSet
     assert(r.contains((0L, 1L)) && r.contains((1L, 0L)))
     assert(!r.contains((0L, 2L)))
