@@ -34,6 +34,14 @@ object SparkEntry {
   private val oracleMethods =
     Seq("random", "smallest-value", "biggest-value", "longest-value", "evenly-spaced")
 
+  /** Unroll depth of the n-ary oracle CTEs — must be ≥ the deepest
+    * candidate-bearing lattice level at the gate scale (sf0.01 exhausts at
+    * arity 3; level 4 is the proof-of-generality margin). Defined HERE, at
+    * the top of the object, because the oracle vals below read it at object
+    * init (vals initialize top-to-bottom — a later definition silently
+    * yields 0 and an empty oracle). */
+  val NaryOracleLevels = 4
+
   /** long form: every participating column as (col, val) string rows. */
   private val longFormSql: String =
     Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
@@ -59,8 +67,12 @@ object SparkEntry {
     * (cols, key) rows — the tuple-level long form the n-ary IND oracle walks.
     * Key tuples are chr(31)-joined (the same unit separator
     * IndValidator.validateNaryBatch uses) and emitted only when every
-    * participating column is non-null. */
-  private def tupleLongFormSql(arity: Int): String =
+    * participating column is non-null. `guardCte`: name of a CTE whose
+    * EMPTINESS short-circuits the whole scan (an uncorrelated EXISTS on the
+    * source rows, BEFORE the unnest — measured 0.2 s vs 9.6 s for an empty
+    * arity-4 level over lineitem's 360 tuple permutations; the per-tuple key
+    * concat is the cost, and a level with no candidates must not pay it). */
+  private def tupleLongFormSql(arity: Int, guardCte: Option[String] = None): String =
     Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
       val cols = Tables.indColumns(t)
       def tuples(k: Int): Seq[Seq[String]] =
@@ -72,19 +84,53 @@ object SparkEntry {
         val nn = tup.map(c => s"$c IS NOT NULL").mkString(" AND ")
         s"{'cols': '$name', 'k': CASE WHEN $nn THEN $key END}"
       }
+      val src = guardCte match {
+        case Some(g) => s"(SELECT * FROM $t WHERE EXISTS (SELECT 1 FROM $g)) _src$arity"
+        case None    => t
+      }
       // ONE scan per table (unnest of a struct list — the SQL twin of the
       // Spark-side explode(array(structs)) unpivot); a per-tuple UNION ALL
       // would reopen the parquet file per branch and trip the fd limit
       if (entries.isEmpty) Nil
-      else Seq(s"SELECT r.cols AS cols, r.k AS k FROM $t, " +
+      else Seq(s"SELECT r.cols AS cols, r.k AS k FROM $src, " +
         s"unnest([${entries.mkString(", ")}]) AS _u$arity(r) WHERE r.k IS NOT NULL")
     }.mkString(" UNION ALL ")
 
   /** n-ary lattice CTEs (shared by the q_ind_nary and q_eval_nary oracles):
-    * the apriori walk (arity 2 then 3) — candidates from the unary exact
-    * verdict frame, validation by tuple-level distinct counts +
-    * co-occurrence, exactly the Pruning.naryCandidatesLevel /
-    * validateNaryBatch semantics. */
+    * the apriori walk, one generated level block per arity 2..
+    * `NaryOracleLevels` — candidates expand a previous-level passing IND by
+    * a unary exact IND under EXACTLY the Pruning.naryCandidatesLevel
+    * predicate (canonical dep order via `> last dep column`, one table per
+    * side, no ref reuse), validation by tuple-level distinct counts +
+    * co-occurrence (validateNaryBatch semantics). The engine runs until a
+    * level has no candidates; the oracle unrolls to `NaryOracleLevels`,
+    * which must cover the deepest candidate-bearing level at the gate scale
+    * (an extra level is harmless — empty candidates → empty verdicts). */
+  private def naryLevelCtes(k: Int): String = {
+    val prev = if (k == 2) "u"
+               else s"(SELECT dep, ref FROM v${k - 1} WHERE missing = 0)"
+    s"""cand$k AS MATERIALIZED (
+       |  SELECT p.dep || '+' || x.dep AS dep, p.ref || '+' || x.ref AS ref
+       |  FROM $prev p JOIN u x
+       |   ON x.dep > string_split(p.dep, '+')[-1]
+       |   AND split_part(x.dep, '.', 1) = split_part(p.dep, '.', 1)
+       |   AND split_part(x.ref, '.', 1) = split_part(p.ref, '.', 1)
+       |   AND NOT list_contains(string_split(p.ref, '+'), x.ref)),
+       |t$k AS (${tupleLongFormSql(k, guardCte = Some(s"cand$k"))}),
+       |d$k AS MATERIALIZED (SELECT DISTINCT cols, k FROM t$k
+       |       WHERE cols IN (SELECT dep FROM cand$k UNION SELECT ref FROM cand$k)),
+       |cnt$k AS (SELECT cols, count(*) AS u$k FROM d$k GROUP BY 1),
+       |co$k AS (SELECT c.dep, c.ref, count(*) AS n
+       |        FROM cand$k c
+       |        JOIN d$k x ON x.cols = c.dep
+       |        JOIN d$k y ON y.cols = c.ref AND y.k = x.k
+       |        GROUP BY 1, 2),
+       |v$k AS MATERIALIZED (SELECT c.dep, c.ref, n$k.u$k - coalesce(co$k.n, 0) AS missing
+       |       FROM cand$k c JOIN cnt$k n$k ON n$k.cols = c.dep
+       |       LEFT JOIN co$k ON co$k.dep = c.dep AND co$k.ref = c.ref)
+       |""".stripMargin
+  }
+
   private val naryCoreCtes: String =
     s"""WITH lf AS ($longFormSql),
        |d AS MATERIALIZED (SELECT DISTINCT col, val FROM lf),
@@ -96,65 +142,30 @@ object SparkEntry {
        |  SELECT a.col AS dep, b.col AS ref, a.u - coalesce(co.n, 0) AS missing
        |  FROM cnt a JOIN cnt b ON a.col <> b.col
        |  LEFT JOIN co ON co.dep = a.col AND co.ref = b.col),
+       |u AS MATERIALIZED (SELECT dep, ref FROM verdict WHERE missing = 0),
        |""".stripMargin +
-      s"""u AS MATERIALIZED (SELECT dep, ref FROM verdict WHERE missing = 0),
-         |cand2 AS MATERIALIZED (
-         |  SELECT a.dep || '+' || x.dep AS dep, a.ref || '+' || x.ref AS ref,
-         |         x.dep AS d_last, a.ref AS r1, x.ref AS r2
-         |  FROM u a JOIN u x ON x.dep > a.dep
-         |   AND split_part(x.dep, '.', 1) = split_part(a.dep, '.', 1)
-         |   AND split_part(x.ref, '.', 1) = split_part(a.ref, '.', 1)
-         |   AND x.ref <> a.ref),
-         |t2 AS (${tupleLongFormSql(2)}),
-         |d2 AS MATERIALIZED (SELECT DISTINCT cols, k FROM t2
-         |       WHERE cols IN (SELECT dep FROM cand2 UNION SELECT ref FROM cand2)),
-         |cnt2 AS (SELECT cols, count(*) AS u2 FROM d2 GROUP BY 1),
-         |co2 AS (SELECT c.dep, c.ref, count(*) AS n
-         |        FROM cand2 c
-         |        JOIN d2 x ON x.cols = c.dep
-         |        JOIN d2 y ON y.cols = c.ref AND y.k = x.k
-         |        GROUP BY 1, 2),
-         |v2 AS MATERIALIZED (SELECT c.dep, c.ref, c.d_last, c.r1, c.r2,
-         |              n2.u2 - coalesce(co2.n, 0) AS missing
-         |       FROM cand2 c JOIN cnt2 n2 ON n2.cols = c.dep
-         |       LEFT JOIN co2 ON co2.dep = c.dep AND co2.ref = c.ref),
-         |cand3 AS MATERIALIZED (
-         |  SELECT p.dep || '+' || x.dep AS dep, p.ref || '+' || x.ref AS ref
-         |  FROM v2 p JOIN u x ON p.missing = 0
-         |   AND x.dep > p.d_last
-         |   AND split_part(x.dep, '.', 1) = split_part(p.d_last, '.', 1)
-         |   AND split_part(x.ref, '.', 1) = split_part(p.r1, '.', 1)
-         |   AND x.ref <> p.r1 AND x.ref <> p.r2),
-         |t3 AS (${tupleLongFormSql(3)}),
-         |d3 AS MATERIALIZED (SELECT DISTINCT cols, k FROM t3
-         |       WHERE cols IN (SELECT dep FROM cand3 UNION SELECT ref FROM cand3)),
-         |cnt3 AS (SELECT cols, count(*) AS u3 FROM d3 GROUP BY 1),
-         |co3 AS (SELECT c.dep, c.ref, count(*) AS n
-         |        FROM cand3 c
-         |        JOIN d3 x ON x.cols = c.dep
-         |        JOIN d3 y ON y.cols = c.ref AND y.k = x.k
-         |        GROUP BY 1, 2),
-         |v3 AS (SELECT c.dep, c.ref, n3.u3 - coalesce(co3.n, 0) AS missing
-         |       FROM cand3 c JOIN cnt3 n3 ON n3.cols = c.dep
-         |       LEFT JOIN co3 ON co3.dep = c.dep AND co3.ref = c.ref)
-         |""".stripMargin
+      (2 to NaryOracleLevels).map(naryLevelCtes).mkString(",\n")
 
   private val naryOracleSql: String =
     naryCoreCtes +
-      """SELECT dep, ref, CAST(missing AS BIGINT) AS missing, missing = 0 AS passed
-        |FROM (SELECT dep, ref, missing FROM v2
-        |      UNION ALL SELECT dep, ref, missing FROM v3) _f""".stripMargin
+      s"""SELECT dep, ref, CAST(missing AS BIGINT) AS missing, missing = 0 AS passed
+         |FROM (${(2 to NaryOracleLevels)
+               .map(k => s"SELECT dep, ref, missing FROM v$k")
+               .mkString(" UNION ALL ")}) _f""".stripMargin
 
   /** E2 oracle: per-arity confusion of the k=5 partial run (unary + lattice)
     * vs the exact baseline — mirrors Evaluation.compareNary. */
   private val evalNaryOracleSql: String =
     naryCoreCtes +
-      """, f AS (SELECT dep, ref, 1 AS arity FROM verdict WHERE missing <= 5
-        |       UNION ALL SELECT dep, ref, 2 FROM v2 WHERE missing <= 5
-        |       UNION ALL SELECT dep, ref, 3 FROM v3 WHERE missing <= 5),
-        |bse AS (SELECT dep, ref, 1 AS arity FROM verdict WHERE missing = 0
-        |       UNION ALL SELECT dep, ref, 2 FROM v2 WHERE missing = 0
-        |       UNION ALL SELECT dep, ref, 3 FROM v3 WHERE missing = 0),
+      s""", f AS (SELECT dep, ref, 1 AS arity FROM verdict WHERE missing <= 5
+         |${(2 to NaryOracleLevels).map(k =>
+             s"       UNION ALL SELECT dep, ref, $k FROM v$k WHERE missing <= 5")
+             .mkString("\n")}),
+         |bse AS (SELECT dep, ref, 1 AS arity FROM verdict WHERE missing = 0
+         |${(2 to NaryOracleLevels).map(k =>
+             s"       UNION ALL SELECT dep, ref, $k FROM v$k WHERE missing = 0")
+             .mkString("\n")}),""".stripMargin +
+      """
         |tagged AS (SELECT f.arity, (b.dep IS NOT NULL) AS in_b
         |           FROM f LEFT JOIN bse b ON b.dep = f.dep AND b.ref = f.ref),
         |paf AS (SELECT arity, count(*) FILTER (WHERE in_b) AS tp,
@@ -705,9 +716,12 @@ object SparkEntry {
           .select("dep", "ref", "dep_unique", "ref_unique", "missing").cache())
     }
 
-  /** BINDER-style apriori lattice (arity 2 then 3): candidates from exact
-    * unary INDs, each level validated as ONE batched job — memoized per dir
-    * (shared by q_ind_nary and the E2 evaluation). */
+  /** BINDER-style apriori lattice, run UNTIL a level yields no candidates
+    * (reference run_metanome.py:49-50 — n-ary discovery is unbounded):
+    * arity-2 candidates from exact unary INDs, arity-(k+1) from validated
+    * arity-k, each level validated as ONE batched job — memoized per dir
+    * (shared by q_ind_nary and the E2 evaluation). The oracle unrolls its
+    * CTEs to `NaryOracleLevels` (defined at the top of the object). */
   private val naryCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private def naryLattice(s: SparkSession, dir: String): DataFrame =
     naryCache.synchronized {
@@ -720,7 +734,7 @@ object SparkEntry {
         var level = unary.map(u => (Seq(u._1), Seq(u._2)))
         var out = empty
         var arity = 2
-        while (level.nonEmpty && arity <= 3) {
+        while (level.nonEmpty) {
           val cands = Pruning.naryCandidatesLevel(level, unary)
           if (cands.isEmpty) { level = Nil }
           else {

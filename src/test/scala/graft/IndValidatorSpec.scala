@@ -83,4 +83,46 @@ class IndValidatorSpec extends SparkSpec {
     val cands = Pruning.naryCandidates(unary)
     assert(cands == Seq((("l.a", "l.b"), ("o.x", "o.y"))))
   }
+
+  test("lattice runs past arity 3: planted 4-column IND validates, loop exhausts") {
+    import org.apache.spark.sql.functions.col
+    // fixture: customer rows are a 50-row aligned copy of orders rows, each
+    // column in its own disjoint value space — so exactly the 4 aligned
+    // unary INDs hold, and the joint 4-tuple IND holds by construction.
+    // testdata has no arity-4 IND (the lattice exhausts at arity 3 there),
+    // so this plants one to exercise the run-until-empty loop above the old
+    // arity-3 cap.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nary4").toString
+    val orders = (0 until 100).map(i => (i.toLong, 1000L + i, s"s$i", s"p$i"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val customer = (0 until 50).map(i => (i.toLong, 1000L + i, s"s$i", s"p$i"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    customer.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val unary = Seq(
+      ("customer.c_custkey", "orders.o_orderkey"),
+      ("customer.c_name", "orders.o_custkey"),
+      ("customer.c_nationkey", "orders.o_orderstatus"),
+      ("customer.c_mktsegment", "orders.o_orderpriority")).sorted
+    var level = unary.map(u => (Seq(u._1), Seq(u._2)))
+    var arity = 2
+    var passedByArity = Map.empty[Int, Seq[(String, String)]]
+    while (level.nonEmpty && arity <= 6) { // 6 = runaway guard, never hit
+      val cands = Pruning.naryCandidatesLevel(level, unary)
+      if (cands.isEmpty) level = Nil
+      else {
+        val pass = IndValidator.validateNaryBatch(spark, dir, cands)
+          .filter(col("passed")).select("dep", "ref")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        passedByArity += arity -> pass
+        level = pass.map(p => (p._1.split('+').toSeq, p._2.split('+').toSeq))
+        arity += 1
+      }
+    }
+    assert(arity == 5 && level.isEmpty, "loop must exhaust at arity 5 (no candidates)")
+    assert(passedByArity(4).map(_._1) ==
+      Seq("customer.c_custkey+customer.c_mktsegment+customer.c_name+customer.c_nationkey"))
+    assert(passedByArity(4).map(_._2) ==
+      Seq("orders.o_orderkey+orders.o_orderpriority+orders.o_custkey+orders.o_orderstatus"))
+  }
 }
