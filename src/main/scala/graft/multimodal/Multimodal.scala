@@ -94,6 +94,26 @@ object Multimodal {
   def featureE6Table: Seq[Long] =
     (0 to 255).map(b => math.floor(((b / 255.0f) - 0.5f).toDouble * 1e6).toLong)
 
+  /** Expression form of the feature stub: (asset_id, dim, value_e6) rows
+    * computed entirely in codegen'd Catalyst expressions —
+    * `md5(lower(hex(data)))` is byte-identical to the stub's digest of the
+    * blob's lowercase-hex rendering, and the 256-entry `featureE6Table`
+    * lookup replaces the float arithmetic. This is the production query
+    * path (whole-stage codegen, no typed-row detour); `featureExtractStub`
+    * stays as the batched mapPartitions seam a REAL codec (JNI decode +
+    * model) would fill, with its own spec. */
+  def featureE6Frame(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val table = array(featureE6Table.map(lit): _*)
+    assets
+      .select(col("asset_id"), md5(lower(hex(col("data")))).as("m"))
+      .select(col("asset_id"), col("m"),
+        posexplode(sequence(lit(0), lit(dim - 1))).as(Seq("dim", "i")))
+      .select(col("asset_id"), col("dim").cast("long").as("dim"),
+        element_at(table,
+          conv(col("m").substr((col("i") % 16) * 2 + 1, lit(2)), 16, 10)
+            .cast("int") + 1).as("value_e6"))
+  }
+
   /** Frame sampling: split the payload into fixed-size "frames" and keep
     * every `stride`-th — pure expression pipeline (posexplode over chunk
     * offsets), the shape a video pipeline needs. */

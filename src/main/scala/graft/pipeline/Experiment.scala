@@ -130,7 +130,22 @@ object Experiment {
   def fixedBudgetEvalByMethod(spark: SparkSession, distinctLong: DataFrame,
                               baseline: DataFrame,
                               methods: Seq[String], budgets: Seq[Long],
-                              k: Long): DataFrame = {
+                              k: Long): DataFrame =
+    fixedBudgetPerRun(spark, distinctLong, baseline, methods, budgets, k)
+      .groupBy("method").agg(
+        count("*").as("runs"),
+        avg("precision").as("mean_precision"),
+        avg("recall").as("mean_recall"),
+        avg("f1").as("mean_f1"))
+
+  /** The per-(method × budget)-run confusion frame behind the V1 plot
+    * aggregations — one row per run with tp/fp/fn, P/R/F1 and the
+    * mean-missing-values columns. Shared by the by-method and by-budget
+    * queries (memoized by the caller). */
+  def fixedBudgetPerRun(spark: SparkSession, distinctLong: DataFrame,
+                        baseline: DataFrame,
+                        methods: Seq[String], budgets: Seq[Long],
+                        k: Long): DataFrame = {
     val dl = distinctLong.select("col", "val")
     val u = dl.groupBy("col").agg(count("*").as("u"))
     val ranked = rankedAll(dl, methods, budgets.max)
@@ -165,11 +180,34 @@ object Experiment {
       .select("run_id", "dep", "ref", "missing")
     val specsDf = spark.createDataFrame(specs).toDF("run_id", "method", "budget")
     Evaluation.compareUnaryByRun(found, baseline, specsDf)
-      .groupBy("method").agg(
-        count("*").as("runs"),
-        avg("precision").as("mean_precision"),
-        avg("recall").as("mean_recall"),
-        avg("f1").as("mean_f1"))
+  }
+
+  /** V1 by-budget aggregation (reference plots.py: the P/R/F1 lineplot with
+    * groupby_attr='budgets' plus the missing-values bar): mean per-run
+    * metrics by budget over `fixedBudgetPerRun`'s output. Metrics are
+    * 1e6/1e5-scaled floored integers averaged with ONE trailing integer
+    * division, so the means are engine-exact (a raw double avg over 5
+    * methods is summation-order-sensitive); NaN runs are skipped, matching
+    * the reference's pandas `.mean()`. */
+  def fixedBudgetEvalByBudget(perRun: DataFrame): DataFrame = {
+    def scaled(c: String, s: Double) =
+      when(isnan(col(c)), lit(null)).otherwise(floor(col(c) * s).cast("long"))
+    perRun.select(col("budget"),
+        scaled("precision", 1e6).as("p6"), scaled("recall", 1e6).as("r6"),
+        scaled("f1", 1e6).as("f6"), scaled("mean_tp_missing", 1e5).as("tm5"),
+        scaled("mean_fp_missing", 1e5).as("fm5"))
+      .groupBy("budget").agg(
+        count(lit(1)).as("runs"),
+        expr("CASE WHEN count(p6) > 0 THEN sum(p6) div count(p6) END")
+          .as("mean_precision_e6"),
+        expr("CASE WHEN count(r6) > 0 THEN sum(r6) div count(r6) END")
+          .as("mean_recall_e6"),
+        expr("CASE WHEN count(f6) > 0 THEN sum(f6) div count(f6) END")
+          .as("mean_f1_e6"),
+        expr("CASE WHEN count(tm5) > 0 THEN sum(tm5) div count(tm5) END")
+          .as("mean_tp_missing_e5"),
+        expr("CASE WHEN count(fm5) > 0 THEN sum(fm5) div count(fm5) END")
+          .as("mean_fp_missing_e5"))
   }
 
   /** End-to-end artifact emission, matching the reference's outputs: the

@@ -72,6 +72,19 @@ class InfraSpec extends SparkSpec {
     assert(fa.values.forall(_.length == 16))
   }
 
+  test("multimodal: expression path equals the mapPartitions stub, flattened") {
+    import org.apache.spark.sql.functions.{floor, posexplode}
+    val assets = Multimodal.syntheticAssets(spark, 20L)
+    val viaExpr = Multimodal.featureE6Frame(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaStub = Multimodal.featureExtractStub(assets)
+      .select(col("asset_id"), posexplode(col("features")).as(Seq("dim", "v")))
+      .select(col("asset_id"), col("dim").cast("long"),
+        floor(col("v").cast("double") * 1000000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaExpr == viaStub)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     val frames = Multimodal.frameSample(Multimodal.syntheticAssets(spark, 10L), 64, 4)
     val idx = frames.filter(col("asset_id") === 1L)
