@@ -33,6 +33,9 @@ object Scaling {
     corpus.groupBy(md5(col("content"))).agg(count("*")).count()
     // (d) distribution drift across commit partitions
     graft.checks.Drift.categorical(corpus, "commit", "lang").count()
+    // (d2) salted per-hot-key distinct: `lang` has ~6 values over the whole
+    //      corpus — the flagged-hot path of the suite's DistinctPerKey check
+    graft.operators.Skew.saltedDistinctCount(corpus, "lang", "content", 16).count()
     // (e) the sf-dir profiling + IND pass (testdata tables)
     val dl = Tables.distinctLongForm(spark, sfDir)
     graft.ind.IndValidator.verdicts(dl, 0L).filter(col("passed")).count()

@@ -42,8 +42,20 @@ object ValidationSuite {
   case class CrossContainment(name: String, table: String, column: String,
                               partitionBy: String,
                               maxMissing: Long = 0L) extends Check
+  /** per-key distinct coverage: every `keyColumn` key must have ≥
+    * `minDistinct` distinct `valueColumn` values. Keys listed in
+    * `Config.hotKeys` run through the two-phase salted aggregation. */
+  case class DistinctPerKey(name: String, table: String, keyColumn: String,
+                            valueColumn: String,
+                            minDistinct: Long = 1L) extends Check
 
-  case class Config(checks: Seq[Check], checkpointDir: String)
+  /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
+    * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
+    * the whole table on a handful of reducers; the salted two-phase
+    * aggregation spreads each hot key over `salts` reducers —
+    * operators.Skew). */
+  case class Config(checks: Seq[Check], checkpointDir: String,
+                    hotKeys: Map[String, Int] = Map.empty)
 
   case class CheckOutcome(name: String, kind: String, passed: Boolean,
                           violations: Long, detail: String)
@@ -114,6 +126,23 @@ object ValidationSuite {
         outcomes += CheckOutcome(name, "unique_per_partition", n == 0, n,
           s"$table.$column unique within each $part partition")
 
+      case DistinctPerKey(name, table, keyCol, valueCol, minDistinct) =>
+        val df = Tables.load(spark, sfDir, table)
+        val salts = config.hotKeys.get(s"$table.$keyCol")
+        val counts = Checkpoint.stage(spark, dir, name)(salts match {
+          case Some(k) =>
+            graft.operators.Skew.saltedDistinctCount(df, keyCol, valueCol, k)
+          case None => df.filter(col(valueCol).isNotNull)
+            .groupBy(col(keyCol).as("key"))
+            .agg(count_distinct(col(valueCol)).as("distinct_count"))
+        }).df
+        val bad = counts.filter(col("distinct_count") < minDistinct)
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "distinct_per_key", n == 0, n,
+          s"$table.$valueCol distinct per $keyCol >= $minDistinct" +
+            salts.map(k => s" (salted x$k)").getOrElse(""))
+
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name)(
           graft.checks.PartitionChecks.crossPartitionContainment(
@@ -147,6 +176,12 @@ object ValidationSuite {
     UniquePerPartition("ppk_orders_by_priority", "orders", "o_orderkey",
       "o_orderpriority"),
     CrossContainment("users_across_event_types", "events", "user_id",
-      "event_type", maxMissing = 10L)
-  ), checkpointDir)
+      "event_type", maxMissing = 10L),
+    DistinctPerKey("lang_content_coverage", "documents", "lang", "text",
+      minDistinct = 2L)
+  ), checkpointDir,
+    // documents.lang is the flagged-hot key (a handful of values covering
+    // the whole table — corpus `lang` at scale): exact per-key distinct
+    // goes through the salted two-phase path
+    hotKeys = Map("documents.lang" -> 16))
 }

@@ -22,6 +22,34 @@ class SkewSpec extends SparkSpec {
     assert(salted("h") == 10000L && salted("a") == 1L)
   }
 
+  test("salted phase-1 exchange partitions by (key, salt) — hot key spreads") {
+    val df = Skew.saltedDistinctCount(skewed, "k", "v", 16)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the first aggregate's exchange must be keyed by BOTH key and salt —
+    // that's what spreads a hot key over 16 reducers instead of one
+    val exch = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exch.exists(l => l.contains("key") && l.contains("salt")),
+      s"no (key, salt) exchange in:\n$plan")
+  }
+
+  test("suite DistinctPerKey: salted (hot) and plain paths agree and pass") {
+    import graft.pipeline.ValidationSuite
+    import graft.pipeline.ValidationSuite.{Config, DistinctPerKey}
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-suite").toString
+    def cfg(hot: Boolean) = Config(
+      Seq(DistinctPerKey("lang_cov", "documents", "lang", "text", minDistinct = 2L)),
+      s"$dir/${if (hot) "hot" else "plain"}",
+      hotKeys = if (hot) Map("documents.lang" -> 16) else Map.empty)
+    val sf = "/root/testdata/sf0.001"
+    val (vHot, fHot) = ValidationSuite.run(spark, sf, cfg(hot = true))
+    val (vPlain, fPlain) = ValidationSuite.run(spark, sf, cfg(hot = false))
+    assert(vHot.filter(col("name") === "lang_cov").head.getAs[Boolean]("passed"))
+    assert(vPlain.filter(col("name") === "lang_cov").head.getAs[Boolean]("passed"))
+    val ch = fHot("lang_cov").count(); val cp = fPlain("lang_cov").count()
+    assert(ch == cp) // identical violation sets (both empty here)
+  }
+
   test("saltedCollectSet == collect_set per key") {
     val salted = Skew.saltedCollectSet(skewed, "k", "v", 8)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
