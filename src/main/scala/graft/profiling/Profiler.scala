@@ -32,7 +32,9 @@ object Profiler {
     * maxVal, shortest, longest). All values string-cast first so min/max are
     * lexicographic like the reference (descriptive_statistics.py:27).
     */
-  def stringStats(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+  /** The one-row wide aggregate behind `stringStats` — exposed so the plan
+    * test can assert the whole per-table profile is ONE scan. */
+  private[graft] def stringStatsAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
     def statsFor(c: String): Seq[Column] = {
       val v = col(c).cast(StringType)
       // min_by/max_by with a null ordering key skip null rows, so nulls
@@ -49,7 +51,11 @@ object Profiler {
     // the table row count rides in the SAME aggregate (a separate df.count()
     // would be a second full scan per table — measurable at 100 TB)
     val aggs = count(lit(1)).as("__total") +: cols.flatMap(statsFor)
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def stringStats(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val wide = stringStatsAgg(df, cols)
     // unpivot the single wide row into one row per column (driver-side tiny)
     val row = wide.collect()(0)
     val total = row.getAs[Long]("__total")

@@ -21,6 +21,14 @@ class PlanHealthSpec extends SparkSpec {
       assert(!scan.contains(c), s"unpruned column $c in ReadSchema: $scan"))
   }
 
+  test("per-table profiling is ONE parquet scan (row total folded into the agg)") {
+    val df = graft.profiling.Profiler.stringStatsAgg(
+      Tables.load(spark, sf, "lineitem"), Tables.indColumns("lineitem"))
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans in:\n$plan")
+  }
+
   test("filters reach the parquet scan as PushedFilters") {
     val df = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 10 && col("l_returnflag") === "A")
