@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.ValidationSuite
+import graft.pipeline.ValidationSuite._
+
+/** One-off evidence main: the suite's flagged-hot DistinctPerKey check over
+  * the 24M-row scaling corpus (VERDICT round-2 item 8's done-criterion).
+  * Reads the corpus parquet via a `corpus.parquet` symlink dir. */
+object CorpusSuiteEvidence {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/corpus_suite_data")
+    val ckpt = java.nio.file.Files.createTempDirectory("corpus-suite").toString
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val (v, _) = ValidationSuite.run(spark, dataDir, Config(Seq(
+      DistinctPerKey("corpus_lang_content", "corpus", "lang", "content",
+        minDistinct = 1000L)),
+      ckpt, hotKeys = Map("corpus.lang" -> 16)))
+    v.show(false)
+    println(s"SUITE_24M_SEC ${(System.nanoTime() - t0) / 1e9}")
+  }
+}

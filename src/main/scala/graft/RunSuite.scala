@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.ValidationSuite
+
+/** The spark-submit entry point for the standing validation suite
+  * (north_rule: "run via spark-submit on multi-executor clusters"):
+  *
+  *   spark-submit --class graft.RunSuite <jar> <dataDir> <checkpointDir>
+  *
+  * Runs `ValidationSuite.defaultConfig` over the tables in `dataDir`,
+  * prints one line per check verdict plus a JSON summary, leaves all
+  * violation frames + lineage sidecars under `checkpointDir`, and exits
+  * nonzero if any check fails — the CI-gate shape. Locally (no
+  * spark-submit) it builds its own local[*] session, so
+  * `sbt "runMain graft.RunSuite <dataDir> <ckpt>"` works identically;
+  * a rerun with the same checkpointDir resumes after completed stages.
+  */
+object RunSuite {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunSuite <dataDir> <checkpointDir>")
+    val dataDir = args(0)
+    val ckptDir = args(1)
+    // under spark-submit the master/conf come from the cluster; standalone
+    // runs fall back to local[*]
+    val spark = SparkSession.builder()
+      .appName("graft-validation-suite")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (verdicts, _) = ValidationSuite.run(spark, dataDir,
+      ValidationSuite.defaultConfig(ckptDir))
+    val rows = verdicts.collect()
+    rows.foreach { r =>
+      val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
+      println(s"$status ${r.getAs[String]("name")} " +
+        s"[${r.getAs[String]("kind")}] violations=${r.getAs[Long]("violations")} " +
+        r.getAs[String]("detail"))
+    }
+    val failed = rows.count(!_.getAs[Boolean]("passed"))
+    println(s"""{"metric":"suite","checks":${rows.length},"failed":$failed,""" +
+      s""""checkpoint":"$ckptDir"}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

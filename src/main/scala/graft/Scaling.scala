@@ -34,8 +34,14 @@ object Scaling {
     // (d) distribution drift across commit partitions
     graft.checks.Drift.categorical(corpus, "commit", "lang").count()
     // (d2) salted per-hot-key distinct: `lang` has ~6 values over the whole
-    //      corpus — the flagged-hot path of the suite's DistinctPerKey check
-    graft.operators.Skew.saltedDistinctCount(corpus, "lang", "content", 16).count()
+    //      corpus — the flagged-hot path of the suite's DistinctPerKey
+    //      check. Distinct over md5(content), not raw content: shuffling
+    //      24M full source files to count them is the anti-pattern the
+    //      100 TB path avoids (hash first, shuffle 16-byte digests — same
+    //      distinct count, CPU-bound instead of shuffle-I/O-bound)
+    graft.operators.Skew.saltedDistinctCount(
+      corpus.select(col("lang"), md5(col("content")).as("chash")),
+      "lang", "chash", 16).count()
     // (e) the sf-dir profiling + IND pass (testdata tables)
     val dl = Tables.distinctLongForm(spark, sfDir)
     graft.ind.IndValidator.verdicts(dl, 0L).filter(col("passed")).count()

@@ -68,8 +68,10 @@ object ValidationSuite {
     import spark.implicits._
     val dir = config.checkpointDir
 
-    // shared profiling stage (resumable)
-    val profile = Checkpoint.stage(spark, dir, "profile")(
+    // shared profiling stage (resumable) — built only when a check consumes
+    // it (a suite over a single ad-hoc table must not profile the whole
+    // registry)
+    lazy val profile = Checkpoint.stage(spark, dir, "profile")(
       Profiler.profileAll(spark, sfDir)).df
 
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
