@@ -131,6 +131,19 @@ object EventStream {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming drift inputs: per-(partition, category) running counts in
+    * `update` output mode — exactly the mergeable form
+    * `Drift.categoricalFromCounts` consumes. The always-on drift design at
+    * 100 TB: the stream maintains ONLY the counts table (state =
+    * |partitions| × |categories| rows — no watermark needed because that
+    * state is bounded by the key space, not the stream), each trigger
+    * updates the touched rows, and TVD verdicts are recomputed downstream
+    * over the tiny counts table, never by rescanning the stream. */
+  def streamingCategoryCounts(stream: DataFrame, partCol: String,
+                              catCol: String): DataFrame =
+    stream.groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
+      .agg(count("*").as("n"))
+
   /** Drive a bounded stream to completion into an in-memory table; returns
     * the result as a batch frame (test harness path). */
   def runToCompletion(streamed: DataFrame, queryName: String,

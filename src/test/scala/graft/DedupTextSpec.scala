@@ -49,6 +49,26 @@ class DedupTextSpec extends SparkSpec {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("simhash banding guarantee: Hamming ≤ 3 collides on ≥ 1 of 4 bands") {
+    // feed hand-made signatures straight into the bander: ≤3 flipped bits
+    // leave ≥1 of the 4 16-bit bands untouched (pigeonhole), so the pair is
+    // guaranteed a candidate; 4 flips spread over all 4 bands are not.
+    // id 3 flips bit 63 — the negative two's-complement signature path the
+    // arithmetic band shifts must handle identically in Spark and DuckDB.
+    val base = 0x123456789abcdefL
+    val sigs = Seq(
+      0L -> base,
+      1L -> (base ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)),             // H=3
+      2L -> (base ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)), // H=4, all bands
+      3L -> (base ^ (1L << 63))                                        // H=1, sign bit
+    ).toDF("id", "simhash")
+    val cands = Dedup.simhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "Hamming-3 pair missed")
+    assert(cands.contains((0L, 3L)), "sign-bit flip pair missed")
+    assert(!cands.contains((0L, 2L)), "all-band-different pair should not collide")
+  }
+
   test("simhash banding prunes: distinct docs emit candidates << all pairs") {
     // 400 mutually-unrelated docs: with 4 × 16-bit bands the expected
     // accidental band collisions are ~4·C(400,2)/65536 ≈ 5 pairs; the old

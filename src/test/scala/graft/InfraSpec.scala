@@ -105,6 +105,25 @@ class InfraSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("streaming drift: running counts feed categoricalFromCounts, match batch") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // localCheckpoint: categoricalFromCounts self-joins the counts frame,
+    // and memory-sink views can't be self-joined unmaterialized
+    val counts = EventStream.runToCompletion(
+      EventStream.streamingCategoryCounts(stream, "source", "lang"),
+      "drift_counts", "update").localCheckpoint()
+    val docs = Tables.load(spark, dir, "documents")
+    val total = docs.count()
+    val viaStream = graft.checks.Drift.categoricalFromCounts(counts, total)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tvd_e5")).toMap
+    val viaBatch = graft.checks.Drift.categorical(docs, "source", "lang")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tvd_e5")).toMap
+    assert(viaStream == viaBatch && viaStream.nonEmpty)
+  }
+
   test("batch sessionization: every stateful-closed session appears in batch") {
     import java.sql.Timestamp
     val evs = Seq(

@@ -55,4 +55,21 @@ class PlanHealthSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"referential anti-join does not broadcast the dimension side:\n$plan")
   }
+
+  test("q_quantiles rank check: tiny sketch side broadcasts; no cartesian") {
+    val df = SparkEntry.queries("q_quantiles")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"sketch side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join shape:\n$plan")
+  }
+
+  test("simhash candidate join is an equi-join on band, never a cross product") {
+    val df = SparkEntry.queries("q_simhash_candidates")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cross-product shape:\n$plan")
+  }
 }
