@@ -1124,6 +1124,15 @@ object SparkEntry {
         expectedRef = 1000L)
     }),
 
+    // row-level referential violations over the dirty corpus: full
+    // (repo, path, commit) context per dangling row, through the SALTED
+    // anti-join (the hot-column containment path — a single dangling hot
+    // value would otherwise land every probe row on one reducer)
+    "q_corpus_row_violations" -> ((s, _) =>
+      IndValidator.rowViolations(
+        Corpus.withDefects(s, 20000L).select("repo", "path", "commit"),
+        "repo", Corpus.reposDim(s), "repo", salts = 8)),
+
     // uniqueness of the (repo, path, commit) key — over the defect corpus
     // (20 planted duplicate rows), so the violation path is exercised
     "q_corpus_unique" -> ((s, _) =>
@@ -1532,6 +1541,11 @@ object SparkEntry {
     "q_corpus_ref_check" ->
       s"""WITH ${corpusCtesSql(20000L)}
          |SELECT DISTINCT repo AS val FROM corpus_dirty
+         |WHERE repo NOT IN (SELECT repo FROM repos_dim)""".stripMargin,
+
+    "q_corpus_row_violations" ->
+      s"""WITH ${corpusCtesSql(20000L)}
+         |SELECT repo, path, commit FROM corpus_dirty
          |WHERE repo NOT IN (SELECT repo FROM repos_dim)""".stripMargin,
 
     "q_corpus_partition_verdicts" ->

@@ -184,6 +184,29 @@ object IndValidator {
       .select("dep", "ref", "missing", "passed")
   }
 
+  /** Row-level referential violations: the full dep ROWS whose `keyCol`
+    * value is absent from ref — the violation-record form (violations()
+    * returns distinct missing VALUES; this keeps row context — repo, path,
+    * commit — for triage). `salts > 0` routes through the salted anti-join:
+    * distinct-value frames can't skew, but row frames do — ONE dangling hot
+    * value (a deleted repo still referenced by millions of files) would
+    * otherwise land every probe row on a single sort-merge reducer
+    * (north_star: "set-containment joins with salted repartitioning for
+    * hot columns"). */
+  def rowViolations(dep: DataFrame, keyCol: String,
+                    ref: DataFrame, refCol: String,
+                    salts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val refV = ref.select(col(refCol).cast(StringType).as("__k"))
+      .filter(col("__k").isNotNull).dropDuplicates("__k")
+    val depK = dep.withColumn("__k", col(keyCol).cast(StringType))
+      .filter(col("__k").isNotNull)
+    val out =
+      if (salts > 0) graft.operators.Skew.saltedAntiJoin(depK, refV, "__k", salts)
+      else depK.join(refV, Seq("__k"), "left_anti")
+    out.drop("__k")
+  }
+
   def naryMissing(dep: DataFrame, depCols: Seq[String],
                   ref: DataFrame, refCols: Seq[String]): Long = {
     import org.apache.spark.sql.types.StringType

@@ -57,4 +57,22 @@ object Skew {
       right.sparkSession.range(salts).select(col("id").cast("int").as("__salt")))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salted LEFT-ANTI join — the set-containment shape (north_star:
+    * "sort-merge set-containment joins with salted repartitioning for hot
+    * columns") when BOTH sides are too large to broadcast or Bloom-prune
+    * and the dep side is hot on a few values: dep rows get a deterministic
+    * salt, the ref side replicates once per salt, and the anti-join runs on
+    * (key, salt). Correct because the ref side is FULLY present in every
+    * salt bucket — a dep row survives the salted anti-join iff its key is
+    * absent from ref, exactly the unsalted semantics — while a hot key's
+    * probe rows spread over `salts` sort-merge reducers instead of one. */
+  def saltedAntiJoin(left: DataFrame, right: DataFrame, key: String,
+                     salts: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val r = right.select(col(key)).crossJoin(
+      right.sparkSession.range(salts).select(col("id").cast("int").as("__salt")))
+    l.join(r, Seq(key, "__salt"), "left_anti").drop("__salt")
+  }
 }

@@ -58,6 +58,20 @@ class SkewSpec extends SparkSpec {
     assert(salted == exact)
   }
 
+  test("saltedAntiJoin == plain anti join; row-level violations keep context") {
+    // hot dangling key: "ghost" repeats 10k times and is absent from ref
+    val rows = ((1 to 10000).map(i => ("ghost", s"f$i")) ++
+      Seq(("ok", "f0"), ("also", "fx"))).toDF("repo", "path")
+    val ref = Seq("ok", "other").toDF("repo")
+    val salted = graft.ind.IndValidator.rowViolations(rows, "repo", ref, "repo", salts = 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val plain = graft.ind.IndValidator.rowViolations(rows, "repo", ref, "repo")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(salted == plain)
+    assert(salted.size == 10001) // all ghost rows + ("also", "fx")
+    assert(salted.contains(("also", "fx")) && !salted.exists(_._1 == "ok"))
+  }
+
   test("saltedJoin == plain inner join") {
     val left = skewed
     val right = Seq(("h", 1), ("a", 2), ("zzz", 9)).toDF("k", "tag")
