@@ -60,6 +60,35 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("property: salted distinct/anti-join equal unsalted on random skew") {
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("hot", "a", "b"), Gen.choose(0, 20).map(_.toString)))
+    val saltsGen = Gen.choose(2, 16)
+    checkProp(Prop.forAll(rowsGen, saltsGen) { (rows, salts) =>
+      val df = rows.toDF("k", "v")
+      val salted = graft.operators.Skew.saltedDistinctCount(df, "k", "v", salts)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val naive = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.size.toLong }
+      salted == naive
+    }, n = 10)
+  }
+
+  test("property: TVD is 0 on identical partitions, ≤ 1e5 always, and symmetric in count scale") {
+    val countsGen = Gen.listOfN(4, Gen.choose(1L, 50L))
+    checkProp(Prop.forAll(countsGen, Gen.choose(2L, 10L)) { (ns, scale) =>
+      val cats = Seq("w", "x", "y", "z")
+      // two partitions with the SAME distribution (one scaled) → TVD 0;
+      // scaling a partition's counts uniformly must not change its TVD
+      val counts = (cats.zip(ns).map { case (c, n) => ("p1", c, n) } ++
+        cats.zip(ns).map { case (c, n) => ("p2", c, n * scale) })
+        .toDF("partition", "cat", "n")
+      val total = ns.sum + ns.sum * scale
+      val got = graft.checks.Drift.categoricalFromCounts(counts, total)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("tvd_e5")).toMap
+      got("p1") == 0L && got("p2") == 0L
+    }, n = 10)
+  }
+
   test("property: winnowing guarantee — shared run >= k+w-1 chars implies shared fingerprint") {
     val k = 8; val w = 4
     val baseGen = Gen.listOfN(30, Gen.alphaChar).map(_.mkString)
