@@ -18,17 +18,11 @@ import graft.pipeline.ValidationSuite
   * a rerun with the same checkpointDir resumes after completed stages.
   */
 object RunSuite {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunSuite <dataDir> <checkpointDir>")
-    val dataDir = args(0)
-    val ckptDir = args(1)
-    // under spark-submit the master/conf come from the cluster; standalone
-    // runs fall back to local[*]
-    val spark = SparkSession.builder()
-      .appName("graft-validation-suite")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run the default suite and print the verdict lines + JSON summary;
+    * returns the failed-check count (session lifecycle stays with the
+    * caller, so tests drive this against their own session). */
+  def run(spark: SparkSession, dataDir: String, ckptDir: String): Int = {
     val (verdicts, _) = ValidationSuite.run(spark, dataDir,
       ValidationSuite.defaultConfig(ckptDir))
     val rows = verdicts.collect()
@@ -41,6 +35,21 @@ object RunSuite {
     val failed = rows.count(!_.getAs[Boolean]("passed"))
     println(s"""{"metric":"suite","checks":${rows.length},"failed":$failed,""" +
       s""""checkpoint":"$ckptDir"}""")
+    failed
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunSuite <dataDir> <checkpointDir>")
+    // under spark-submit the master/conf come from the cluster; standalone
+    // runs (no spark.master property) fall back to local[*]
+    val builder = SparkSession.builder()
+      .appName("graft-validation-suite")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "32")
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val failed = run(spark, args(0), args(1))
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -49,6 +49,20 @@ class ValidationSuiteSpec extends SparkSpec {
     assert(r.getAs[Long]("violations") > 0)
   }
 
+  test("RunSuite CLI: default suite passes end to end, summary printed") {
+    val dir = Files.createTempDirectory("runsuite").toString
+    val out = new java.io.ByteArrayOutputStream()
+    val failed = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.run(spark, "/root/testdata/sf0.001", dir)
+    }
+    val printed = out.toString
+    if (failed != 0) info(printed) // surface the FAIL lines in the report
+    assert(failed == 0)
+    assert(printed.contains("\"metric\":\"suite\"") && printed.contains("\"failed\":0"))
+    assert(printed.linesIterator.count(_.startsWith("PASS ")) >= 10)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_verdicts")))
+  }
+
   test("per-partition and cross-containment checks emit north-rule verdicts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vs_part").toString
     val cfg = Config(Seq(
