@@ -4,12 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
   /** queries making up the "validation pass" of the BASELINE metric
-    * (profiling + uniqueness + IND discovery + referential + drift). */
+    * (schema + profiling + uniqueness + completeness/domain/range + IND
+    * discovery + referential + drift). Round 3 adds the schema/column
+    * contract checks — the composition change is noted in BASELINE.md. */
   private val validationQueries = Set(
     "q_profile_stats", "q_unique_checks", "q_ind_exact", "q_ind_partial",
     "q_ref_violations", "q_drift_lang_tvd", "q_drift_value_ks",
     "q_eval_confusion", "q_ind_candidates", "q_profile_numeric",
-    "q_partition_ref_verdicts", "q_histogram")
+    "q_partition_ref_verdicts", "q_histogram",
+    "q_schema_profile", "q_schema_violations", "q_null_rates",
+    "q_accepted_values", "q_range_checks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Similarity
-import graft.checks.Drift
+import graft.checks.{ColumnChecks, Drift, SchemaChecks}
 import graft.corpus.Corpus
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -41,6 +41,46 @@ object SparkEntry {
     * init (vals initialize top-to-bottom — a later definition silently
     * yields 0 and an empty oracle). */
   val NaryOracleLevels = 4
+
+  /** DuckDB side of `SchemaChecks.canonicalType`'s vocabulary: maps a
+    * pragma_table_info type name onto the shared canonical spelling. */
+  private def duckTypeCase(c: String): String =
+    s"""CASE $c WHEN 'TINYINT' THEN 'tinyint' WHEN 'SMALLINT' THEN 'smallint'
+       | WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+       | WHEN 'FLOAT' THEN 'float' WHEN 'REAL' THEN 'float'
+       | WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+       | WHEN 'BLOB' THEN 'binary' WHEN 'BOOLEAN' THEN 'boolean'
+       | WHEN 'DATE' THEN 'date' WHEN 'TIMESTAMP' THEN 'timestamp'
+       | WHEN 'FLOAT[]' THEN 'array<float>'
+       | ELSE lower($c) END""".stripMargin.replace("\n", "")
+
+  /** Deliberately-wrong `orders` spec exercising every schema-diff issue:
+    * o_custkey planted as int (type_mismatch), o_status expected but absent
+    * (missing), o_orderstatus/o_orderdate unlisted (unexpected), and
+    * o_orderpriority displaced (order_mismatch). Shared verbatim by the
+    * Spark query and the DuckDB oracle VALUES list. */
+  private def plantedOrdersSpec: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "bigint",
+    "o_custkey" -> "int",
+    "o_status" -> "string",
+    "o_totalprice" -> "double",
+    "o_orderpriority" -> "string")
+
+  /** (table, column, lo, hi) for the range-check query — bounds narrowed
+    * below the testdata maxima so out-of-range counts are provably nonzero
+    * (a zero-violation path is indistinguishable from a broken check). */
+  private def rangeSpecs: Seq[(String, String, Double, Double)] = Seq(
+    ("events", "value", 0.0, 450.0),
+    ("documents", "n_chars", 50.0, 500.0),
+    ("part", "p_size", 1.0, 49.0))
+
+  /** tables × columns for the null-rate query — shared by the Spark query
+    * and the oracle so the unpivoted row sets align exactly. */
+  private def nullRateSpecs: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"))
 
   /** long form: every participating column as (col, val) string rows. */
   private val longFormSql: String =
@@ -810,6 +850,39 @@ object SparkEntry {
         (col("cnt") === col("unique_count")).as("is_unique"),
         (col("cnt") === col("unique_count") && col("nulls") === 0).as("is_key"))),
 
+    // schema validation (north_rule "schema + constraint validation"):
+    // the full registry's canonical (tbl, pos, column, type) profile —
+    // metadata-only, parquet footers, no scan
+    "q_schema_profile" -> ((s, dir) =>
+      SchemaChecks.schemaProfile(s, dir, Tables.all)),
+
+    // schema-contract diff against a deliberately-wrong orders spec: every
+    // issue kind (missing/unexpected/type_mismatch/order_mismatch) fires
+    "q_schema_violations" -> ((s, dir) =>
+      SchemaChecks.violationsDf(s, Tables.load(s, dir, "orders").schema,
+        plantedOrdersSpec.map { case (c, t) => SchemaChecks.ColumnSpec(c, t) })),
+
+    // completeness: per-column null rates, ONE aggregate scan per table
+    "q_null_rates" -> ((s, dir) =>
+      nullRateSpecs.map { case (t, cols) =>
+        ColumnChecks.nullRates(Tables.load(s, dir, t), t, cols)
+      }.reduce(_ unionAll _)),
+
+    // domain check: offending values outside a narrowed allow-list (the
+    // excluded categories make the violation path provably fire)
+    "q_accepted_values" -> ((s, dir) =>
+      ColumnChecks.acceptedValuesViolations(Tables.load(s, dir, "events"),
+          "events", "event_type", Seq("click", "view", "purchase", "signup"))
+        .unionAll(ColumnChecks.acceptedValuesViolations(
+          Tables.load(s, dir, "documents"), "documents", "lang",
+          Seq("en", "de", "fr", "es")))),
+
+    // numeric range stats with bounds narrowed below the data maxima
+    "q_range_checks" -> ((s, dir) =>
+      rangeSpecs.map { case (t, c, lo, hi) =>
+        ColumnChecks.rangeStats(Tables.load(s, dir, t), t, c, lo, hi)
+      }.reduce(_ unionAll _)),
+
     // J1 exact: all unary INDs over every registered column pair
     "q_ind_exact" -> ((s, dir) =>
       cachedVerdicts(s, dir)
@@ -1242,6 +1315,71 @@ object SparkEntry {
              |FROM (SELECT CAST($c AS VARCHAR) AS v FROM $t) _s""".stripMargin
         }
       }.mkString("\nUNION ALL\n"),
+
+    // pragma_table_info works on however the harness registers the relation
+    // (view or table), so the schema profile is catalog-layout-independent
+    "q_schema_profile" ->
+      (s"SELECT tbl, pos, column_name, ${duckTypeCase("dt")} AS dtype FROM (" +
+        Tables.all.map { t =>
+          s"""SELECT '$t' AS tbl, CAST(cid AS BIGINT) AS pos,
+             | name AS column_name, type AS dt FROM pragma_table_info('$t')"""
+            .stripMargin.replace("\n", "")
+        }.mkString(" UNION ALL ") + ") _s"),
+
+    "q_schema_violations" -> {
+      val vals = plantedOrdersSpec.zipWithIndex.map { case ((c, t), i) =>
+        s"('$c','$t',${i}::BIGINT)"
+      }.mkString(", ")
+      s"""WITH exp(column_name, dtype, pos) AS (VALUES $vals),
+         |act AS (SELECT name AS column_name, ${duckTypeCase("type")} AS dtype,
+         |        CAST(cid AS BIGINT) AS pos FROM pragma_table_info('orders')),
+         |j AS (SELECT e.column_name AS ec, a.column_name AS ac,
+         |             e.dtype AS ed, a.dtype AS ad, e.pos AS ep, a.pos AS ap
+         |      FROM exp e FULL OUTER JOIN act a ON e.column_name = a.column_name)
+         |SELECT ec AS column_name, 'missing' AS issue, ed AS expected,
+         |       '' AS actual FROM j WHERE ac IS NULL
+         |UNION ALL
+         |SELECT ac, 'unexpected', '', ad FROM j WHERE ec IS NULL
+         |UNION ALL
+         |SELECT ec, 'type_mismatch', ed, ad FROM j
+         | WHERE ec IS NOT NULL AND ac IS NOT NULL AND ed <> ad
+         |UNION ALL
+         |SELECT ec, 'order_mismatch', 'pos=' || CAST(ep AS VARCHAR),
+         |       'pos=' || CAST(ap AS VARCHAR) FROM j
+         | WHERE ec IS NOT NULL AND ac IS NOT NULL AND ep <> ap""".stripMargin
+    },
+
+    "q_null_rates" ->
+      nullRateSpecs.flatMap { case (t, cols) =>
+        cols.map { c =>
+          s"""SELECT '$t.$c' AS col, count(*) AS cnt,
+             | count(*) - count($c) AS n_nulls,
+             | CASE WHEN count(*) = 0 THEN 0
+             |      ELSE ((count(*) - count($c)) * 100000) // count(*)
+             | END AS null_rate_e5 FROM $t""".stripMargin.replace("\n", "")
+        }
+      }.mkString(" UNION ALL "),
+
+    "q_accepted_values" ->
+      """SELECT 'events.event_type' AS col, CAST(event_type AS VARCHAR) AS value,
+        | count(*) AS n FROM events
+        | WHERE event_type IS NOT NULL
+        |   AND CAST(event_type AS VARCHAR) NOT IN ('click','view','purchase','signup')
+        | GROUP BY 2
+        |UNION ALL
+        |SELECT 'documents.lang', CAST(lang AS VARCHAR), count(*) FROM documents
+        | WHERE lang IS NOT NULL
+        |   AND CAST(lang AS VARCHAR) NOT IN ('en','de','fr','es')
+        | GROUP BY 2""".stripMargin,
+
+    "q_range_checks" ->
+      rangeSpecs.map { case (t, c, lo, hi) =>
+        s"""SELECT '$t.$c' AS col,
+           | CAST(coalesce(sum(CASE WHEN $c < $lo THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below,
+           | CAST(coalesce(sum(CASE WHEN $c > $hi THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_above,
+           | CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null
+           | FROM $t""".stripMargin.replace("\n", "")
+      }.mkString(" UNION ALL "),
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),

@@ -1,0 +1,61 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-contract checks beyond uniqueness/referential: completeness
+  * (null rates), value domains, and numeric ranges — the standing trio of a
+  * validation pass over an ingest table (north_rule "constraint validation").
+  *
+  * All three are single-scan aggregations: null rates fold every column's
+  * `count(c)` into ONE agg over the table and unpivot the single result row
+  * driver-side (k columns = k aggregate expressions, not k scans); domain and
+  * range checks are one filter+agg each. Nothing here shuffles more than the
+  * final 1-row (or |distinct offenders|-row) aggregate — the 100 TB shape.
+  */
+object ColumnChecks {
+
+  /** Per-column completeness over `cols`, one scan:
+    * (col, cnt, n_nulls, null_rate_e5) with rate = floor(nulls·1e5 / cnt)
+    * (integer-exact cross-engine; 0 for an empty table). */
+  def nullRates(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("_cnt") +:
+      cols.map(c => count(col(c)).as(s"_nn_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      val nulls = col("_cnt") - col(s"_nn_$c")
+      struct(
+        lit(s"$table.$c").as("col"),
+        col("_cnt").as("cnt"),
+        nulls.as("n_nulls"),
+        when(col("_cnt") === 0L, 0L)
+          .otherwise(expr(s"((_cnt - `_nn_$c`) * 100000) div _cnt"))
+          .as("null_rate_e5"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** Domain check: non-null values of `column` outside `allowed`, with
+    * per-value offender counts — the violation rows. */
+  def acceptedValuesViolations(df: DataFrame, table: String, column: String,
+                               allowed: Seq[String]): DataFrame =
+    df.filter(col(column).isNotNull &&
+        !col(column).cast("string").isin(allowed: _*))
+      .groupBy(col(column).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(s"$table.$column").as("col"), col("value"), col("n"))
+
+  /** Range check over a numeric column: one scan emitting
+    * (col, n_below, n_above, n_null) for the closed interval [lo, hi]. */
+  def rangeStats(df: DataFrame, table: String, column: String,
+                 lo: Double, hi: Double): DataFrame =
+    df.agg(
+        coalesce(sum(when(col(column) < lo, 1L).otherwise(0L)), lit(0L))
+          .as("n_below"),
+        coalesce(sum(when(col(column) > hi, 1L).otherwise(0L)), lit(0L))
+          .as("n_above"),
+        coalesce(sum(when(col(column).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null"))
+      .select(lit(s"$table.$column").as("col"),
+        col("n_below"), col("n_above"), col("n_null"))
+}

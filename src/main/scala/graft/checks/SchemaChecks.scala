@@ -1,0 +1,113 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Schema validation (north_rule: "schema + constraint validation engine").
+  *
+  * The reference never checks schemas — it reads everything as strings
+  * (reference: pysrc/scripts/sampling.py:119-127, dtype=str) and trusts file
+  * layout. Over a typed lakehouse table the schema itself is the first
+  * contract to validate: expected columns, types, and column order, with one
+  * violation row per discrepancy and a per-table verdict.
+  *
+  * Types are compared in a canonical engine-neutral vocabulary shared with
+  * the DuckDB oracle (`SparkEntry.duckTypeCase`), so the schema profile is
+  * oracle-checkable like any data query. All logic here is driver-side
+  * metadata work — O(columns), no jobs; parquet schemas come from footers,
+  * never a data scan.
+  */
+object SchemaChecks {
+
+  /** Canonical type names: Spark Catalyst type → engine-neutral spelling.
+    * DuckDB's side of the same vocabulary lives in the oracle CASE map. */
+  def canonicalType(dt: DataType): String = dt match {
+    case ByteType                       => "tinyint"
+    case ShortType                      => "smallint"
+    case IntegerType                    => "int"
+    case LongType                       => "bigint"
+    case FloatType                      => "float"
+    case DoubleType                     => "double"
+    case StringType                     => "string"
+    case BinaryType                     => "binary"
+    case BooleanType                    => "boolean"
+    case DateType                       => "date"
+    // parquet timestamps surface as TIMESTAMP_NTZ in Spark and TIMESTAMP in
+    // DuckDB — one logical type, one canonical name
+    case TimestampType | TimestampNTZType => "timestamp"
+    case ArrayType(e, _)                => s"array<${canonicalType(e)}>"
+    case d: DecimalType                 => s"decimal(${d.precision},${d.scale})"
+    case other                          => other.sql.toLowerCase
+  }
+
+  /** One row per column of each table: (tbl, pos, column_name, dtype) with
+    * pos the 0-based schema position. Metadata-only (footer reads). */
+  def schemaProfile(spark: SparkSession, sfDir: String,
+                    tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tables.flatMap { t =>
+      Tables.load(spark, sfDir, t).schema.fields.zipWithIndex.map {
+        case (f, i) => (t, i.toLong, f.name, canonicalType(f.dataType))
+      }
+    }.toDF("tbl", "pos", "column_name", "dtype")
+  }
+
+  /** An expected column: name + canonical type. Order in the spec is the
+    * expected schema order. */
+  case class ColumnSpec(column: String, dtype: String)
+
+  /** One schema discrepancy. `expected`/`actual` use "" (not null) for the
+    * absent side so violation frames stringify identically across engines. */
+  case class SchemaViolation(column_name: String, issue: String,
+                             expected: String, actual: String)
+
+  /** Diff an actual schema against an ordered expected spec.
+    *
+    * Issues emitted:
+    *  - `missing`        expected column absent from the actual schema
+    *  - `unexpected`     actual column not in the spec (only when `exact`)
+    *  - `type_mismatch`  matched column with a different canonical type
+    *  - `order_mismatch` matched column at a different 0-based position;
+    *    after an insertion/deletion every displaced column reports (the
+    *    cascade is deliberate — position is part of the contract)
+    */
+  def diff(actual: StructType, expected: Seq[ColumnSpec],
+           exact: Boolean = true): Seq[SchemaViolation] = {
+    val act = actual.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (canonicalType(f.dataType), i)
+    }.toMap
+    val expectedNames = expected.map(_.column).toSet
+
+    val missing = expected.collect {
+      case c if !act.contains(c.column) =>
+        SchemaViolation(c.column, "missing", c.dtype, "")
+    }
+    val unexpected =
+      if (!exact) Seq.empty
+      else actual.fields.collect {
+        case f if !expectedNames.contains(f.name) =>
+          SchemaViolation(f.name, "unexpected", "", canonicalType(f.dataType))
+      }.toSeq
+    val matched = expected.zipWithIndex.flatMap { case (c, i) =>
+      act.get(c.column).toSeq.flatMap { case (adt, ai) =>
+        (if (adt != c.dtype)
+           Seq(SchemaViolation(c.column, "type_mismatch", c.dtype, adt))
+         else Seq.empty) ++
+        (if (ai != i)
+           Seq(SchemaViolation(c.column, "order_mismatch", s"pos=$i", s"pos=$ai"))
+         else Seq.empty)
+      }
+    }
+    missing ++ unexpected ++ matched
+  }
+
+  /** The diff as a violation frame (column_name, issue, expected, actual). */
+  def violationsDf(spark: SparkSession, actual: StructType,
+                   expected: Seq[ColumnSpec], exact: Boolean = true): DataFrame = {
+    import spark.implicits._
+    diff(actual, expected, exact)
+      .toDF("column_name", "issue", "expected", "actual")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.checks.Drift
+import graft.checks.{ColumnChecks, Drift, SchemaChecks}
 import graft.ind.IndValidator
 import graft.profiling.Profiler
 
@@ -48,6 +48,23 @@ object ValidationSuite {
   case class DistinctPerKey(name: String, table: String, keyColumn: String,
                             valueColumn: String,
                             minDistinct: Long = 1L) extends Check
+  /** schema contract: ordered (column, canonicalType) spec vs the table's
+    * actual schema; violations per missing/unexpected/type/order discrepancy
+    * (metadata-only — no scan). */
+  case class SchemaMatch(name: String, table: String,
+                         expected: Seq[(String, String)],
+                         exact: Boolean = true) extends Check
+  /** completeness: null rate of `column` ≤ maxRateE5 (1e5-scaled). */
+  case class NullRate(name: String, table: String, column: String,
+                      maxRateE5: Long = 0L) extends Check
+  /** domain: non-null values of `column` ⊆ `allowed`, ≤ maxViolations rows
+    * outside; violations = the offending values with counts. */
+  case class AcceptedValues(name: String, table: String, column: String,
+                            allowed: Seq[String],
+                            maxViolations: Long = 0L) extends Check
+  /** numeric range: all non-null values of `column` within [lo, hi]. */
+  case class ValueRange(name: String, table: String, column: String,
+                        lo: Double, hi: Double) extends Check
 
   /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
     * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
@@ -145,6 +162,48 @@ object ValidationSuite {
           s"$table.$valueCol distinct per $keyCol >= $minDistinct" +
             salts.map(k => s" (salted x$k)").getOrElse(""))
 
+      case SchemaMatch(name, table, expected, exact) =>
+        // metadata-only (parquet footer): no job, no checkpoint stage
+        val actual = Tables.load(spark, sfDir, table).schema
+        val spec = expected.map { case (c, t) => SchemaChecks.ColumnSpec(c, t) }
+        val viols = SchemaChecks.diff(actual, spec, exact)
+        violationFrames(name) =
+          viols.toDF("column_name", "issue", "expected", "actual")
+        outcomes += CheckOutcome(name, "schema", viols.isEmpty, viols.length,
+          s"$table schema vs ${expected.length}-column spec" +
+            (if (exact) " (exact)" else ""))
+
+      case NullRate(name, table, column, maxRateE5) =>
+        val rates = Checkpoint.stage(spark, dir, name)(
+          ColumnChecks.nullRates(
+            Tables.load(spark, sfDir, table), table, Seq(column))).df
+        val r = rates.collect()(0)
+        val rate = r.getAs[Long]("null_rate_e5")
+        val nulls = r.getAs[Long]("n_nulls")
+        violationFrames(name) = rates.filter(col("null_rate_e5") > maxRateE5)
+        outcomes += CheckOutcome(name, "null_rate", rate <= maxRateE5, nulls,
+          s"$table.$column null_rate_e5=$rate max=$maxRateE5")
+
+      case AcceptedValues(name, table, column, allowed, maxViolations) =>
+        val viol = Checkpoint.stage(spark, dir, name)(
+          ColumnChecks.acceptedValuesViolations(
+            Tables.load(spark, sfDir, table), table, column, allowed)).df
+        val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+        violationFrames(name) = viol
+        outcomes += CheckOutcome(name, "accepted_values", n <= maxViolations, n,
+          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations")
+
+      case ValueRange(name, table, column, lo, hi) =>
+        val stats = Checkpoint.stage(spark, dir, name)(
+          ColumnChecks.rangeStats(
+            Tables.load(spark, sfDir, table), table, column, lo, hi)).df
+        val r = stats.collect()(0)
+        val out = r.getAs[Long]("n_below") + r.getAs[Long]("n_above")
+        violationFrames(name) = stats
+        outcomes += CheckOutcome(name, "value_range", out == 0, out,
+          s"$table.$column in [$lo,$hi] below=${r.getAs[Long]("n_below")} " +
+            s"above=${r.getAs[Long]("n_above")} nulls=${r.getAs[Long]("n_null")}")
+
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name)(
           graft.checks.PartitionChecks.crossPartitionContainment(
@@ -184,7 +243,17 @@ object ValidationSuite {
     CrossContainment("users_across_event_types", "events", "user_id",
       "event_type", maxMissing = 10L),
     DistinctPerKey("lang_content_coverage", "documents", "lang", "text",
-      minDistinct = 2L)
+      minDistinct = 2L),
+    SchemaMatch("schema_orders", "orders", Seq(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string")),
+    SchemaMatch("schema_embeddings", "embeddings", Seq(
+      "vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int")),
+    NullRate("nn_documents_text", "documents", "text", maxRateE5 = 0L),
+    AcceptedValues("domain_orderstatus", "orders", "o_orderstatus",
+      Seq("O", "F", "P")),
+    ValueRange("range_event_value", "events", "value", 0.0, 500.0)
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

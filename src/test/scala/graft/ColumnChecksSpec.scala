@@ -1,0 +1,56 @@
+package graft
+
+import graft.checks.ColumnChecks
+
+/** Completeness / domain / range checks against planted violations. */
+class ColumnChecksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("nullRates: one scan, exact floored 1e5 rates, planted nulls counted") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (None, Some("y")),
+      (None, None)).toDF("k", "v")
+    val r = ColumnChecks.nullRates(df, "t", Seq("k", "v")).collect()
+      .map(row => row.getAs[String]("col") ->
+        (row.getAs[Long]("cnt"), row.getAs[Long]("n_nulls"),
+         row.getAs[Long]("null_rate_e5"))).toMap
+    assert(r("t.k") == ((4L, 2L, 50000L)))
+    assert(r("t.v") == ((4L, 2L, 50000L)))
+    // exactly one scan of the input: the plan contains a single aggregate
+    // over the source, not one branch per column
+    val plan = ColumnChecks.nullRates(df, "t", Seq("k", "v"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("nullRates: empty frame yields rate 0, no division error") {
+    val df = spark.emptyDataset[(Long, String)].toDF("k", "v")
+    val r = ColumnChecks.nullRates(df, "t", Seq("k")).collect()(0)
+    assert(r.getAs[Long]("cnt") == 0L && r.getAs[Long]("null_rate_e5") == 0L)
+  }
+
+  test("acceptedValues: offenders grouped with counts, nulls ignored") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), Some("z"), Some("z"),
+      Some("z"), None).toDF("c")
+    val v = ColumnChecks.acceptedValuesViolations(df, "t", "c", Seq("a", "b"))
+      .collect().map(r => (r.getAs[String]("value"), r.getAs[Long]("n")))
+    assert(v.toSeq == Seq("z" -> 3L))
+  }
+
+  test("rangeStats: below/above/null counted over a closed interval") {
+    val df = Seq(Some(-1.0), Some(0.0), Some(5.0), Some(10.0), Some(10.5),
+      None, None).toDF("x")
+    val r = ColumnChecks.rangeStats(df, "t", "x", 0.0, 10.0).collect()(0)
+    assert(r.getAs[Long]("n_below") == 1L)
+    assert(r.getAs[Long]("n_above") == 1L)
+    assert(r.getAs[Long]("n_null") == 2L)
+  }
+
+  test("rangeStats: empty frame yields zero counts") {
+    val df = spark.emptyDataset[Double].toDF("x")
+    val r = ColumnChecks.rangeStats(df, "t", "x", 0.0, 1.0).collect()(0)
+    assert(r.getAs[Long]("n_below") == 0L && r.getAs[Long]("n_above") == 0L &&
+      r.getAs[Long]("n_null") == 0L)
+  }
+}

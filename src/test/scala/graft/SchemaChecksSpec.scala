@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.checks.SchemaChecks
+import graft.checks.SchemaChecks.{ColumnSpec, SchemaViolation}
+
+/** Schema validation: canonical type vocabulary + ordered-spec diff. */
+class SchemaChecksSpec extends SparkSpec {
+
+  test("canonical types cover the engine-neutral vocabulary") {
+    assert(SchemaChecks.canonicalType(IntegerType) == "int")
+    assert(SchemaChecks.canonicalType(LongType) == "bigint")
+    assert(SchemaChecks.canonicalType(DoubleType) == "double")
+    assert(SchemaChecks.canonicalType(StringType) == "string")
+    assert(SchemaChecks.canonicalType(BinaryType) == "binary")
+    assert(SchemaChecks.canonicalType(TimestampType) == "timestamp")
+    assert(SchemaChecks.canonicalType(TimestampNTZType) == "timestamp")
+    assert(SchemaChecks.canonicalType(ArrayType(FloatType)) == "array<float>")
+    assert(SchemaChecks.canonicalType(DecimalType(38, 0)) == "decimal(38,0)")
+  }
+
+  private val actual = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType),
+    StructField("c", DoubleType), StructField("d", TimestampNTZType)))
+
+  test("matching spec yields no violations") {
+    val spec = Seq(ColumnSpec("a", "bigint"), ColumnSpec("b", "string"),
+      ColumnSpec("c", "double"), ColumnSpec("d", "timestamp"))
+    assert(SchemaChecks.diff(actual, spec).isEmpty)
+  }
+
+  test("every issue kind fires: missing, unexpected, type, order") {
+    // expect: a ok; b planted as int (type); e absent (missing); c listed
+    // after the hole so its expected pos 3 != actual 2 (order); d unlisted
+    // (unexpected)
+    val spec = Seq(ColumnSpec("a", "bigint"), ColumnSpec("b", "int"),
+      ColumnSpec("e", "string"), ColumnSpec("c", "double"))
+    val d = SchemaChecks.diff(actual, spec).toSet
+    assert(d == Set(
+      SchemaViolation("e", "missing", "string", ""),
+      SchemaViolation("d", "unexpected", "", "timestamp"),
+      SchemaViolation("b", "type_mismatch", "int", "string"),
+      SchemaViolation("c", "order_mismatch", "pos=3", "pos=2")))
+  }
+
+  test("exact=false tolerates extra actual columns") {
+    val spec = Seq(ColumnSpec("a", "bigint"), ColumnSpec("b", "string"))
+    assert(SchemaChecks.diff(actual, spec, exact = false).isEmpty)
+    // but exact=true reports them
+    val strict = SchemaChecks.diff(actual, spec).map(_.issue)
+    assert(strict.count(_ == "unexpected") == 2)
+  }
+
+  test("schemaProfile lists every registry column in schema order") {
+    val p = SchemaChecks.schemaProfile(spark, "/root/testdata/sf0.001", Tables.all)
+      .collect()
+    assert(p.length == 51) // 51 columns across the 10 testdata tables
+    val emb = p.filter(_.getAs[String]("tbl") == "embeddings")
+      .sortBy(_.getAs[Long]("pos"))
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("dtype")))
+    assert(emb.toSeq == Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int"))
+  }
+}

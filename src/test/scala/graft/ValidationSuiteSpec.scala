@@ -63,6 +63,41 @@ class ValidationSuiteSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$dir/_verdicts")))
   }
 
+  test("schema/null-rate/domain/range checks pass on designed data and fire on planted defects") {
+    val dir = Files.createTempDirectory("suite_sc").toString
+    val cfg = Config(Seq(
+      // passing contracts
+      SchemaMatch("schema_ok", "embeddings", Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int")),
+      NullRate("nn_ok", "orders", "o_orderkey"),
+      AcceptedValues("dom_ok", "lineitem", "l_returnflag", Seq("R", "A", "N")),
+      ValueRange("rng_ok", "part", "p_size", 1.0, 50.0),
+      // planted defects
+      SchemaMatch("schema_bad", "embeddings", Seq("vec_id" -> "int",
+        "label" -> "int", "embedding" -> "array<float>")),
+      AcceptedValues("dom_bad", "orders", "o_orderstatus", Seq("O", "F")),
+      ValueRange("rng_bad", "part", "p_size", 1.0, 10.0)
+    ), dir)
+    val (v, viols) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val byName = v.collect().map(r => r.getAs[String]("name") -> r).toMap
+    Seq("schema_ok", "nn_ok", "dom_ok", "rng_ok").foreach { n =>
+      assert(byName(n).getAs[Boolean]("passed"), n)
+    }
+    // schema_bad: vec_id type_mismatch + embedding/label order mismatches
+    assert(!byName("schema_bad").getAs[Boolean]("passed"))
+    val issues = viols("schema_bad").collect().map(_.getAs[String]("issue"))
+    assert(issues.count(_ == "order_mismatch") == 2 &&
+      issues.contains("type_mismatch"))
+    // dom_bad: 'P' offends; violation rows carry the value and its count
+    assert(!byName("dom_bad").getAs[Boolean]("passed"))
+    val dom = viols("dom_bad").collect()
+    assert(dom.length == 1 && dom(0).getAs[String]("value") == "P" &&
+      dom(0).getAs[Long]("n") == byName("dom_bad").getAs[Long]("violations"))
+    // rng_bad: p_size in [1,10] leaves most parts above
+    assert(!byName("rng_bad").getAs[Boolean]("passed") &&
+      byName("rng_bad").getAs[Long]("violations") > 0)
+  }
+
   test("per-partition and cross-containment checks emit north-rule verdicts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vs_part").toString
     val cfg = Config(Seq(
