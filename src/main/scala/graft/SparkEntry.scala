@@ -883,6 +883,18 @@ object SparkEntry {
         ColumnChecks.rangeStats(Tables.load(s, dir, t), t, c, lo, hi)
       }.reduce(_ unionAll _)),
 
+    // per-partition recency lag behind the global max timestamp (whole
+    // epoch seconds — integral on both engines)
+    "q_freshness" -> ((s, dir) =>
+      Drift.freshness(Tables.load(s, dir, "events"), "event_type", "ts",
+        maxLagSeconds = 86400L)),
+
+    // category-churn drift: per-source top-3 langs vs the global top-3
+    // (threshold 0.3 sits above the designed 0.2 floor so `stable` varies)
+    "q_topk_stability" -> ((s, dir) =>
+      Drift.topkStability(Tables.load(s, dir, "documents"), "source", "lang",
+        k = 3, thresholdE5 = 30000L)),
+
     // J1 exact: all unary INDs over every registered column pair
     "q_ind_exact" -> ((s, dir) =>
       cachedVerdicts(s, dir)
@@ -1380,6 +1392,36 @@ object SparkEntry {
            | CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null
            | FROM $t""".stripMargin.replace("\n", "")
       }.mkString(" UNION ALL "),
+
+    // floor(epoch()) before max: DuckDB's epoch(TIMESTAMP) is fractional
+    // where Spark's unix_timestamp truncates — flooring each value first
+    // keeps both engines on whole seconds (max is floor-monotonic)
+    "q_freshness" ->
+      """WITH p AS (SELECT event_type AS partition,
+        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS part_max_epoch
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (SELECT max(part_max_epoch) AS gm FROM p)
+        |SELECT partition, part_max_epoch, gm - part_max_epoch AS lag_seconds,
+        |  (gm - part_max_epoch) <= 86400 AS fresh FROM p, g""".stripMargin,
+
+    "q_topk_stability" ->
+      """WITH c AS (SELECT source AS partition, lang AS cat, count(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |pt AS (SELECT partition, cat FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY partition
+        |                             ORDER BY n DESC, cat) <= 3),
+        |g AS (SELECT cat, sum(n) AS gn FROM c GROUP BY 1),
+        |gt AS (SELECT cat FROM g ORDER BY gn DESC, cat LIMIT 3),
+        |gs AS (SELECT count(*) AS gsz FROM gt),
+        |j AS (SELECT p.partition, CAST(count(t.cat) AS BIGINT) AS n_common,
+        |        CAST(count(*) AS BIGINT) AS ps
+        |      FROM pt p LEFT JOIN gt t ON p.cat = t.cat GROUP BY 1)
+        |SELECT partition, n_common,
+        |  (n_common * 100000) // (ps + (SELECT gsz FROM gs) - n_common)
+        |    AS jaccard_e5,
+        |  (n_common * 100000) // (ps + (SELECT gsz FROM gs) - n_common) >= 30000
+        |    AS stable
+        |FROM j""".stripMargin,
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),

@@ -1,6 +1,6 @@
 package graft.checks
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -102,5 +102,60 @@ object Drift {
           .cast("long"))
       .withColumn("drifted", col("ks_e5") >= thresholdE5)
       .select(col("partition"), col("pt").as("n_rows"), col("ks_e5"), col("drifted"))
+  }
+
+  /** Per-partition recency: each partition's max(`tsCol`) lag behind the
+    * global max, in whole epoch seconds (integral on both engines — no
+    * float timestamps cross the engine boundary). One scan: per-partition
+    * maxima, then a broadcast of the 1-row global max. Output:
+    * (partition, part_max_epoch, lag_seconds, fresh). */
+  def freshness(df: DataFrame, partCol: String, tsCol: String,
+                maxLagSeconds: Long): DataFrame = {
+    val perPart = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(partCol).as("partition"))
+      .agg(max(unix_timestamp(col(tsCol))).as("part_max_epoch"))
+    val globalMax = perPart.agg(max("part_max_epoch").as("global_max_epoch"))
+    perPart.crossJoin(broadcast(globalMax))
+      .withColumn("lag_seconds", col("global_max_epoch") - col("part_max_epoch"))
+      .withColumn("fresh", col("lag_seconds") <= maxLagSeconds)
+      .select(col("partition"), col("part_max_epoch"), col("lag_seconds"),
+        col("fresh"))
+  }
+
+  /** Category-churn drift: Jaccard overlap of each partition's top-`k`
+    * most frequent `catCol` values against the global top-`k`. Ties break
+    * deterministically by (count desc, value asc) so the statistic is
+    * engine-exact; jaccard_e5 = ⌊|∩|·1e5 / |∪|⌋. The per-partition top-k
+    * runs through a rank window over pre-aggregated counts (the literal-k
+    * filter two-phases into WindowGroupLimit — no full sort of the counts),
+    * and the global top-k set broadcasts. Output:
+    * (partition, n_common, jaccard_e5, stable). */
+  def topkStability(df: DataFrame, partCol: String, catCol: String,
+                    k: Int, thresholdE5: Long): DataFrame = {
+    // materialized once: partTop, the global top-k, and its size all read
+    // these counts — without the checkpoint each consumer would rescan df
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
+      .agg(count("*").as("n"))
+      .localCheckpoint()
+    val partTop = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("partition").orderBy(col("n").desc, col("cat"))))
+      .filter(col("rk") <= k)
+    // orderBy+limit = TakeOrderedAndProject: a distributed top-k reduce,
+    // NOT a single-partition rank window over every distinct category
+    val globalTop = counts.groupBy("cat").agg(sum("n").as("gn"))
+      .orderBy(col("gn").desc, col("cat")).limit(k)
+      .select(col("cat"), lit(1).as("in_global"))
+    val globalSize = globalTop.count() // ≤ k, tiny
+    partTop
+      .join(broadcast(globalTop), Seq("cat"), "left")
+      .groupBy("partition")
+      .agg(count("*").as("part_size"),
+        coalesce(sum("in_global"), lit(0L)).as("n_common"))
+      .withColumn("jaccard_e5",
+        expr(s"(n_common * 100000) div (part_size + ${globalSize}L - n_common)"))
+      .withColumn("stable", col("jaccard_e5") >= thresholdE5)
+      .select(col("partition"), col("n_common"), col("jaccard_e5"), col("stable"))
   }
 }

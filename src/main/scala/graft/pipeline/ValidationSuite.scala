@@ -65,6 +65,15 @@ object ValidationSuite {
   /** numeric range: all non-null values of `column` within [lo, hi]. */
   case class ValueRange(name: String, table: String, column: String,
                         lo: Double, hi: Double) extends Check
+  /** recency: every `partitionBy` partition's max(`tsColumn`) within
+    * `maxLagSeconds` of the global max. */
+  case class Freshness(name: String, table: String, tsColumn: String,
+                       partitionBy: String, maxLagSeconds: Long) extends Check
+  /** category churn: each partition's top-`k` `column` values must overlap
+    * the global top-`k` with Jaccard ≥ minJaccardE5 (1e5-scaled). */
+  case class TopKStability(name: String, table: String, column: String,
+                           partitionBy: String, k: Int,
+                           minJaccardE5: Long) extends Check
 
   /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
     * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
@@ -204,6 +213,26 @@ object ValidationSuite {
           s"$table.$column in [$lo,$hi] below=${r.getAs[Long]("n_below")} " +
             s"above=${r.getAs[Long]("n_above")} nulls=${r.getAs[Long]("n_null")}")
 
+      case Freshness(name, table, tsCol, part, maxLag) =>
+        val fresh = Checkpoint.stage(spark, dir, name)(
+          Drift.freshness(Tables.load(spark, sfDir, table), part, tsCol,
+            maxLag)).df
+        val bad = fresh.filter(!col("fresh"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "freshness", n == 0, n,
+          s"$table.$tsCol per $part within ${maxLag}s of global max")
+
+      case TopKStability(name, table, column, part, k, thr) =>
+        val stab = Checkpoint.stage(spark, dir, name)(
+          Drift.topkStability(Tables.load(spark, sfDir, table), part, column,
+            k, thr)).df
+        val bad = stab.filter(!col("stable"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "topk_stability", n == 0, n,
+          s"$table.$column top-$k per $part jaccard_e5>=$thr")
+
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name)(
           graft.checks.PartitionChecks.crossPartitionContainment(
@@ -253,7 +282,12 @@ object ValidationSuite {
     NullRate("nn_documents_text", "documents", "text", maxRateE5 = 0L),
     AcceptedValues("domain_orderstatus", "orders", "o_orderstatus",
       Seq("O", "F", "P")),
-    ValueRange("range_event_value", "events", "value", 0.0, 500.0)
+    ValueRange("range_event_value", "events", "value", 0.0, 500.0),
+    // testdata lag peaks at ~25.6k s (sf0.001); one day of margin
+    Freshness("fresh_events", "events", "ts", "event_type", 86400L),
+    // per-source top-3 langs vs global top-3: designed floor is 0.2
+    TopKStability("topk_lang_by_source", "documents", "lang", "source",
+      k = 3, minJaccardE5 = 20000L)
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

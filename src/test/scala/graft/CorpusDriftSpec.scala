@@ -82,6 +82,41 @@ class CorpusDriftSpec extends SparkSpec {
     assert(ks2.forall(_ == 0L))
   }
 
+  test("freshness: stale partition flagged, lag in whole seconds") {
+    import spark.implicits._
+    val df = Seq(
+      ("live", java.sql.Timestamp.valueOf("2024-06-01 12:00:30")),
+      ("live", java.sql.Timestamp.valueOf("2024-06-01 11:00:00")),
+      ("stale", java.sql.Timestamp.valueOf("2024-06-01 10:00:30")),
+      ("empty_ts", null.asInstanceOf[java.sql.Timestamp])
+    ).toDF("p", "ts")
+    val r = Drift.freshness(df, "p", "ts", maxLagSeconds = 3600L)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("lag_seconds"), x.getAs[Boolean]("fresh"))).toMap
+    assert(r("live") == ((0L, true)))
+    assert(r("stale") == ((7200L, false)))
+    // all-null partitions drop out (no timestamp to compare)
+    assert(!r.contains("empty_ts"))
+  }
+
+  test("topkStability: churned partition below threshold, ties break by value") {
+    import spark.implicits._
+    // global counts a=7, b=5, c=4, x=3 → global top-2 {a, b}.
+    // p1's top-2 is {a, b} → J=1; p2's is {c, x} (c=x=3 ties to c by value)
+    // → J=0; p3 ties b and c at 1, breaking to b (value asc) → {a, b} → J=1.
+    val rows =
+      Seq.fill(5)(("p1", "a")) ++ Seq.fill(4)(("p1", "b")) ++
+      Seq.fill(3)(("p2", "c")) ++ Seq.fill(3)(("p2", "x")) ++
+      Seq.fill(2)(("p3", "a")) ++ Seq(("p3", "b"), ("p3", "c"))
+    val r = Drift.topkStability(rows.toDF("p", "c"), "p", "c",
+        k = 2, thresholdE5 = 50000L)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("jaccard_e5"), x.getAs[Boolean]("stable"))).toMap
+    assert(r("p1") == ((100000L, true)))
+    assert(r("p2") == ((0L, false)))
+    assert(r("p3") == ((100000L, true)))
+  }
+
   test("TVD/KS numerators survive planted counts > 2^31 (no Long overflow)") {
     import spark.implicits._
     // 4e9 rows per partition: each |n·t − gn·pt| term is 8e18 and the
