@@ -18,8 +18,17 @@ object CorpusSuiteEvidence {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val (v, _) = ValidationSuite.run(spark, dataDir, Config(Seq(
+      // the north_rule input contract, verified as a schema check:
+      // (repo, path, commit, lang, content) all strings, in order
+      SchemaMatch("corpus_schema", "corpus", Seq(
+        "repo" -> "string", "path" -> "string", "commit" -> "string",
+        "lang" -> "string", "content" -> "string")),
       DistinctPerKey("corpus_lang_content", "corpus", "lang", "content",
-        minDistinct = 1000L)),
+        minDistinct = 1000L),
+      // the repo distribution is DESIGNED Zipf-skewed (Corpus.generate
+      // u³ repo index) — this check is expected to FAIL, demonstrating the
+      // skew detector that would trigger salting at scale
+      RowBalance("corpus_repo_balance", "corpus", "repo", maxShareE5 = 5000L)),
       ckpt, hotKeys = Map("corpus.lang" -> 16)))
     v.show(false)
     println(s"SUITE_24M_SEC ${(System.nanoTime() - t0) / 1e9}")

@@ -895,6 +895,12 @@ object SparkEntry {
       Drift.topkStability(Tables.load(s, dir, "documents"), "source", "lang",
         k = 3, thresholdE5 = 30000L)),
 
+    // partition row-balance skew detector; 20% gate against the ~uniform
+    // event types, so the flag provably varies at every SF
+    "q_partition_balance" -> ((s, dir) =>
+      graft.checks.PartitionChecks.rowBalance(
+        Tables.load(s, dir, "events"), "event_type", maxShareE5 = 20000L)),
+
     // J1 exact: all unary INDs over every registered column pair
     "q_ind_exact" -> ((s, dir) =>
       cachedVerdicts(s, dir)
@@ -1422,6 +1428,15 @@ object SparkEntry {
         |  (n_common * 100000) // (ps + (SELECT gsz FROM gs) - n_common) >= 30000
         |    AS stable
         |FROM j""".stripMargin,
+
+    "q_partition_balance" ->
+      """WITH c AS (SELECT event_type AS partition, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+        |SELECT partition, n_rows,
+        |  (n_rows * 100000) // (SELECT total FROM t) AS share_e5,
+        |  (n_rows * 100000) // (SELECT total FROM t) <= 20000 AS balanced
+        |FROM c""".stripMargin,
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),

@@ -64,4 +64,20 @@ object PartitionChecks {
       .filter(col("val").isNotNull).dropDuplicates("col", "val")
     graft.ind.IndValidator.verdicts(longForm, maxMissing)
   }
+
+  /** Partition row-balance: each partition's share of total rows,
+    * 1e5-scaled and floored (engine-exact), flagged when any partition
+    * exceeds `maxShareE5` — the planning signal for salting/AQE before a
+    * skewed key melts one reducer at 100 TB. One aggregate + a broadcast
+    * 1-row total. Output: (partition, n_rows, share_e5, balanced). */
+  def rowBalance(df: DataFrame, partCol: String,
+                 maxShareE5: Long): DataFrame = {
+    val counts = df.groupBy(col(partCol).as("partition"))
+      .agg(count("*").as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_e5", expr("(n_rows * 100000) div total"))
+      .withColumn("balanced", col("share_e5") <= maxShareE5)
+      .select(col("partition"), col("n_rows"), col("share_e5"), col("balanced"))
+  }
 }

@@ -74,6 +74,11 @@ object ValidationSuite {
   case class TopKStability(name: String, table: String, column: String,
                            partitionBy: String, k: Int,
                            minJaccardE5: Long) extends Check
+  /** partition row-balance: no `partitionBy` partition may hold more than
+    * maxShareE5 (1e5-scaled) of the table's rows — the skew detector that
+    * flags keys needing salting/AQE before they melt one reducer. */
+  case class RowBalance(name: String, table: String, partitionBy: String,
+                        maxShareE5: Long) extends Check
 
   /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
     * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
@@ -233,6 +238,16 @@ object ValidationSuite {
         outcomes += CheckOutcome(name, "topk_stability", n == 0, n,
           s"$table.$column top-$k per $part jaccard_e5>=$thr")
 
+      case RowBalance(name, table, part, maxShare) =>
+        val bal = Checkpoint.stage(spark, dir, name)(
+          graft.checks.PartitionChecks.rowBalance(
+            Tables.load(spark, sfDir, table), part, maxShare)).df
+        val bad = bal.filter(!col("balanced"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "row_balance", n == 0, n,
+          s"$table rows per $part share_e5<=$maxShare")
+
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name)(
           graft.checks.PartitionChecks.crossPartitionContainment(
@@ -287,7 +302,9 @@ object ValidationSuite {
     Freshness("fresh_events", "events", "ts", "event_type", 86400L),
     // per-source top-3 langs vs global top-3: designed floor is 0.2
     TopKStability("topk_lang_by_source", "documents", "lang", "source",
-      k = 3, minJaccardE5 = 20000L)
+      k = 3, minJaccardE5 = 20000L),
+    // event types are designed near-uniform (~20% each); 25% headroom
+    RowBalance("balance_events_by_type", "events", "event_type", 25000L)
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

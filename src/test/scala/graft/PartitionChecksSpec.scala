@@ -39,4 +39,15 @@ class PartitionChecksSpec extends SparkSpec {
     assert(v(("c1", "c2")) == ((0L, true)))  // c1's repos ⊆ c2's
     assert(v(("c2", "c1")) == ((1L, false))) // r3 missing from c1
   }
+
+  test("rowBalance: hot partition flagged, shares exact 1e5-floored") {
+    // p1 holds 6 of 8 rows (share 0.75), p2 and p3 one each (0.125)
+    val df = (Seq.fill(6)("p1") ++ Seq("p2", "p3")).toDF("part")
+    val v = PartitionChecks.rowBalance(df, "part", maxShareE5 = 50000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("share_e5"), r.getAs[Boolean]("balanced"))).toMap
+    assert(v("p1") == ((75000L, false)))
+    assert(v("p2") == ((12500L, true)))
+    assert(v("p3") == ((12500L, true)))
+  }
 }
