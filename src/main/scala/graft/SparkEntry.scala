@@ -901,6 +901,23 @@ object SparkEntry {
       graft.checks.PartitionChecks.rowBalance(
         Tables.load(s, dir, "events"), "event_type", maxShareE5 = 20000L)),
 
+    // format checks: c_name matches its designed shape (empty violations);
+    // the props pattern demands a TWO-digit k so one-digit rows fire
+    "q_pattern_checks" -> ((s, dir) =>
+      ColumnChecks.patternViolations(Tables.load(s, dir, "customer"),
+          "customer", "c_name", "^Customer#[0-9]{9}$")
+        .unionAll(ColumnChecks.patternViolations(Tables.load(s, dir, "events"),
+          "events", "props", "^[{]\"k\": [0-9]{2}[}]$"))),
+
+    // composite keys: the lineitem pair is designed NON-unique in this
+    // testdata (dup_rows > 0) while (source, doc_id) is unique
+    "q_composite_unique" -> ((s, dir) =>
+      ColumnChecks.compositeUniqueStats(Tables.load(s, dir, "lineitem"),
+          "lineitem", Seq("l_orderkey", "l_linenumber"))
+        .unionAll(ColumnChecks.compositeUniqueStats(
+          Tables.load(s, dir, "documents"), "documents",
+          Seq("source", "doc_id")))),
+
     // J1 exact: all unary INDs over every registered column pair
     "q_ind_exact" -> ((s, dir) =>
       cachedVerdicts(s, dir)
@@ -1437,6 +1454,33 @@ object SparkEntry {
         |  (n_rows * 100000) // (SELECT total FROM t) AS share_e5,
         |  (n_rows * 100000) // (SELECT total FROM t) <= 20000 AS balanced
         |FROM c""".stripMargin,
+
+    "q_pattern_checks" ->
+      """SELECT 'customer.c_name' AS col, CAST(c_name AS VARCHAR) AS value,
+        | count(*) AS n FROM customer
+        | WHERE c_name IS NOT NULL
+        |   AND NOT regexp_matches(CAST(c_name AS VARCHAR), '^Customer#[0-9]{9}$')
+        | GROUP BY 2
+        |UNION ALL
+        |SELECT 'events.props', CAST(props AS VARCHAR), count(*) FROM events
+        | WHERE props IS NOT NULL
+        |   AND NOT regexp_matches(CAST(props AS VARCHAR), '^[{]"k": [0-9]{2}[}]$')
+        | GROUP BY 2""".stripMargin,
+
+    "q_composite_unique" ->
+      """SELECT 'lineitem(l_orderkey,l_linenumber)' AS cols,
+        | count(*) AS cnt,
+        | CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct,
+        | count(*) - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |   AS dup_rows,
+        | count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS is_unique
+        |FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |UNION ALL
+        |SELECT 'documents(source,doc_id)', count(*),
+        | CAST(count(DISTINCT (source, doc_id)) AS BIGINT),
+        | count(*) - CAST(count(DISTINCT (source, doc_id)) AS BIGINT),
+        | count(*) = count(DISTINCT (source, doc_id))
+        |FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL""".stripMargin,
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),

@@ -45,6 +45,34 @@ object ColumnChecks {
       .agg(count(lit(1)).as("n"))
       .select(lit(s"$table.$column").as("col"), col("value"), col("n"))
 
+  /** Format check: non-null values of `column` NOT matching `regex`
+    * (anchor with ^$ for whole-value matches; keep to the POSIX-ish subset
+    * shared by Java regex and RE2 — e.g. literal braces as [{] [}] — so the
+    * DuckDB oracle sees identical semantics), with per-value counts. */
+  def patternViolations(df: DataFrame, table: String, column: String,
+                        regex: String): DataFrame =
+    df.filter(col(column).isNotNull &&
+        !col(column).cast("string").rlike(regex))
+      .groupBy(col(column).cast("string").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(s"$table.$column").as("col"), col("value"), col("n"))
+
+  /** Composite-key uniqueness over `cols` (rows with any null key part are
+    * excluded on both engines — null-tuple semantics differ otherwise):
+    * (cols, cnt, n_distinct, dup_rows, is_unique) in one aggregate. */
+  def compositeUniqueStats(df: DataFrame, table: String,
+                           cols: Seq[String]): DataFrame = {
+    val complete = cols.map(col(_).isNotNull).reduce(_ && _)
+    df.filter(complete)
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(struct(cols.map(col): _*)).as("n_distinct"))
+      .select(
+        lit(s"$table(${cols.mkString(",")})").as("cols"),
+        col("cnt"), col("n_distinct"),
+        (col("cnt") - col("n_distinct")).as("dup_rows"),
+        (col("cnt") === col("n_distinct")).as("is_unique"))
+  }
+
   /** Range check over a numeric column: one scan emitting
     * (col, n_below, n_above, n_null) for the closed interval [lo, hi]. */
   def rangeStats(df: DataFrame, table: String, column: String,

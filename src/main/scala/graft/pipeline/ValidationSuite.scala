@@ -65,6 +65,14 @@ object ValidationSuite {
   /** numeric range: all non-null values of `column` within [lo, hi]. */
   case class ValueRange(name: String, table: String, column: String,
                         lo: Double, hi: Double) extends Check
+  /** format: non-null values of `column` match `regex`, ≤ maxViolations
+    * rows outside; violations = the offending values with counts. */
+  case class PatternMatch(name: String, table: String, column: String,
+                          regex: String,
+                          maxViolations: Long = 0L) extends Check
+  /** composite-key uniqueness over `columns` (complete rows only). */
+  case class UniqueComposite(name: String, table: String,
+                             columns: Seq[String]) extends Check
   /** recency: every `partitionBy` partition's max(`tsColumn`) within
     * `maxLagSeconds` of the global max. */
   case class Freshness(name: String, table: String, tsColumn: String,
@@ -218,6 +226,26 @@ object ValidationSuite {
           s"$table.$column in [$lo,$hi] below=${r.getAs[Long]("n_below")} " +
             s"above=${r.getAs[Long]("n_above")} nulls=${r.getAs[Long]("n_null")}")
 
+      case PatternMatch(name, table, column, regex, maxViolations) =>
+        val viol = Checkpoint.stage(spark, dir, name)(
+          ColumnChecks.patternViolations(
+            Tables.load(spark, sfDir, table), table, column, regex)).df
+        val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+        violationFrames(name) = viol
+        outcomes += CheckOutcome(name, "pattern_match", n <= maxViolations, n,
+          s"$table.$column ~ /$regex/ budget=$maxViolations")
+
+      case UniqueComposite(name, table, columns) =>
+        val stats = Checkpoint.stage(spark, dir, name)(
+          ColumnChecks.compositeUniqueStats(
+            Tables.load(spark, sfDir, table), table, columns)).df
+        val r = stats.collect()(0)
+        val dups = r.getAs[Long]("dup_rows")
+        violationFrames(name) = stats.filter(!col("is_unique"))
+        outcomes += CheckOutcome(name, "unique_composite", dups == 0L, dups,
+          s"$table(${columns.mkString(",")}) cnt=${r.getAs[Long]("cnt")} " +
+            s"distinct=${r.getAs[Long]("n_distinct")}")
+
       case Freshness(name, table, tsCol, part, maxLag) =>
         val fresh = Checkpoint.stage(spark, dir, name)(
           Drift.freshness(Tables.load(spark, sfDir, table), part, tsCol,
@@ -304,7 +332,11 @@ object ValidationSuite {
     TopKStability("topk_lang_by_source", "documents", "lang", "source",
       k = 3, minJaccardE5 = 20000L),
     // event types are designed near-uniform (~20% each); 25% headroom
-    RowBalance("balance_events_by_type", "events", "event_type", 25000L)
+    RowBalance("balance_events_by_type", "events", "event_type", 25000L),
+    PatternMatch("fmt_customer_name", "customer", "c_name",
+      "^Customer#[0-9]{9}$"),
+    UniqueComposite("pk_documents_src_doc", "documents",
+      Seq("source", "doc_id"))
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

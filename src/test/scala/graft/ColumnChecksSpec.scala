@@ -38,6 +38,27 @@ class ColumnChecksSpec extends SparkSpec {
     assert(v.toSeq == Seq("z" -> 3L))
   }
 
+  test("patternViolations: non-matching values grouped, nulls ignored") {
+    val df = Seq(Some("AB-12"), Some("AB-12"), Some("xy-9"), Some("AB-1x"),
+      None).toDF("c")
+    val v = ColumnChecks.patternViolations(df, "t", "c", "^[A-Z]{2}-[0-9]+$")
+      .collect().map(r => (r.getAs[String]("value"), r.getAs[Long]("n"))).toMap
+    assert(v == Map("xy-9" -> 1L, "AB-1x" -> 1L))
+  }
+
+  test("compositeUniqueStats: dup pairs counted, any-null rows excluded") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(1L), Some("b")),
+      (Some(2L), Some("a")), (None, Some("x")), (Some(3L), None)
+    ).toDF("k1", "k2")
+    val r = ColumnChecks.compositeUniqueStats(df, "t", Seq("k1", "k2"))
+      .collect()(0)
+    assert(r.getAs[Long]("cnt") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("dup_rows") == 1L)
+    assert(!r.getAs[Boolean]("is_unique"))
+  }
+
   test("rangeStats: below/above/null counted over a closed interval") {
     val df = Seq(Some(-1.0), Some(0.0), Some(5.0), Some(10.0), Some(10.5),
       None, None).toDF("x")

@@ -76,13 +76,24 @@ class ValidationSuiteSpec extends SparkSpec {
       SchemaMatch("schema_bad", "embeddings", Seq("vec_id" -> "int",
         "label" -> "int", "embedding" -> "array<float>")),
       AcceptedValues("dom_bad", "orders", "o_orderstatus", Seq("O", "F")),
-      ValueRange("rng_bad", "part", "p_size", 1.0, 10.0)
+      ValueRange("rng_bad", "part", "p_size", 1.0, 10.0),
+      PatternMatch("fmt_ok", "part", "p_brand", "^Brand#[0-9]+$"),
+      PatternMatch("fmt_bad", "orders", "o_orderpriority", "^[0-9]-HIGH$"),
+      UniqueComposite("ck_ok", "documents", Seq("source", "doc_id")),
+      UniqueComposite("ck_bad", "lineitem", Seq("l_orderkey", "l_linenumber"))
     ), dir)
     val (v, viols) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
     val byName = v.collect().map(r => r.getAs[String]("name") -> r).toMap
-    Seq("schema_ok", "nn_ok", "dom_ok", "rng_ok").foreach { n =>
+    Seq("schema_ok", "nn_ok", "dom_ok", "rng_ok", "fmt_ok", "ck_ok").foreach { n =>
       assert(byName(n).getAs[Boolean]("passed"), n)
     }
+    // fmt_bad: only one of five priorities matches [0-9]-HIGH → most rows fire
+    assert(!byName("fmt_bad").getAs[Boolean]("passed") &&
+      byName("fmt_bad").getAs[Long]("violations") > 0)
+    // ck_bad: the lineitem pair is designed non-unique in this testdata
+    assert(!byName("ck_bad").getAs[Boolean]("passed") &&
+      viols("ck_bad").collect()(0).getAs[Long]("dup_rows") ==
+        byName("ck_bad").getAs[Long]("violations"))
     // schema_bad: vec_id type_mismatch + embedding/label order mismatches
     assert(!byName("schema_bad").getAs[Boolean]("passed"))
     val issues = viols("schema_bad").collect().map(_.getAs[String]("issue"))
