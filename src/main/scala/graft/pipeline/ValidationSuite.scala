@@ -325,7 +325,9 @@ object ValidationSuite {
     NullRate("nn_documents_text", "documents", "text", maxRateE5 = 0L),
     AcceptedValues("domain_orderstatus", "orders", "o_orderstatus",
       Seq("O", "F", "P")),
-    ValueRange("range_event_value", "events", "value", 0.0, 500.0),
+    // value is heavy-tailed: measured maxima 327.5 / 490.0 / 560.2 at
+    // sf0.001/0.01/0.1 — the gate needs headroom over the largest SF
+    ValueRange("range_event_value", "events", "value", 0.0, 1000.0),
     // testdata lag peaks at ~25.6k s (sf0.001); one day of margin
     Freshness("fresh_events", "events", "ts", "event_type", 86400L),
     // per-source top-3 langs vs global top-3: designed floor is 0.2
