@@ -2,29 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.pipeline.ValidationSuite
+import graft.pipeline.{SuiteConfig, ValidationSuite}
 
 /** The spark-submit entry point for the standing validation suite
   * (north_rule: "run via spark-submit on multi-executor clusters"):
   *
-  *   spark-submit --class graft.RunSuite <jar> <dataDir> <checkpointDir>
+  *   spark-submit --class graft.RunSuite <jar> <dataDir> <checkpointDir> [config.json]
   *
-  * Runs `ValidationSuite.defaultConfig` over the tables in `dataDir`,
-  * prints one line per check verdict plus a JSON summary, leaves all
-  * violation frames + lineage sidecars under `checkpointDir`, and exits
-  * nonzero if any check fails — the CI-gate shape. Locally (no
-  * spark-submit) it builds its own local[*] session, so
-  * `sbt "runMain graft.RunSuite <dataDir> <ckpt>"` works identically;
-  * a rerun with the same checkpointDir resumes after completed stages.
+  * Runs the JSON-declared check suite (or `ValidationSuite.defaultConfig`
+  * when no config file is given) over the tables in `dataDir`, prints one
+  * line per check verdict plus a JSON summary, leaves all violation frames
+  * + lineage sidecars under `checkpointDir`, and exits nonzero if any
+  * check fails — the CI-gate shape. Locally (no spark-submit) it builds
+  * its own local[*] session, so `sbt "runMain graft.RunSuite <dataDir>
+  * <ckpt>"` works identically; a rerun with the same checkpointDir resumes
+  * after completed stages.
   */
 object RunSuite {
 
-  /** Run the default suite and print the verdict lines + JSON summary;
-    * returns the failed-check count (session lifecycle stays with the
-    * caller, so tests drive this against their own session). */
-  def run(spark: SparkSession, dataDir: String, ckptDir: String): Int = {
-    val (verdicts, _) = ValidationSuite.run(spark, dataDir,
-      ValidationSuite.defaultConfig(ckptDir))
+  /** Run a suite and print the verdict lines + JSON summary; returns the
+    * failed-check count (session lifecycle stays with the caller, so tests
+    * drive this against their own session). */
+  def run(spark: SparkSession, dataDir: String, ckptDir: String,
+          configJson: Option[String] = None): Int = {
+    val config = configJson match {
+      case Some(json) => SuiteConfig.fromJson(json, ckptDir)
+      case None => ValidationSuite.defaultConfig(ckptDir)
+    }
+    val (verdicts, _) = ValidationSuite.run(spark, dataDir, config)
     val rows = verdicts.collect()
     rows.foreach { r =>
       val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
@@ -49,7 +54,9 @@ object RunSuite {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failed = run(spark, args(0), args(1))
+    val configJson = args.lift(2).map(p =>
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    val failed = run(spark, args(0), args(1), configJson)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.pipeline.ValidationSuite._
+
+/** JSON loader for suite configs, so the spark-submit entry point
+  * (`RunSuite <dataDir> <ckpt> [config.json]`) can run ANY declarative
+  * check suite, not just the built-in default — the shape a standing CI
+  * validation gate is actually deployed in. The `type` discriminator uses
+  * the same strings as the emitted verdict `kind`, so a config round-trips
+  * against its own verdict output.
+  *
+  * {{{
+  * { "hotKeys": { "documents.lang": 16 },
+  *   "checks": [
+  *     { "type": "unique", "name": "pk", "table": "orders",
+  *       "column": "o_orderkey" },
+  *     { "type": "referential", "name": "fk", "depTable": "lineitem",
+  *       "depColumn": "l_orderkey", "refTable": "orders",
+  *       "refColumn": "o_orderkey", "maxMissing": 0 },
+  *     { "type": "schema", "name": "sch", "table": "embeddings",
+  *       "expected": [ { "column": "vec_id", "dtype": "bigint" }, ... ] }
+  *   ] }
+  * }}}
+  */
+object SuiteConfig {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def str(j: JValue, f: String): String = (j \ f) match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(
+      s"check field '$f' must be a string, got $other in ${JsonMethods.compact(j)}")
+  }
+  private def lng(j: JValue, f: String, d: Long): Long =
+    (j \ f).extractOrElse[Long](d)
+  private def dbl(j: JValue, f: String): Double = (j \ f).extract[Double]
+  private def bool(j: JValue, f: String, d: Boolean): Boolean =
+    (j \ f).extractOrElse[Boolean](d)
+  private def strings(j: JValue, f: String): Seq[String] =
+    (j \ f).extract[List[String]]
+
+  private def parseCheck(j: JValue): Check = str(j, "type") match {
+    case "unique" =>
+      Unique(str(j, "name"), str(j, "table"), str(j, "column"),
+        bool(j, "strict", d = true))
+    case "referential" =>
+      Referential(str(j, "name"), str(j, "depTable"), str(j, "depColumn"),
+        str(j, "refTable"), str(j, "refColumn"), lng(j, "maxMissing", 0L))
+    case "categorical_drift" =>
+      CategoricalDrift(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "partitionBy"), lng(j, "thresholdE5", 10000L))
+    case "ks_drift" =>
+      KsDrift(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "partitionBy"), dbl(j, "lo"), dbl(j, "hi"),
+        (j \ "bins").extract[Int], lng(j, "thresholdE5", 10000L))
+    case "unique_per_partition" =>
+      UniquePerPartition(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "partitionBy"))
+    case "cross_containment" =>
+      CrossContainment(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "partitionBy"), lng(j, "maxMissing", 0L))
+    case "distinct_per_key" =>
+      DistinctPerKey(str(j, "name"), str(j, "table"), str(j, "keyColumn"),
+        str(j, "valueColumn"), lng(j, "minDistinct", 1L))
+    case "schema" =>
+      val spec = (j \ "expected").extract[List[JValue]]
+        .map(e => str(e, "column") -> str(e, "dtype"))
+      SchemaMatch(str(j, "name"), str(j, "table"), spec,
+        bool(j, "exact", d = true))
+    case "null_rate" =>
+      NullRate(str(j, "name"), str(j, "table"), str(j, "column"),
+        lng(j, "maxRateE5", 0L))
+    case "accepted_values" =>
+      AcceptedValues(str(j, "name"), str(j, "table"), str(j, "column"),
+        strings(j, "allowed"), lng(j, "maxViolations", 0L))
+    case "value_range" =>
+      ValueRange(str(j, "name"), str(j, "table"), str(j, "column"),
+        dbl(j, "lo"), dbl(j, "hi"))
+    case "pattern_match" =>
+      PatternMatch(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "regex"), lng(j, "maxViolations", 0L))
+    case "unique_composite" =>
+      UniqueComposite(str(j, "name"), str(j, "table"), strings(j, "columns"))
+    case "freshness" =>
+      Freshness(str(j, "name"), str(j, "table"), str(j, "tsColumn"),
+        str(j, "partitionBy"), lng(j, "maxLagSeconds", 86400L))
+    case "topk_stability" =>
+      TopKStability(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "partitionBy"), (j \ "k").extract[Int],
+        lng(j, "minJaccardE5", 0L))
+    case "row_balance" =>
+      RowBalance(str(j, "name"), str(j, "table"), str(j, "partitionBy"),
+        lng(j, "maxShareE5", 100000L))
+    case other =>
+      throw new IllegalArgumentException(s"unknown check type '$other'")
+  }
+
+  /** Parse a JSON config document into a runnable suite Config. */
+  def fromJson(json: String, checkpointDir: String): Config = {
+    val root = JsonMethods.parse(json)
+    val hotKeys = (root \ "hotKeys") match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => k -> v.extract[Int] }.toMap
+      case _ => Map.empty[String, Int]
+    }
+    val checks = (root \ "checks") match {
+      case JArray(cs) => cs.map(parseCheck)
+      case other => throw new IllegalArgumentException(
+        s"config needs a 'checks' array, got $other")
+    }
+    Config(checks, checkpointDir, hotKeys)
+  }
+}

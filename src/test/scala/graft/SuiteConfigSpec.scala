@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline.{SuiteConfig, ValidationSuite}
+import graft.pipeline.ValidationSuite._
+
+/** JSON suite-config loader: parse shape + end-to-end through the CLI. */
+class SuiteConfigSpec extends SparkSpec {
+
+  private val json =
+    """{ "hotKeys": { "documents.lang": 8 },
+      |  "checks": [
+      |    { "type": "unique", "name": "pk", "table": "orders",
+      |      "column": "o_orderkey" },
+      |    { "type": "referential", "name": "fk", "depTable": "lineitem",
+      |      "depColumn": "l_orderkey", "refTable": "orders",
+      |      "refColumn": "o_orderkey" },
+      |    { "type": "schema", "name": "sch", "table": "embeddings",
+      |      "expected": [ { "column": "vec_id", "dtype": "bigint" },
+      |                    { "column": "embedding", "dtype": "array<float>" },
+      |                    { "column": "label", "dtype": "int" } ] },
+      |    { "type": "accepted_values", "name": "dom", "table": "lineitem",
+      |      "column": "l_returnflag", "allowed": ["R", "A", "N"] },
+      |    { "type": "value_range", "name": "rng", "table": "part",
+      |      "column": "p_size", "lo": 1.0, "hi": 50.0 },
+      |    { "type": "pattern_match", "name": "fmt", "table": "customer",
+      |      "column": "c_name", "regex": "^Customer#[0-9]{9}$" },
+      |    { "type": "unique_composite", "name": "ck", "table": "documents",
+      |      "columns": ["source", "doc_id"] },
+      |    { "type": "freshness", "name": "fresh", "table": "events",
+      |      "tsColumn": "ts", "partitionBy": "event_type",
+      |      "maxLagSeconds": 86400 },
+      |    { "type": "topk_stability", "name": "topk", "table": "documents",
+      |      "column": "lang", "partitionBy": "source", "k": 3,
+      |      "minJaccardE5": 20000 },
+      |    { "type": "row_balance", "name": "bal", "table": "events",
+      |      "partitionBy": "event_type", "maxShareE5": 25000 },
+      |    { "type": "distinct_per_key", "name": "cov", "table": "documents",
+      |      "keyColumn": "lang", "valueColumn": "text",
+      |      "minDistinct": 2 }
+      |  ] }""".stripMargin
+
+  test("fromJson: every check type parses with defaults applied") {
+    val cfg = SuiteConfig.fromJson(json, "/tmp/ckpt")
+    assert(cfg.hotKeys == Map("documents.lang" -> 8))
+    assert(cfg.checks.length == 11)
+    assert(cfg.checks.head == Unique("pk", "orders", "o_orderkey"))
+    assert(cfg.checks(1) ==
+      Referential("fk", "lineitem", "l_orderkey", "orders", "o_orderkey"))
+    assert(cfg.checks(2) == SchemaMatch("sch", "embeddings", Seq(
+      "vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int")))
+    assert(cfg.checks(6) ==
+      UniqueComposite("ck", "documents", Seq("source", "doc_id")))
+  }
+
+  test("fromJson: unknown type and missing field fail loudly") {
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson("""{"checks":[{"type":"nope","name":"x"}]}""", "/t")
+    }
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson("""{"checks":[{"type":"unique","name":"x"}]}""", "/t")
+    }
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson("""{"nochecks": true}""", "/t")
+    }
+  }
+
+  test("RunSuite CLI with a JSON config file runs the declared suite green") {
+    val dir = java.nio.file.Files.createTempDirectory("suite_json").toString
+    val cfgPath = java.nio.file.Paths.get(dir, "suite.json")
+    java.nio.file.Files.writeString(cfgPath, json)
+    val out = new java.io.ByteArrayOutputStream()
+    val failed = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.run(spark, "/root/testdata/sf0.001", s"$dir/ckpt",
+        Some(java.nio.file.Files.readString(cfgPath)))
+    }
+    if (failed != 0) info(out.toString)
+    assert(failed == 0)
+    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 11)
+    // hot-key flag honored: the salted path announces itself in the detail
+    assert(out.toString.contains("salted x8"))
+  }
+}
