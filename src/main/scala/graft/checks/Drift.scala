@@ -110,10 +110,19 @@ object Drift {
     * maxima, then a broadcast of the 1-row global max. Output:
     * (partition, part_max_epoch, lag_seconds, fresh). */
   def freshness(df: DataFrame, partCol: String, tsCol: String,
-                maxLagSeconds: Long): DataFrame = {
-    val perPart = df.filter(col(tsCol).isNotNull)
-      .groupBy(col(partCol).as("partition"))
-      .agg(max(unix_timestamp(col(tsCol))).as("part_max_epoch"))
+                maxLagSeconds: Long): DataFrame =
+    freshnessFromMaxima(
+      df.filter(col(tsCol).isNotNull)
+        .groupBy(col(partCol).as("partition"))
+        .agg(max(unix_timestamp(col(tsCol))).as("part_max_epoch")),
+      maxLagSeconds)
+
+  /** Freshness from pre-aggregated (partition, part_max_epoch) maxima — the
+    * mergeable form `EventStream.streamingPartitionMaxEpoch` maintains, so
+    * the always-on path recomputes lag verdicts over |partitions| rows of
+    * state instead of rescanning the stream. */
+  def freshnessFromMaxima(perPart: DataFrame,
+                          maxLagSeconds: Long): DataFrame = {
     val globalMax = perPart.agg(max("part_max_epoch").as("global_max_epoch"))
     perPart.crossJoin(broadcast(globalMax))
       .withColumn("lag_seconds", col("global_max_epoch") - col("part_max_epoch"))

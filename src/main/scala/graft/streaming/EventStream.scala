@@ -144,6 +144,17 @@ object EventStream {
     stream.groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
       .agg(count("*").as("n"))
 
+  /** Streaming freshness inputs: per-partition max event epoch in `update`
+    * mode — the mergeable form `Drift.freshness` reduces over. Same
+    * bounded-state shape as the drift counts: |partitions| rows of state,
+    * no watermark (a running max never needs eviction); the lag verdicts
+    * are recomputed downstream over the tiny maxima table. */
+  def streamingPartitionMaxEpoch(stream: DataFrame, partCol: String,
+                                 tsCol: String): DataFrame =
+    stream.filter(col(tsCol).isNotNull)
+      .groupBy(col(partCol).as("partition"))
+      .agg(max(unix_timestamp(col(tsCol))).as("part_max_epoch"))
+
   /** Drive a bounded stream to completion into an in-memory table; returns
     * the result as a batch frame (test harness path). */
   def runToCompletion(streamed: DataFrame, queryName: String,

@@ -124,6 +124,26 @@ class InfraSpec extends SparkSpec {
     assert(viaStream == viaBatch && viaStream.nonEmpty)
   }
 
+  test("streaming freshness: running maxima feed freshnessFromMaxima, match batch") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // localCheckpoint: freshnessFromMaxima self-joins the maxima frame
+    // against its own global max, which a memory-sink view can't do
+    val maxima = EventStream.runToCompletion(
+      EventStream.streamingPartitionMaxEpoch(stream, "event_type", "ts"),
+      "fresh_maxima", "update").localCheckpoint()
+    val viaStream = graft.checks.Drift.freshnessFromMaxima(maxima, 86400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("lag_seconds"), r.getAs[Boolean]("fresh"))).toMap
+    val viaBatch = graft.checks.Drift.freshness(
+        Tables.load(spark, dir, "events"), "event_type", "ts", 86400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("lag_seconds"), r.getAs[Boolean]("fresh"))).toMap
+    assert(viaStream == viaBatch && viaStream.nonEmpty)
+  }
+
   test("batch sessionization: every stateful-closed session appears in batch") {
     import java.sql.Timestamp
     val evs = Seq(
