@@ -72,4 +72,33 @@ class PlanHealthSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"cross-product shape:\n$plan")
   }
+
+  test("topk stability: two-phase partition top-k, distributed global top-k") {
+    val counts = Tables.load(spark, sf, "documents")
+      .groupBy(col("source").as("partition"), col("lang").as("cat"))
+      .agg(count("*").as("n"))
+    // per-partition literal-k rank → WindowGroupLimit (no full sort of the
+    // counts per partition before ranking)
+    val partTop = counts.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("partition").orderBy(col("n").desc, col("cat"))))
+      .filter(col("rk") <= 3)
+    assert(partTop.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    // global top-k via orderBy+limit → TakeOrderedAndProject, never a
+    // single-partition rank window over all distinct categories
+    val globalTop = counts.groupBy("cat").agg(sum("n").as("gn"))
+      .orderBy(col("gn").desc, col("cat")).limit(3)
+    assert(globalTop.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("null rates over six columns stay ONE scan and ONE aggregate") {
+    val df = graft.checks.ColumnChecks.nullRates(
+      Tables.load(spark, sf, "orders"),
+      "orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
 }
