@@ -909,6 +909,15 @@ object SparkEntry {
         .unionAll(ColumnChecks.patternViolations(Tables.load(s, dir, "events"),
           "events", "props", "^[{]\"k\": [0-9]{2}[}]$"))),
 
+    // completeness drift over a DERIVED null pattern (the testdata ships
+    // no real nulls): nullif(lang,'zh') turns each source's zh share into
+    // its null rate; threshold 0.04 splits the sources at every SF
+    "q_nullrate_drift" -> ((s, dir) =>
+      Drift.nullRateDrift(
+        Tables.load(s, dir, "documents")
+          .withColumn("lang_nz", expr("nullif(lang, 'zh')")),
+        "source", "lang_nz", thresholdE5 = 4000L)),
+
     // composite keys: the lineitem pair is designed NON-unique in this
     // testdata (dup_rows > 0) while (source, doc_id) is unique
     "q_composite_unique" -> ((s, dir) =>
@@ -1454,6 +1463,18 @@ object SparkEntry {
         |  (n_rows * 100000) // (SELECT total FROM t) AS share_e5,
         |  (n_rows * 100000) // (SELECT total FROM t) <= 20000 AS balanced
         |FROM c""".stripMargin,
+
+    "q_nullrate_drift" ->
+      """WITH d AS (SELECT source, nullif(lang, 'zh') AS v FROM documents),
+        |p AS (SELECT source AS partition, count(*) AS n_rows,
+        |        count(*) - count(v) AS n_nulls FROM d GROUP BY 1),
+        |g AS (SELECT (sum(n_nulls) * 100000) // sum(n_rows) AS gr FROM p)
+        |SELECT partition, n_rows,
+        |  (n_nulls * 100000) // n_rows AS null_rate_e5,
+        |  CAST((SELECT gr FROM g) AS BIGINT) AS global_rate_e5,
+        |  abs((n_nulls * 100000) // n_rows - (SELECT gr FROM g)) >= 4000
+        |    AS drifted
+        |FROM p""".stripMargin,
 
     "q_pattern_checks" ->
       """SELECT 'customer.c_name' AS col, CAST(c_name AS VARCHAR) AS value,

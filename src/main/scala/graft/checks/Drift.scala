@@ -131,6 +131,29 @@ object Drift {
         col("fresh"))
   }
 
+  /** Completeness drift: each partition's null rate of `valCol` vs the
+    * global null rate, 1e5-scaled with one trailing integer division per
+    * side (engine-exact). A partition whose absolute rate difference
+    * exceeds `thresholdE5` is drifted — the ingest-went-dark signal (a
+    * feed that suddenly ships empty fields moves this long before TVD
+    * moves). One scan, one tiny reduce. Output:
+    * (partition, n_rows, null_rate_e5, global_rate_e5, drifted). */
+  def nullRateDrift(df: DataFrame, partCol: String, valCol: String,
+                    thresholdE5: Long): DataFrame = {
+    val perPart = df.groupBy(col(partCol).as("partition"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(valCol))).as("n_nulls"))
+    val global = perPart
+      .agg(sum("n_rows").as("gt"), sum("n_nulls").as("gn"))
+      .select(expr("(gn * 100000) div gt").as("global_rate_e5"))
+    perPart.crossJoin(broadcast(global))
+      .withColumn("null_rate_e5", expr("(n_nulls * 100000) div n_rows"))
+      .withColumn("drifted",
+        abs(col("null_rate_e5") - col("global_rate_e5")) >= thresholdE5)
+      .select(col("partition"), col("n_rows"), col("null_rate_e5"),
+        col("global_rate_e5"), col("drifted"))
+  }
+
   /** Category-churn drift: Jaccard overlap of each partition's top-`k`
     * most frequent `catCol` values against the global top-`k`. Ties break
     * deterministically by (count desc, value asc) so the statistic is

@@ -91,6 +91,9 @@ object SuiteConfig {
       TopKStability(str(j, "name"), str(j, "table"), str(j, "column"),
         str(j, "partitionBy"), (j \ "k").extract[Int],
         lng(j, "minJaccardE5", 0L))
+    case "nullrate_drift" =>
+      NullRateDrift(str(j, "name"), str(j, "table"), str(j, "column"),
+        str(j, "partitionBy"), lng(j, "thresholdE5", 1000L))
     case "row_balance" =>
       RowBalance(str(j, "name"), str(j, "table"), str(j, "partitionBy"),
         lng(j, "maxShareE5", 100000L))
@@ -111,6 +114,7 @@ object SuiteConfig {
       case other => throw new IllegalArgumentException(
         s"config needs a 'checks' array, got $other")
     }
-    Config(checks, checkpointDir, hotKeys)
+    Config(checks, checkpointDir, hotKeys,
+      violationSampleRows = lng(root, "violationSampleRows", 0L))
   }
 }

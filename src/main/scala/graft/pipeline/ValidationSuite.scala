@@ -82,6 +82,11 @@ object ValidationSuite {
   case class TopKStability(name: String, table: String, column: String,
                            partitionBy: String, k: Int,
                            minJaccardE5: Long) extends Check
+  /** completeness drift: each partition's null rate of `column` within
+    * thresholdE5 (1e5-scaled absolute difference) of the global rate. */
+  case class NullRateDrift(name: String, table: String, column: String,
+                           partitionBy: String,
+                           thresholdE5: Long) extends Check
   /** partition row-balance: no `partitionBy` partition may hold more than
     * maxShareE5 (1e5-scaled) of the table's rows — the skew detector that
     * flags keys needing salting/AQE before they melt one reducer. */
@@ -93,8 +98,17 @@ object ValidationSuite {
     * the whole table on a handful of reducers; the salted two-phase
     * aggregation spreads each hot key over `salts` reducers —
     * operators.Skew). */
+  /** `violationSampleRows`: 0 persists every violation row (testing tiers);
+    * > 0 caps each row-level violation stage at that many rows — at 100 TB
+    * a broken FK would otherwise write billions of rows into the
+    * checkpoint. Verdicts stay SOUND under the cap: the cap must exceed
+    * every check's violation budget (enforced), so a frame that fills the
+    * cap proves true violations ≥ cap > budget → fail; an unfilled frame
+    * is exact. The reported count becomes a lower bound, marked
+    * "(sampled)" in the detail. */
   case class Config(checks: Seq[Check], checkpointDir: String,
-                    hotKeys: Map[String, Int] = Map.empty)
+                    hotKeys: Map[String, Int] = Map.empty,
+                    violationSampleRows: Long = 0L)
 
   case class CheckOutcome(name: String, kind: String, passed: Boolean,
                           violations: Long, detail: String)
@@ -116,6 +130,19 @@ object ValidationSuite {
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
     val violationFrames = scala.collection.mutable.Map.empty[String, DataFrame]
 
+    // row-level violation cap (see Config.violationSampleRows)
+    val cap = config.violationSampleRows
+    def capped(df: DataFrame): DataFrame =
+      if (cap > 0) df.limit(cap.toInt) else df
+    /** (passed, count-or-lower-bound, sampled?) for a row-level violation
+      * frame persisted under the cap; sound because cap > budget. */
+    def verdictUnderCap(persistedRows: Long, budget: Long): (Boolean, Boolean) = {
+      require(cap == 0L || cap > budget,
+        s"violationSampleRows=$cap must exceed the violation budget $budget")
+      val sampled = cap > 0 && persistedRows >= cap
+      (if (sampled) false else persistedRows <= budget, sampled)
+    }
+
     config.checks.foreach {
       case Unique(name, table, column, strict) =>
         val row = profile.filter(col("col") === s"$table.$column").collect()
@@ -130,13 +157,15 @@ object ValidationSuite {
 
       case Referential(name, dt, dc, rt, rc, maxMissing) =>
         val viol = Checkpoint.stage(spark, dir, name, Seq("profile"))(
-          IndValidator.violations(
+          capped(IndValidator.violations(
             Tables.load(spark, sfDir, dt), dc,
-            Tables.load(spark, sfDir, rt), rc)).df
+            Tables.load(spark, sfDir, rt), rc))).df
         val n = viol.count()
+        val (ok, sampled) = verdictUnderCap(n, maxMissing)
         violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "referential", n <= maxMissing, n,
-          s"$dt.$dc ⊆ $rt.$rc missing=$n budget=$maxMissing")
+        outcomes += CheckOutcome(name, "referential", ok, n,
+          s"$dt.$dc ⊆ $rt.$rc missing=$n budget=$maxMissing" +
+            (if (sampled) s" (sampled, true count >= $cap)" else ""))
 
       case CategoricalDrift(name, table, column, part, thr) =>
         val drift = Checkpoint.stage(spark, dir, name)(
@@ -208,12 +237,18 @@ object ValidationSuite {
 
       case AcceptedValues(name, table, column, allowed, maxViolations) =>
         val viol = Checkpoint.stage(spark, dir, name)(
-          ColumnChecks.acceptedValuesViolations(
-            Tables.load(spark, sfDir, table), table, column, allowed)).df
+          capped(ColumnChecks.acceptedValuesViolations(
+            Tables.load(spark, sfDir, table), table, column, allowed))).df
+        val rows = viol.count()
         val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+        // soundness under the cap: `rows` distinct offenders each carry
+        // n >= 1, so a filled cap proves true violations >= cap > budget
+        val (ok, sampled) = verdictUnderCap(
+          if (cap > 0 && rows >= cap) rows else n, maxViolations)
         violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "accepted_values", n <= maxViolations, n,
-          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations")
+        outcomes += CheckOutcome(name, "accepted_values", ok, n,
+          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations" +
+            (if (sampled) s" (sampled, offender values >= $cap)" else ""))
 
       case ValueRange(name, table, column, lo, hi) =>
         val stats = Checkpoint.stage(spark, dir, name)(
@@ -228,12 +263,16 @@ object ValidationSuite {
 
       case PatternMatch(name, table, column, regex, maxViolations) =>
         val viol = Checkpoint.stage(spark, dir, name)(
-          ColumnChecks.patternViolations(
-            Tables.load(spark, sfDir, table), table, column, regex)).df
+          capped(ColumnChecks.patternViolations(
+            Tables.load(spark, sfDir, table), table, column, regex))).df
+        val rows = viol.count()
         val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+        val (ok, sampled) = verdictUnderCap(
+          if (cap > 0 && rows >= cap) rows else n, maxViolations)
         violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "pattern_match", n <= maxViolations, n,
-          s"$table.$column ~ /$regex/ budget=$maxViolations")
+        outcomes += CheckOutcome(name, "pattern_match", ok, n,
+          s"$table.$column ~ /$regex/ budget=$maxViolations" +
+            (if (sampled) s" (sampled, offender values >= $cap)" else ""))
 
       case UniqueComposite(name, table, columns) =>
         val stats = Checkpoint.stage(spark, dir, name)(
@@ -265,6 +304,16 @@ object ValidationSuite {
         violationFrames(name) = bad
         outcomes += CheckOutcome(name, "topk_stability", n == 0, n,
           s"$table.$column top-$k per $part jaccard_e5>=$thr")
+
+      case NullRateDrift(name, table, column, part, thr) =>
+        val drift = Checkpoint.stage(spark, dir, name)(
+          Drift.nullRateDrift(Tables.load(spark, sfDir, table), part, column,
+            thr)).df
+        val bad = drift.filter(col("drifted"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "nullrate_drift", n == 0, n,
+          s"$table.$column null-rate by $part threshold_e5=$thr")
 
       case RowBalance(name, table, part, maxShare) =>
         val bal = Checkpoint.stage(spark, dir, name)(
@@ -337,6 +386,7 @@ object ValidationSuite {
     RowBalance("balance_events_by_type", "events", "event_type", 25000L),
     PatternMatch("fmt_customer_name", "customer", "c_name",
       "^Customer#[0-9]{9}$"),
+    NullRateDrift("nnd_event_props", "events", "props", "event_type", 1000L),
     UniqueComposite("pk_documents_src_doc", "documents",
       Seq("source", "doc_id"))
   ), checkpointDir,

@@ -99,6 +99,24 @@ class CorpusDriftSpec extends SparkSpec {
     assert(!r.contains("empty_ts"))
   }
 
+  test("nullRateDrift: dark-feed partition flagged against the global rate") {
+    import spark.implicits._
+    // p1: 1/4 null (25000), p2: 3/4 null (75000) → global 4/8 (50000);
+    // both sit 25000 from global — threshold 20000 flags both, 30000 none
+    val df = Seq(
+      ("p1", Some("a")), ("p1", Some("b")), ("p1", Some("c")), ("p1", None),
+      ("p2", Some("x")), ("p2", None), ("p2", None), ("p2", None)
+    ).toDF("p", "v")
+    val tight = Drift.nullRateDrift(df, "p", "v", thresholdE5 = 20000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("null_rate_e5"), r.getAs[Boolean]("drifted"))).toMap
+    assert(tight("p1") == ((25000L, true)))
+    assert(tight("p2") == ((75000L, true)))
+    val loose = Drift.nullRateDrift(df, "p", "v", thresholdE5 = 30000L)
+      .collect().map(_.getAs[Boolean]("drifted"))
+    assert(loose.forall(!_))
+  }
+
   test("topkStability: churned partition below threshold, ties break by value") {
     import spark.implicits._
     // global counts a=7, b=5, c=4, x=3 → global top-2 {a, b}.

@@ -109,6 +109,30 @@ class ValidationSuiteSpec extends SparkSpec {
       byName("rng_bad").getAs[Long]("violations") > 0)
   }
 
+  test("violation cap: bounded persist, sound fail verdict, sampled detail") {
+    val dir = Files.createTempDirectory("suite_cap").toString
+    // l_partkey ⊄ region keys: thousands of missing values at sf0.001
+    val cfg = Config(Seq(
+      Referential("bad_fk", "lineitem", "l_partkey", "region", "r_regionkey",
+        maxMissing = 2L)),
+      dir, violationSampleRows = 5L)
+    val (v, viols) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val r = v.collect()(0)
+    assert(!r.getAs[Boolean]("passed"))
+    assert(r.getAs[String]("detail").contains("sampled"))
+    // the persisted stage holds exactly the cap, not the full violation set
+    assert(viols("bad_fk").count() == 5L)
+    assert(spark.read.parquet(s"$dir/bad_fk").count() == 5L)
+    // a cap at or below the budget is rejected as unsound
+    intercept[IllegalArgumentException] {
+      ValidationSuite.run(spark, "/root/testdata/sf0.001", Config(Seq(
+        Referential("x", "lineitem", "l_partkey", "region", "r_regionkey",
+          maxMissing = 7L)),
+        Files.createTempDirectory("suite_cap2").toString,
+        violationSampleRows = 5L))
+    }
+  }
+
   test("per-partition and cross-containment checks emit north-rule verdicts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vs_part").toString
     val cfg = Config(Seq(
