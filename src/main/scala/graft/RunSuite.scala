@@ -45,14 +45,16 @@ object RunSuite {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RunSuite <dataDir> <checkpointDir>")
-    // under spark-submit the master/conf come from the cluster; standalone
-    // runs (no spark.master property) fall back to local[*]
+    // under spark-submit the master AND tuning conf (shuffle partitions
+    // etc.) come from the cluster/--conf untouched; standalone runs (no
+    // spark.master property) fall back to local[*] with a local-sized
+    // shuffle fan-out
     val builder = SparkSession.builder()
       .appName("graft-validation-suite")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", "32")
     val spark = (if (sys.props.contains("spark.master")) builder
-                 else builder.master("local[*]")).getOrCreate()
+                 else builder.master("local[*]")
+                   .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val configJson = args.lift(2).map(p =>
       java.nio.file.Files.readString(java.nio.file.Paths.get(p)))

@@ -27,20 +27,48 @@ import graft.pipeline.ValidationSuite._
   */
 object SuiteConfig {
 
-  private implicit val formats: Formats = DefaultFormats
-
+  // Strict field accessors: an ABSENT optional field takes its default, but
+  // a PRESENT field of the wrong JSON type fails loudly — extractOrElse
+  // would silently swap a typo'd value ("thresholdE5": "500") for the
+  // default and run the check with a gate the operator didn't write.
+  private def bad(f: String, want: String, got: JValue, j: JValue): Nothing =
+    throw new IllegalArgumentException(
+      s"check field '$f' must be $want, got ${JsonMethods.compact(got)} " +
+        s"in ${JsonMethods.compact(j)}")
   private def str(j: JValue, f: String): String = (j \ f) match {
     case JString(s) => s
-    case other => throw new IllegalArgumentException(
-      s"check field '$f' must be a string, got $other in ${JsonMethods.compact(j)}")
+    case other => bad(f, "a string", other, j)
   }
-  private def lng(j: JValue, f: String, d: Long): Long =
-    (j \ f).extractOrElse[Long](d)
-  private def dbl(j: JValue, f: String): Double = (j \ f).extract[Double]
-  private def bool(j: JValue, f: String, d: Boolean): Boolean =
-    (j \ f).extractOrElse[Boolean](d)
-  private def strings(j: JValue, f: String): Seq[String] =
-    (j \ f).extract[List[String]]
+  private def lng(j: JValue, f: String, d: Long): Long = (j \ f) match {
+    case JNothing => d
+    case JInt(v) => v.toLong
+    case JLong(v) => v
+    case other => bad(f, "an integer", other, j)
+  }
+  private def int(j: JValue, f: String): Int = (j \ f) match {
+    case JInt(v) => v.toInt
+    case JLong(v) => v.toInt
+    case other => bad(f, "an integer", other, j)
+  }
+  private def dbl(j: JValue, f: String): Double = (j \ f) match {
+    case JDouble(v) => v
+    case JDecimal(v) => v.toDouble
+    case JInt(v) => v.toDouble
+    case JLong(v) => v.toDouble
+    case other => bad(f, "a number", other, j)
+  }
+  private def bool(j: JValue, f: String, d: Boolean): Boolean = (j \ f) match {
+    case JNothing => d
+    case JBool(v) => v
+    case other => bad(f, "a boolean", other, j)
+  }
+  private def strings(j: JValue, f: String): Seq[String] = (j \ f) match {
+    case JArray(vs) => vs.map {
+      case JString(s) => s
+      case other => bad(f, "an array of strings", other, j)
+    }
+    case other => bad(f, "an array of strings", other, j)
+  }
 
   private def parseCheck(j: JValue): Check = str(j, "type") match {
     case "unique" =>
@@ -55,7 +83,7 @@ object SuiteConfig {
     case "ks_drift" =>
       KsDrift(str(j, "name"), str(j, "table"), str(j, "column"),
         str(j, "partitionBy"), dbl(j, "lo"), dbl(j, "hi"),
-        (j \ "bins").extract[Int], lng(j, "thresholdE5", 10000L))
+        int(j, "bins"), lng(j, "thresholdE5", 10000L))
     case "unique_per_partition" =>
       UniquePerPartition(str(j, "name"), str(j, "table"), str(j, "column"),
         str(j, "partitionBy"))
@@ -66,8 +94,10 @@ object SuiteConfig {
       DistinctPerKey(str(j, "name"), str(j, "table"), str(j, "keyColumn"),
         str(j, "valueColumn"), lng(j, "minDistinct", 1L))
     case "schema" =>
-      val spec = (j \ "expected").extract[List[JValue]]
-        .map(e => str(e, "column") -> str(e, "dtype"))
+      val spec = ((j \ "expected") match {
+        case JArray(es) => es
+        case other => bad("expected", "an array of column specs", other, j)
+      }).map(e => str(e, "column") -> str(e, "dtype"))
       SchemaMatch(str(j, "name"), str(j, "table"), spec,
         bool(j, "exact", d = true))
     case "null_rate" =>
@@ -89,7 +119,7 @@ object SuiteConfig {
         str(j, "partitionBy"), lng(j, "maxLagSeconds", 86400L))
     case "topk_stability" =>
       TopKStability(str(j, "name"), str(j, "table"), str(j, "column"),
-        str(j, "partitionBy"), (j \ "k").extract[Int],
+        str(j, "partitionBy"), int(j, "k"),
         lng(j, "minJaccardE5", 0L))
     case "nullrate_drift" =>
       NullRateDrift(str(j, "name"), str(j, "table"), str(j, "column"),
@@ -106,7 +136,11 @@ object SuiteConfig {
     val root = JsonMethods.parse(json)
     val hotKeys = (root \ "hotKeys") match {
       case JObject(fields) =>
-        fields.map { case (k, v) => k -> v.extract[Int] }.toMap
+        fields.map {
+          case (k, JInt(v)) => k -> v.toInt
+          case (k, JLong(v)) => k -> v.toInt
+          case (k, other) => bad(k, "an integer salt count", other, root)
+        }.toMap
       case _ => Map.empty[String, Int]
     }
     val checks = (root \ "checks") match {

@@ -132,15 +132,29 @@ object ValidationSuite {
 
     // row-level violation cap (see Config.violationSampleRows)
     val cap = config.violationSampleRows
+    require(cap <= Int.MaxValue.toLong,
+      s"violationSampleRows=$cap exceeds Int.MaxValue — limit() would " +
+        "truncate it and silently break the cap-soundness guarantee")
     def capped(df: DataFrame): DataFrame =
       if (cap > 0) df.limit(cap.toInt) else df
-    /** (passed, count-or-lower-bound, sampled?) for a row-level violation
-      * frame persisted under the cap; sound because cap > budget. */
-    def verdictUnderCap(persistedRows: Long, budget: Long): (Boolean, Boolean) = {
+    def requireSoundCap(budget: Long): Unit =
       require(cap == 0L || cap > budget,
         s"violationSampleRows=$cap must exceed the violation budget $budget")
-      val sampled = cap > 0 && persistedRows >= cap
-      (if (sampled) false else persistedRows <= budget, sampled)
+    /** Shared verdict for checks whose violation frame is one row per
+      * offending VALUE with an `n` occurrence count (accepted-values,
+      * pattern). `sampled` means the persisted FRAME filled the cap — each
+      * of its ≥ cap rows carries n ≥ 1, so true violations ≥ cap > budget
+      * and failing is sound; an unfilled frame makes `n` exact. */
+    def groupedOffenderVerdict(name: String, kind: String, viol: DataFrame,
+                               budget: Long, detail: String): Unit = {
+      requireSoundCap(budget)
+      val rows = viol.count()
+      val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+      val sampled = cap > 0 && rows >= cap
+      violationFrames(name) = viol
+      outcomes += CheckOutcome(name, kind,
+        if (sampled) false else n <= budget, n,
+        detail + (if (sampled) s" (sampled, offender values >= $cap)" else ""))
     }
 
     config.checks.foreach {
@@ -156,14 +170,16 @@ object ValidationSuite {
           s"cnt=$cnt unique=$u nulls=$nulls")
 
       case Referential(name, dt, dc, rt, rc, maxMissing) =>
+        requireSoundCap(maxMissing)
         val viol = Checkpoint.stage(spark, dir, name, Seq("profile"))(
           capped(IndValidator.violations(
             Tables.load(spark, sfDir, dt), dc,
             Tables.load(spark, sfDir, rt), rc))).df
         val n = viol.count()
-        val (ok, sampled) = verdictUnderCap(n, maxMissing)
+        val sampled = cap > 0 && n >= cap
         violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "referential", ok, n,
+        outcomes += CheckOutcome(name, "referential",
+          if (sampled) false else n <= maxMissing, n,
           s"$dt.$dc ⊆ $rt.$rc missing=$n budget=$maxMissing" +
             (if (sampled) s" (sampled, true count >= $cap)" else ""))
 
@@ -199,12 +215,22 @@ object ValidationSuite {
       case DistinctPerKey(name, table, keyCol, valueCol, minDistinct) =>
         val df = Tables.load(spark, sfDir, table)
         val salts = config.hotKeys.get(s"$table.$keyCol")
-        val counts = Checkpoint.stage(spark, dir, name)(salts match {
-          case Some(k) =>
-            graft.operators.Skew.saltedDistinctCount(df, keyCol, valueCol, k)
-          case None => df.filter(col(valueCol).isNotNull)
-            .groupBy(col(keyCol).as("key"))
-            .agg(count_distinct(col(valueCol)).as("distinct_count"))
+        val counts = Checkpoint.stage(spark, dir, name)({
+          val counted = salts match {
+            case Some(k) =>
+              graft.operators.Skew.saltedDistinctCount(df, keyCol, valueCol, k)
+            case None => df.filter(col(valueCol).isNotNull)
+              .groupBy(col(keyCol).as("key"))
+              .agg(count_distinct(col(valueCol)).as("distinct_count"))
+          }
+          // keys whose values are ALL null vanish from `counted` (both
+          // paths pre-filter nulls) but have 0 distinct values and MUST
+          // fail the coverage gate — re-anchor on the full key set
+          df.filter(col(keyCol).isNotNull)
+            .select(col(keyCol).as("key")).distinct()
+            .join(counted, Seq("key"), "left")
+            .withColumn("distinct_count",
+              coalesce(col("distinct_count"), lit(0L)))
         }).df
         val bad = counts.filter(col("distinct_count") < minDistinct)
         val n = bad.count()
@@ -236,19 +262,12 @@ object ValidationSuite {
           s"$table.$column null_rate_e5=$rate max=$maxRateE5")
 
       case AcceptedValues(name, table, column, allowed, maxViolations) =>
-        val viol = Checkpoint.stage(spark, dir, name)(
-          capped(ColumnChecks.acceptedValuesViolations(
-            Tables.load(spark, sfDir, table), table, column, allowed))).df
-        val rows = viol.count()
-        val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
-        // soundness under the cap: `rows` distinct offenders each carry
-        // n >= 1, so a filled cap proves true violations >= cap > budget
-        val (ok, sampled) = verdictUnderCap(
-          if (cap > 0 && rows >= cap) rows else n, maxViolations)
-        violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "accepted_values", ok, n,
-          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations" +
-            (if (sampled) s" (sampled, offender values >= $cap)" else ""))
+        groupedOffenderVerdict(name, "accepted_values",
+          Checkpoint.stage(spark, dir, name)(
+            capped(ColumnChecks.acceptedValuesViolations(
+              Tables.load(spark, sfDir, table), table, column, allowed))).df,
+          maxViolations,
+          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations")
 
       case ValueRange(name, table, column, lo, hi) =>
         val stats = Checkpoint.stage(spark, dir, name)(
@@ -262,17 +281,12 @@ object ValidationSuite {
             s"above=${r.getAs[Long]("n_above")} nulls=${r.getAs[Long]("n_null")}")
 
       case PatternMatch(name, table, column, regex, maxViolations) =>
-        val viol = Checkpoint.stage(spark, dir, name)(
-          capped(ColumnChecks.patternViolations(
-            Tables.load(spark, sfDir, table), table, column, regex))).df
-        val rows = viol.count()
-        val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
-        val (ok, sampled) = verdictUnderCap(
-          if (cap > 0 && rows >= cap) rows else n, maxViolations)
-        violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "pattern_match", ok, n,
-          s"$table.$column ~ /$regex/ budget=$maxViolations" +
-            (if (sampled) s" (sampled, offender values >= $cap)" else ""))
+        groupedOffenderVerdict(name, "pattern_match",
+          Checkpoint.stage(spark, dir, name)(
+            capped(ColumnChecks.patternViolations(
+              Tables.load(spark, sfDir, table), table, column, regex))).df,
+          maxViolations,
+          s"$table.$column ~ /$regex/ budget=$maxViolations")
 
       case UniqueComposite(name, table, columns) =>
         val stats = Checkpoint.stage(spark, dir, name)(

@@ -64,6 +64,27 @@ class SuiteConfigSpec extends SparkSpec {
     }
   }
 
+  test("fromJson: a present field of the wrong type fails, never defaults") {
+    // "thresholdE5": "500" (string) must NOT silently become the 10000
+    // default — that would run a gate the operator didn't write
+    val e = intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson(
+        """{"checks":[{"type":"categorical_drift","name":"d","table":"t",
+          |"column":"c","partitionBy":"p","thresholdE5":"500"}]}""".stripMargin,
+        "/t")
+    }
+    assert(e.getMessage.contains("thresholdE5"))
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson(
+        """{"checks":[{"type":"unique_composite","name":"u","table":"t",
+          |"columns":[1,2]}]}""".stripMargin, "/t")
+    }
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson(
+        """{"hotKeys":{"t.c":"sixteen"},"checks":[]}""", "/t")
+    }
+  }
+
   test("RunSuite CLI with a JSON config file runs the declared suite green") {
     val dir = java.nio.file.Files.createTempDirectory("suite_json").toString
     val cfgPath = java.nio.file.Paths.get(dir, "suite.json")

@@ -133,6 +133,44 @@ class ValidationSuiteSpec extends SparkSpec {
     }
   }
 
+  test("distinct-per-key flags keys whose values are ALL null (plain and salted)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("suite_dpk").toString
+    val df = Seq(
+      ("covered", Some("a")), ("covered", Some("b")),
+      ("dark", None), ("dark", None) // a key with zero non-null values
+    ).toDF("k", "v")
+    val tmp = Files.createTempDirectory("dpk_tbl")
+    df.write.mode("overwrite").parquet(s"$tmp/darkkeys.parquet")
+    Seq(Map.empty[String, Int], Map("darkkeys.k" -> 4)).foreach { hot =>
+      val ck = Files.createTempDirectory("dpk_ck").toString
+      val (v, viols) = ValidationSuite.run(spark, tmp.toString, Config(Seq(
+        DistinctPerKey("cov", "darkkeys", "k", "v", minDistinct = 1L)),
+        ck, hotKeys = hot))
+      val r = v.collect()(0)
+      assert(!r.getAs[Boolean]("passed"), s"hotKeys=$hot")
+      val bad = viols("cov").collect()
+      assert(bad.length == 1 && bad(0).getAs[String]("key") == "dark" &&
+        bad(0).getAs[Long]("distinct_count") == 0L, s"hotKeys=$hot")
+    }
+  }
+
+  test("offender checks: exact big counts do NOT masquerade as sampled") {
+    // 3 distinct offender values, thousands of offending rows; cap 100 is
+    // never filled (3 < 100) so the count is exact and the detail carries
+    // no sampled marker even though n >> cap
+    val dir = Files.createTempDirectory("suite_nsamp").toString
+    val cfg = Config(Seq(
+      AcceptedValues("dom", "orders", "o_orderstatus", Seq.empty,
+        maxViolations = 10L)),
+      dir, violationSampleRows = 100L)
+    val (v, _) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val r = v.collect()(0)
+    assert(!r.getAs[Boolean]("passed"))
+    assert(r.getAs[Long]("violations") == 1500L) // exact: every order row
+    assert(!r.getAs[String]("detail").contains("sampled"))
+  }
+
   test("per-partition and cross-containment checks emit north-rule verdicts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vs_part").toString
     val cfg = Config(Seq(
