@@ -89,6 +89,67 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("property: nullRateDrift equals the naive rate model on random null patterns") {
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("p1", "p2", "p3"),
+        Gen.option(Gen.choose(0, 5).map(_.toString))))
+    checkProp(Prop.forAll(rowsGen, Gen.choose(1000L, 60000L)) { (rows, thr) =>
+      val df = rows.toDF("p", "v")
+      val got = graft.checks.Drift.nullRateDrift(df, "p", "v", thr)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("null_rate_e5"), r.getAs[Boolean]("drifted"))).toMap
+      val byP = rows.groupBy(_._1)
+      val gn = rows.count(_._2.isEmpty).toLong
+      val gr = gn * 100000L / rows.size
+      byP.forall { case (p, vs) =>
+        val rate = vs.count(_._2.isEmpty).toLong * 100000L / vs.size
+        got(p) == ((rate, math.abs(rate - gr) >= thr))
+      }
+    }, n = 10)
+  }
+
+  test("property: rowBalance shares are exact floors and sum within one ulp-free bound") {
+    val rowsGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d"))
+    checkProp(Prop.forAll(rowsGen, Gen.choose(1L, 100000L)) { (parts, thr) =>
+      val df = parts.toDF("p")
+      val got = graft.checks.PartitionChecks.rowBalance(df, "p", thr)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("share_e5"))).toMap
+      val total = parts.size.toLong
+      // exact floored shares per partition, and Σ floor(share) ≤ 1e5 with
+      // at most |partitions| units lost to flooring
+      got.forall { case (p, (n, s)) =>
+        n == parts.count(_ == p).toLong && s == n * 100000L / total
+      } && {
+        val sum = got.values.map(_._2).sum
+        sum <= 100000L && sum > 100000L - got.size
+      }
+    }, n = 10)
+  }
+
+  test("property: topkStability Jaccard is bounded, and k >= all categories gives 1") {
+    val rowsGen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("p1", "p2"), Gen.oneOf("w", "x", "y")))
+    checkProp(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("p", "c")
+      // k larger than the category universe: every partition's top-k is its
+      // full cat set and the global top-k is the full global set → Jaccard
+      // = |part cats| / |global cats| scaled... only 1 when sets equal;
+      // bound check holds always
+      val got = graft.checks.Drift.topkStability(df, "p", "c", k = 10,
+          thresholdE5 = 0L)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("jaccard_e5")).toMap
+      val globalCats = rows.map(_._2).distinct.toSet
+      val byP = rows.groupBy(_._1)
+      got.forall { case (p, j) =>
+        val pc = byP(p).map(_._2).distinct.toSet
+        val expect = pc.intersect(globalCats).size.toLong * 100000L /
+          (pc.size + globalCats.size - pc.intersect(globalCats).size)
+        j == expect && j >= 0L && j <= 100000L
+      }
+    }, n = 10)
+  }
+
   test("property: winnowing guarantee — shared run >= k+w-1 chars implies shared fingerprint") {
     val k = 8; val w = 4
     val baseGen = Gen.listOfN(30, Gen.alphaChar).map(_.mkString)
