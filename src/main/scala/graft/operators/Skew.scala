@@ -24,16 +24,19 @@ object Skew {
   /** Exact distinct count per key, salted: phase 1 dedups (key, salt, value)
     * locally where salt spreads a hot key over `salts` reducers; phase 2
     * sums the per-salt distinct counts (correct because the same value
-    * always lands in the same salt bucket — salt = hash(value)). */
+    * always lands in the same salt bucket — salt = hash(value)).
+    *
+    * No null pre-filter: `count_distinct` ignores null values natively, so
+    * EVERY key group survives — a key whose values are all null reports
+    * distinct_count = 0 instead of vanishing (the coverage-check contract;
+    * null rows cost nothing extra, partial aggregation absorbs them
+    * map-side). A null KEY forms its own group, like any groupBy. */
   def saltedDistinctCount(df: DataFrame, keyCol: String, valueCol: String,
-                          salts: Int): DataFrame = {
-    val salted = df.select(col(keyCol).as("key"), col(valueCol).as("v"))
-      .filter(col("v").isNotNull)
+                          salts: Int): DataFrame =
+    df.select(col(keyCol).as("key"), col(valueCol).as("v"))
       .withColumn("salt", pmod(hash(col("v")), lit(salts)))
-    salted
       .groupBy("key", "salt").agg(count_distinct(col("v")).as("d"))
       .groupBy("key").agg(sum("d").as("distinct_count"))
-  }
 
   /** Two-phase salted collect_set per key (bounded result sets only):
     * phase 1 collects per (key, salt), phase 2 merges the salt buckets. */

@@ -32,23 +32,30 @@ object SuiteConfig {
   // would silently swap a typo'd value ("thresholdE5": "500") for the
   // default and run the check with a gate the operator didn't write.
   private def bad(f: String, want: String, got: JValue, j: JValue): Nothing =
-    throw new IllegalArgumentException(
-      s"check field '$f' must be $want, got ${JsonMethods.compact(got)} " +
-        s"in ${JsonMethods.compact(j)}")
+    throw new IllegalArgumentException(got match {
+      case JNothing =>
+        s"check field '$f' is missing (must be $want) in ${JsonMethods.compact(j)}"
+      case other =>
+        s"check field '$f' must be $want, got ${JsonMethods.compact(other)} " +
+          s"in ${JsonMethods.compact(j)}"
+    })
   private def str(j: JValue, f: String): String = (j \ f) match {
     case JString(s) => s
     case other => bad(f, "a string", other, j)
   }
+  // BigInt.toLong/.toInt silently WRAP out of range (json4s parses every
+  // integer as JInt(BigInt)) — range-check before narrowing or a
+  // fat-fingered "k": 5000000000 becomes a gate the operator didn't write
   private def lng(j: JValue, f: String, d: Long): Long = (j \ f) match {
     case JNothing => d
-    case JInt(v) => v.toLong
+    case JInt(v) if v.isValidLong => v.toLong
     case JLong(v) => v
-    case other => bad(f, "an integer", other, j)
+    case other => bad(f, "a 64-bit integer", other, j)
   }
   private def int(j: JValue, f: String): Int = (j \ f) match {
-    case JInt(v) => v.toInt
-    case JLong(v) => v.toInt
-    case other => bad(f, "an integer", other, j)
+    case JInt(v) if v.isValidInt => v.toInt
+    case JLong(v) if v.isValidInt => v.toInt
+    case other => bad(f, "a 32-bit integer", other, j)
   }
   private def dbl(j: JValue, f: String): Double = (j \ f) match {
     case JDouble(v) => v
@@ -137,9 +144,9 @@ object SuiteConfig {
     val hotKeys = (root \ "hotKeys") match {
       case JObject(fields) =>
         fields.map {
-          case (k, JInt(v)) => k -> v.toInt
-          case (k, JLong(v)) => k -> v.toInt
-          case (k, other) => bad(k, "an integer salt count", other, root)
+          case (k, JInt(v)) if v.isValidInt => k -> v.toInt
+          case (k, JLong(v)) if v.isValidInt => k -> v.toInt
+          case (k, other) => bad(k, "a 32-bit integer salt count", other, root)
         }.toMap
       case _ => Map.empty[String, Int]
     }

@@ -145,9 +145,11 @@ object ValidationSuite {
       * pattern). `sampled` means the persisted FRAME filled the cap — each
       * of its ≥ cap rows carries n ≥ 1, so true violations ≥ cap > budget
       * and failing is sound; an unfilled frame makes `n` exact. */
-    def groupedOffenderVerdict(name: String, kind: String, viol: DataFrame,
-                               budget: Long, detail: String): Unit = {
-      requireSoundCap(budget)
+    def groupedOffenderVerdict(name: String, kind: String,
+                               budget: Long, detail: String)
+                              (stageDf: => DataFrame): Unit = {
+      requireSoundCap(budget) // fail-fast BEFORE the stage scans the table
+      val viol = stageDf
       val rows = viol.count()
       val n = viol.agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
       val sampled = cap > 0 && rows >= cap
@@ -215,22 +217,15 @@ object ValidationSuite {
       case DistinctPerKey(name, table, keyCol, valueCol, minDistinct) =>
         val df = Tables.load(spark, sfDir, table)
         val salts = config.hotKeys.get(s"$table.$keyCol")
-        val counts = Checkpoint.stage(spark, dir, name)({
-          val counted = salts match {
-            case Some(k) =>
-              graft.operators.Skew.saltedDistinctCount(df, keyCol, valueCol, k)
-            case None => df.filter(col(valueCol).isNotNull)
-              .groupBy(col(keyCol).as("key"))
-              .agg(count_distinct(col(valueCol)).as("distinct_count"))
-          }
-          // keys whose values are ALL null vanish from `counted` (both
-          // paths pre-filter nulls) but have 0 distinct values and MUST
-          // fail the coverage gate — re-anchor on the full key set
-          df.filter(col(keyCol).isNotNull)
-            .select(col(keyCol).as("key")).distinct()
-            .join(counted, Seq("key"), "left")
-            .withColumn("distinct_count",
-              coalesce(col("distinct_count"), lit(0L)))
+        // no null pre-filter on values: count_distinct ignores nulls, so a
+        // key whose values are ALL null stays in the frame with
+        // distinct_count = 0 and fails the gate instead of vanishing — one
+        // scan, every key group (including a null key) validated
+        val counts = Checkpoint.stage(spark, dir, name)(salts match {
+          case Some(k) =>
+            graft.operators.Skew.saltedDistinctCount(df, keyCol, valueCol, k)
+          case None => df.groupBy(col(keyCol).as("key"))
+            .agg(count_distinct(col(valueCol)).as("distinct_count"))
         }).df
         val bad = counts.filter(col("distinct_count") < minDistinct)
         val n = bad.count()
@@ -262,12 +257,12 @@ object ValidationSuite {
           s"$table.$column null_rate_e5=$rate max=$maxRateE5")
 
       case AcceptedValues(name, table, column, allowed, maxViolations) =>
-        groupedOffenderVerdict(name, "accepted_values",
+        groupedOffenderVerdict(name, "accepted_values", maxViolations,
+          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations") {
           Checkpoint.stage(spark, dir, name)(
             capped(ColumnChecks.acceptedValuesViolations(
-              Tables.load(spark, sfDir, table), table, column, allowed))).df,
-          maxViolations,
-          s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations")
+              Tables.load(spark, sfDir, table), table, column, allowed))).df
+        }
 
       case ValueRange(name, table, column, lo, hi) =>
         val stats = Checkpoint.stage(spark, dir, name)(
@@ -281,12 +276,12 @@ object ValidationSuite {
             s"above=${r.getAs[Long]("n_above")} nulls=${r.getAs[Long]("n_null")}")
 
       case PatternMatch(name, table, column, regex, maxViolations) =>
-        groupedOffenderVerdict(name, "pattern_match",
+        groupedOffenderVerdict(name, "pattern_match", maxViolations,
+          s"$table.$column ~ /$regex/ budget=$maxViolations") {
           Checkpoint.stage(spark, dir, name)(
             capped(ColumnChecks.patternViolations(
-              Tables.load(spark, sfDir, table), table, column, regex))).df,
-          maxViolations,
-          s"$table.$column ~ /$regex/ budget=$maxViolations")
+              Tables.load(spark, sfDir, table), table, column, regex))).df
+        }
 
       case UniqueComposite(name, table, columns) =>
         val stats = Checkpoint.stage(spark, dir, name)(

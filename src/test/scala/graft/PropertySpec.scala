@@ -145,7 +145,10 @@ class PropertySpec extends SparkSpec {
         val pc = byP(p).map(_._2).distinct.toSet
         val expect = pc.intersect(globalCats).size.toLong * 100000L /
           (pc.size + globalCats.size - pc.intersect(globalCats).size)
-        j == expect && j >= 0L && j <= 100000L
+        // exact set-Jaccard; bounded; and a partition seeing every global
+        // category must score exactly 1
+        j == expect && j >= 0L && j <= 100000L &&
+          (pc != globalCats || j == 100000L)
       }
     }, n = 10)
   }

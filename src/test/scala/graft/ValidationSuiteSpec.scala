@@ -133,25 +133,27 @@ class ValidationSuiteSpec extends SparkSpec {
     }
   }
 
-  test("distinct-per-key flags keys whose values are ALL null (plain and salted)") {
+  test("distinct-per-key flags all-null-value keys AND the null-key group (plain and salted)") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("suite_dpk").toString
     val df = Seq(
       ("covered", Some("a")), ("covered", Some("b")),
-      ("dark", None), ("dark", None) // a key with zero non-null values
+      ("dark", None), ("dark", None), // a key with zero non-null values
+      (null.asInstanceOf[String], Some("x")) // the null-key group counts too
     ).toDF("k", "v")
     val tmp = Files.createTempDirectory("dpk_tbl")
     df.write.mode("overwrite").parquet(s"$tmp/darkkeys.parquet")
     Seq(Map.empty[String, Int], Map("darkkeys.k" -> 4)).foreach { hot =>
       val ck = Files.createTempDirectory("dpk_ck").toString
       val (v, viols) = ValidationSuite.run(spark, tmp.toString, Config(Seq(
-        DistinctPerKey("cov", "darkkeys", "k", "v", minDistinct = 1L)),
+        DistinctPerKey("cov", "darkkeys", "k", "v", minDistinct = 2L)),
         ck, hotKeys = hot))
       val r = v.collect()(0)
       assert(!r.getAs[Boolean]("passed"), s"hotKeys=$hot")
       val bad = viols("cov").collect()
-      assert(bad.length == 1 && bad(0).getAs[String]("key") == "dark" &&
-        bad(0).getAs[Long]("distinct_count") == 0L, s"hotKeys=$hot")
+        .map(x => x.getAs[String]("key") -> x.getAs[Long]("distinct_count"))
+        .toMap
+      // dark key reports 0 (not absent); null-key group reports its 1
+      assert(bad == Map("dark" -> 0L, (null: String) -> 1L), s"hotKeys=$hot got $bad")
     }
   }
 
