@@ -909,6 +909,13 @@ object SparkEntry {
         .unionAll(ColumnChecks.patternViolations(Tables.load(s, dir, "events"),
           "events", "props", "^[{]\"k\": [0-9]{2}[}]$"))),
 
+    // the salted hot-key distinct path itself under the oracle: per-lang
+    // exact distinct texts via the two-phase (key, salt) aggregation —
+    // DuckDB's plain COUNT(DISTINCT) must agree with the salted sum
+    "q_distinct_per_key" -> ((s, dir) =>
+      graft.operators.Skew.saltedDistinctCount(
+        Tables.load(s, dir, "documents"), "lang", "text", salts = 16)),
+
     // completeness drift over a DERIVED null pattern (the testdata ships
     // no real nulls): nullif(lang,'zh') turns each source's zh share into
     // its null rate; threshold 0.04 splits the sources at every SF
@@ -1463,6 +1470,10 @@ object SparkEntry {
         |  (n_rows * 100000) // (SELECT total FROM t) AS share_e5,
         |  (n_rows * 100000) // (SELECT total FROM t) <= 20000 AS balanced
         |FROM c""".stripMargin,
+
+    "q_distinct_per_key" ->
+      """SELECT lang AS key, CAST(count(DISTINCT text) AS BIGINT)
+        |  AS distinct_count FROM documents GROUP BY 1""".stripMargin,
 
     "q_nullrate_drift" ->
       """WITH d AS (SELECT source, nullif(lang, 'zh') AS v FROM documents),
