@@ -32,11 +32,15 @@ object Skew {
     * null rows cost nothing extra, partial aggregation absorbs them
     * map-side). A null KEY forms its own group, like any groupBy. */
   def saltedDistinctCount(df: DataFrame, keyCol: String, valueCol: String,
-                          salts: Int): DataFrame =
+                          salts: Int): DataFrame = {
+    // salts = 0 would make pmod yield NULL (non-ANSI) — every key collapses
+    // into ONE (key, null) group, the exact hot-spot salting prevents
+    require(salts > 0, s"salts must be positive, got $salts")
     df.select(col(keyCol).as("key"), col(valueCol).as("v"))
       .withColumn("salt", pmod(hash(col("v")), lit(salts)))
       .groupBy("key", "salt").agg(count_distinct(col("v")).as("d"))
       .groupBy("key").agg(sum("d").as("distinct_count"))
+  }
 
   /** Two-phase salted collect_set per key (bounded result sets only):
     * phase 1 collects per (key, salt), phase 2 merges the salt buckets. */

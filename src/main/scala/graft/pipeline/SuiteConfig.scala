@@ -144,9 +144,10 @@ object SuiteConfig {
     val hotKeys = (root \ "hotKeys") match {
       case JObject(fields) =>
         fields.map {
-          case (k, JInt(v)) if v.isValidInt => k -> v.toInt
-          case (k, JLong(v)) if v.isValidInt => k -> v.toInt
-          case (k, other) => bad(k, "a 32-bit integer salt count", other, root)
+          case (k, JInt(v)) if v.isValidInt && v > 0 => k -> v.toInt
+          case (k, JLong(v)) if v.isValidInt && v > 0 => k -> v.toInt
+          case (k, other) =>
+            bad(k, "a positive 32-bit integer salt count", other, root)
         }.toMap
       case _ => Map.empty[String, Int]
     }

@@ -127,7 +127,7 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
-  test("property: topkStability Jaccard is bounded, and k >= all categories gives 1") {
+  test("property: topkStability equals exact set-Jaccard when k covers all categories") {
     val rowsGen = Gen.listOfN(30,
       Gen.zip(Gen.oneOf("p1", "p2"), Gen.oneOf("w", "x", "y")))
     checkProp(Prop.forAll(rowsGen) { rows =>
@@ -145,10 +145,9 @@ class PropertySpec extends SparkSpec {
         val pc = byP(p).map(_._2).distinct.toSet
         val expect = pc.intersect(globalCats).size.toLong * 100000L /
           (pc.size + globalCats.size - pc.intersect(globalCats).size)
-        // exact set-Jaccard; bounded; and a partition seeing every global
-        // category must score exactly 1
-        j == expect && j >= 0L && j <= 100000L &&
-          (pc != globalCats || j == 100000L)
+        // exact set-Jaccard and bounded (the equal-sets case scores
+        // exactly 1e5 through the same formula — no separate conjunct)
+        j == expect && j >= 0L && j <= 100000L
       }
     }, n = 10)
   }

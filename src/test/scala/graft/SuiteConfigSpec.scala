@@ -83,6 +83,11 @@ class SuiteConfigSpec extends SparkSpec {
       SuiteConfig.fromJson(
         """{"hotKeys":{"t.c":"sixteen"},"checks":[]}""", "/t")
     }
+    // zero/negative salt counts collapse the salted path into one reducer
+    // (pmod(x, 0) is NULL) — rejected at parse time
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson("""{"hotKeys":{"t.c":0},"checks":[]}""", "/t")
+    }
   }
 
   test("RunSuite CLI with a JSON config file runs the declared suite green") {
