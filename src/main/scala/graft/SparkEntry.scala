@@ -909,6 +909,12 @@ object SparkEntry {
         .unionAll(ColumnChecks.patternViolations(Tables.load(s, dir, "events"),
           "events", "props", "^[{]\"k\": [0-9]{2}[}]$"))),
 
+    // constraint suggestion: bootstrap a check suite from the cached
+    // profile + exact-IND verdicts (no new scans)
+    "q_suggested_checks" -> ((s, dir) =>
+      graft.pipeline.Suggest.fromArtifacts(
+        cachedProfile(s, dir), cachedVerdicts(s, dir))),
+
     // the salted hot-key distinct path itself under the oracle: per-lang
     // exact distinct texts via the two-phase (key, salt) aggregation —
     // DuckDB's plain COUNT(DISTINCT) must agree with the salted sum
@@ -1474,6 +1480,22 @@ object SparkEntry {
     "q_distinct_per_key" ->
       """SELECT lang AS key, CAST(count(DISTINCT text) AS BIGINT)
         |  AS distinct_count FROM documents GROUP BY 1""".stripMargin,
+
+    "q_suggested_checks" ->
+      (indCoreSql + s""", prof AS ($profileSql)
+        |SELECT 'unique' AS check_type, col AS target, cnt AS metric
+        | FROM prof WHERE cnt > 0 AND cnt = unique_count AND n_nulls = 0
+        |UNION ALL
+        |SELECT 'not_null', col, cnt FROM prof WHERE cnt > 0 AND n_nulls = 0
+        |UNION ALL
+        |SELECT 'accepted_values', col, unique_count FROM prof
+        | WHERE unique_count BETWEEN 1 AND 10 AND cnt >= unique_count * 10
+        |UNION ALL
+        |SELECT 'referential', v.dep || ' ⊆ ' || v.ref, p.unique_count
+        | FROM verdict v JOIN prof p ON p.col = v.ref
+        | WHERE v.missing = 0 AND v.dep <> v.ref
+        |   AND p.cnt > 0 AND p.cnt = p.unique_count AND p.n_nulls = 0"""
+        .stripMargin),
 
     "q_nullrate_drift" ->
       """WITH d AS (SELECT source, nullif(lang, 'zh') AS v FROM documents),

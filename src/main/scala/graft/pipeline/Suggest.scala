@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Constraint suggestion: bootstrap a check suite from the artifacts the
+  * validation pass already computed — the profile (per-column stats) and
+  * the exact-IND verdict frame. The reference ranks DISCOVERED INDs by
+  * credibility (pysrc/core/ind_credibility.py); this generalizes the idea
+  * to the whole check vocabulary: columns that look like keys suggest
+  * `unique`, complete columns suggest `not_null`, low-cardinality columns
+  * suggest `accepted_values`, and exact containments into a key column
+  * suggest `referential`. No new scans — both inputs are the cached frames
+  * every suite run materializes anyway, so suggestion is free at any scale.
+  *
+  * Rules are deterministic and integer-only (oracle-exact):
+  *  - unique:           cnt > 0 ∧ cnt = unique_count ∧ nulls = 0
+  *  - not_null:         cnt > 0 ∧ nulls = 0
+  *  - accepted_values:  1 ≤ unique_count ≤ maxDomain ∧ cnt ≥ 10·unique_count
+  *  - referential:      exact IND (missing = 0, dep ≠ ref) whose ref column
+  *                      is itself a key (unique + complete)
+  *
+  * Output: (check_type, target, metric) — metric is the rule's governing
+  * count (row count, domain size, or the referenced key's cardinality).
+  */
+object Suggest {
+
+  def fromArtifacts(profile: DataFrame, verdicts: DataFrame,
+                    maxDomain: Long = 10L): DataFrame = {
+    val p = profile.select(col("col"), col("cnt"), col("nulls"),
+      col("unique_count"))
+    val isKey = col("cnt") > 0 && col("cnt") === col("unique_count") &&
+      col("nulls") === 0
+
+    val unique = p.filter(isKey)
+      .select(lit("unique").as("check_type"), col("col").as("target"),
+        col("cnt").as("metric"))
+    val notNull = p.filter(col("cnt") > 0 && col("nulls") === 0)
+      .select(lit("not_null").as("check_type"), col("col").as("target"),
+        col("cnt").as("metric"))
+    val domain = p.filter(col("unique_count").between(1L, maxDomain) &&
+        col("cnt") >= col("unique_count") * 10)
+      .select(lit("accepted_values").as("check_type"), col("col").as("target"),
+        col("unique_count").as("metric"))
+    val keys = p.filter(isKey)
+      .select(col("col").as("ref"), col("unique_count").as("ref_card"))
+    val referential = verdicts
+      .filter(col("missing") === 0 && col("dep") =!= col("ref"))
+      .join(keys, Seq("ref")) // keys frame is tiny (≤ #columns): broadcasts
+      .select(lit("referential").as("check_type"),
+        concat(col("dep"), lit(" ⊆ "), col("ref")).as("target"),
+        col("ref_card").as("metric"))
+
+    unique.unionAll(notNull).unionAll(domain).unionAll(referential)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.pipeline.Suggest
+
+/** Constraint suggestion rules against a synthetic profile + verdicts. */
+class SuggestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  //            col       cnt   nulls unique
+  private val profile = Seq(
+    ("t.key",   100L,     0L,   100L),  // key → unique + not_null
+    ("t.cat",   100L,     0L,   4L),    // low-cardinality → accepted_values
+    ("t.noisy", 100L,     5L,   100L),  // nulls block unique, not_null
+    ("t.text",  100L,     0L,   90L),   // plain complete column
+    ("t.empty", 0L,       0L,   0L)     // empty column suggests nothing
+  ).toDF("col", "cnt", "nulls", "unique_count")
+
+  private val verdicts = Seq(
+    ("t.fk",    "t.key",  0L),  // exact containment into a key → referential
+    ("t.fk2",   "t.text", 0L),  // ref not a key → NOT suggested
+    ("t.loose", "t.key",  3L)   // partial containment → NOT suggested
+  ).toDF("dep", "ref", "missing")
+
+  test("each rule fires exactly where its predicate holds") {
+    val got = Suggest.fromArtifacts(profile, verdicts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("metric"))
+      .toMap
+    assert(got == Map(
+      ("unique", "t.key") -> 100L,
+      ("not_null", "t.key") -> 100L,
+      ("not_null", "t.cat") -> 100L,
+      ("not_null", "t.text") -> 100L,
+      ("accepted_values", "t.cat") -> 4L,
+      ("referential", "t.fk ⊆ t.key") -> 100L))
+  }
+
+  test("maxDomain widens the accepted-values rule") {
+    val domains = Suggest.fromArtifacts(profile, verdicts, maxDomain = 90L)
+      .collect().filter(_.getString(0) == "accepted_values")
+      .map(_.getString(1)).toSet
+    assert(domains == Set("t.cat")) // t.text: 90 distinct but cnt < 10·90
+  }
+}
