@@ -659,9 +659,13 @@ object SparkEntry {
        |xs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $p AS x FROM g),
        |m AS (SELECT doc_id, $hashes FROM xs GROUP BY doc_id),
        |bands AS ($bandSelects),
+       |brk AS (SELECT doc_id, band,
+       |    row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY band) AS n FROM bands),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+       |  FROM brk x JOIN brk y ON x.band = y.band AND y.rk > x.rk
+       |    AND (x.n <= ${Dedup.AllPairsMax} OR y.rk <= x.rk + ${Dedup.NeighborCap}))
        |""".stripMargin
   }
 
@@ -1664,13 +1668,19 @@ object SparkEntry {
          |              n - iv[1] * iv[1] AS n
          |            FROM en WHERE id < 10),
          |allv AS (SELECT * FROM en UNION ALL SELECT * FROM planted),
-         |b AS (SELECT id, iv, n, $buckets AS bucket FROM allv)
-         |SELECT x.id AS a, y.id AS b,
+         |b AS (SELECT id, iv, n, $buckets AS bucket FROM allv),
+         |brk AS (SELECT id, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY id) AS rk,
+         |    count(*) OVER (PARTITION BY bucket) AS n FROM b),
+         |pr AS (SELECT DISTINCT p.id AS a, q.id AS b
+         |       FROM brk p JOIN brk q ON p.bucket = q.bucket AND q.rk > p.rk
+         |         AND (p.n <= ${Dedup.AllPairsMax} OR q.rk <= p.rk + ${Dedup.NeighborCap}))
+         |SELECT pr.a, pr.b,
          |  CASE WHEN x.n = 0 OR y.n = 0 THEN NULL
          |       ELSE CAST(floor(list_dot_product(x.iv, y.iv)
          |              / (sqrt(x.n) * sqrt(y.n)) * 1000000) AS BIGINT)
          |  END AS cosine_e6
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+         |FROM pr JOIN b x ON x.id = pr.a JOIN b y ON y.id = pr.b
          |WHERE CASE WHEN x.n = 0 OR y.n = 0 THEN NULL
          |           ELSE CAST(floor(list_dot_product(x.iv, y.iv)
          |                  / (sqrt(x.n) * sqrt(y.n)) * 1000000) AS BIGINT)
@@ -1972,9 +1982,11 @@ object SparkEntry {
       (s"WITH sig AS ($simhashSigSql), bands AS (" +
         (0 until 4).map { b =>
           s"SELECT id, 's$b:' || ((simhash >> ${b * 16}) & 65535) AS band FROM sig"
-        }.mkString(" UNION ALL ") + ") " +
-        "SELECT DISTINCT x.id AS a, y.id AS b FROM bands x JOIN bands y " +
-        "ON x.band = y.band AND x.id < y.id"),
+        }.mkString(" UNION ALL ") + "), " +
+        "brk AS (SELECT id, band, row_number() OVER (PARTITION BY band ORDER BY id) AS rk, " +
+        "count(*) OVER (PARTITION BY band) AS n FROM bands) " +
+        "SELECT DISTINCT x.id AS a, y.id AS b FROM brk x JOIN brk y " +
+        s"ON x.band = y.band AND y.rk > x.rk AND (x.n <= ${Dedup.AllPairsMax} OR y.rk <= x.rk + ${Dedup.NeighborCap})"),
 
     "q_events_sessions" ->
       """WITH w AS (

@@ -202,15 +202,25 @@ object Similarity {
     * Callers may union designed near-dups into `intBase` before calling
     * (see SparkEntry q_emb_neardup). */
   def nearDupPairs(intBase: DataFrame, planes: Int, dim: Int,
-                   thresholdE6: Long): DataFrame = {
+                   thresholdE6: Long,
+                   cap: Int = graft.dedup.Dedup.NeighborCap,
+                   allPairsMax: Int = graft.dedup.Dedup.AllPairsMax): DataFrame = {
     val b = intBase
       .withColumn("bucket", signBucketInt(col("iv"), planes, dim))
       .localCheckpoint()
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosineE6(dotInt(col("x.iv"), col("y.iv"), dim),
-          col("x.n"), col("y.n")).as("cosine_e6"))
+    // bounded candidate generation (see Dedup.cappedBandPairs): all-pairs
+    // for normal buckets, chain-linking for degenerate ones — a family of m
+    // co-bucketed vectors emits cap·m pairs, not m². Pairs are generated on
+    // the NARROW (id, bucket) frame — neither the window sort nor the
+    // all-pairs join shuffles the vectors; they join back by id afterwards.
+    val pairs = graft.dedup.Dedup.cappedBandPairs(
+      b.select(col("id"), col("bucket").as("band")), cap, allPairsMax)
+    pairs
+      .join(b.select(col("id").as("a"), col("iv").as("iva"), col("n").as("na")), Seq("a"))
+      .join(b.select(col("id").as("b"), col("iv").as("ivb"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        cosineE6(dotInt(col("iva"), col("ivb"), dim),
+          col("na"), col("nb")).as("cosine_e6"))
       .filter(col("cosine_e6") >= thresholdE6)
   }
 

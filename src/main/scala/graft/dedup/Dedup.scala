@@ -17,6 +17,83 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-bucket neighbor-link cap for all banded candidate joins. A
+    * boilerplate family of m near-identical docs shares a band bucket; the
+    * naive self-join emits ~m² candidate pairs (at m = 10⁷ that is 10¹⁴ —
+    * a cartesian product in disguise). Chain-linking each doc to its next
+    * `NeighborCap` bucket neighbors (in id order) bounds emission at cap·m
+    * per band while keeping the family one connected component, which is
+    * all downstream clustering needs. */
+  val NeighborCap = 8
+
+  /** Bucket-population ceiling for the exact all-pairs path. Buckets at or
+    * under this size keep full pairwise recall (≤ P(P−1)/2 ≈ 2k pairs per
+    * bucket at 64); only bigger buckets fall back to chain-linking. Healthy
+    * banding keeps expected populations far below this (N/65,536 for the
+    * 16-bit SimHash bands), so overflow marks exactly the degenerate
+    * boilerplate families the cap exists for. */
+  val AllPairsMax = 64
+
+  /** Candidate pairs from a banded (id, band) frame, bounded per bucket.
+    * Two regimes, split into disjoint frames so the degenerate one never
+    * enters a join (a band join COMPUTES the in-bucket cartesian product
+    * even when its output is filtered):
+    *   - buckets with ≤ allPairsMax docs: exact all-pairs self-join —
+    *     full recall, per-bucket work ≤ P(P−1)/2;
+    *   - bigger buckets: each doc links to its next `cap` neighbors in id
+    *     order via a lead() window (no join at all) — per-bucket emission
+    *     cap·m instead of m², and the family stays ONE connected component
+    *     (a cap-regular chain), which is all downstream clustering needs.
+    * Output: (a, b) with a < b, distinct across bands. */
+  def cappedBandPairs(banded: DataFrame, cap: Int = NeighborCap,
+                      allPairsMax: Int = AllPairsMax): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per (doc, band); narrow — checkpoint so the population window
+    // runs once, not per join side / regime branch
+    val sized = banded
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("band")))
+      .localCheckpoint()
+    val small = sized.filter(col("n") <= allPairsMax).select("id", "band")
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val big = sized.filter(col("n") > allPairsMax).select("id", "band")
+    val w = Window.partitionBy("band").orderBy("id")
+    val leads = (1 to cap).map(j => lead(col("id"), j).over(w).as(s"n$j"))
+    val bigPairs = big.select(col("id") +: leads: _*)
+      .select(col("id").as("a"),
+        explode(array((1 to cap).map(j => col(s"n$j")): _*)).as("b"))
+      .filter(col("b").isNotNull)
+    smallPairs.unionAll(bigPairs).dropDuplicates("a", "b")
+  }
+
+  /** Buckets whose population exceeds allPairsMax — i.e. where
+    * cappedBandPairs chain-linked instead of emitting all pairs. Callers
+    * log these (the no-silent-caps rule): a handful of overflowed buckets
+    * is the designed boilerplate-family case; overflow on MOST buckets
+    * means the banding is too coarse for the corpus. */
+  def bandOverflow(banded: DataFrame,
+                   allPairsMax: Int = AllPairsMax): DataFrame =
+    banded.groupBy("band").agg(count(lit(1)).as("n"))
+      .filter(col("n") > allPairsMax)
+
+  /** One bounded agg job over the (checkpointed, one-row-per-doc-per-band)
+    * banded frame: logs overflowed buckets, returns their count. */
+  private def logOverflow(what: String, banded: DataFrame,
+                          allPairsMax: Int): Long = {
+    val over = bandOverflow(banded, allPairsMax)
+      .agg(count(lit(1)).as("buckets"), coalesce(sum("n"), lit(0L)).as("docs"))
+      .head()
+    val buckets = over.getLong(0)
+    if (buckets > 0)
+      log.warn(s"$what: $buckets band buckets exceed all-pairs max " +
+        s"$allPairsMax (${over.getLong(1)} docs) — those buckets were " +
+        "chain-linked, not all-pairs")
+    buckets
+  }
+
   /** Exact dedup: group by content hash; keeps the smallest id per group
     * (deterministic winner). Output: (text_hash, n_dups, keep_id). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -73,7 +150,9 @@ object Dedup {
     * near-dup pairs. `bands` bands of `rows` hashes each. Output: (a, b)
     * candidate id pairs with a < b, distinct. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8, bands: Int = 4, rows: Int = 4): DataFrame = {
+                 k: Int = 8, bands: Int = 4, rows: Int = 4,
+                 cap: Int = NeighborCap,
+                 allPairsMax: Int = AllPairsMax): DataFrame = {
     val numHashes = bands * rows
     // materialize the shingle array ONCE per doc (its own projection) so the
     // 16 min-hash expressions share it instead of re-deriving the O(len)
@@ -93,10 +172,8 @@ object Dedup {
       // comma-separated so integer signatures can't collide by concatenation
       withSig.select(col("id"), concat_ws(",", lit(s"b$b") +: cols: _*).as("band"))
     }.reduce(_ unionAll _)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .dropDuplicates("a", "b")
+    logOverflow("minhashLsh", banded, allPairsMax)
+    cappedBandPairs(banded, cap, allPairsMax)
   }
 
   /** MOSS-style winnowing fingerprints: per-position k-shingle hashes, the
@@ -159,7 +236,8 @@ object Dedup {
     * guaranteed to collide on ≥1 band). 16-bit bands keep expected bucket
     * population at N/65,536 — the banded self-join stays near-linear where
     * 8-bit bands (256 values) degenerate quadratically. */
-  def simhashCandidates(sig0: DataFrame): DataFrame = {
+  def simhashCandidates(sig0: DataFrame, cap: Int = NeighborCap,
+                        allPairsMax: Int = AllPairsMax): DataFrame = {
     // same rationale as minhashLsh: 8 derivations of the signature pipeline
     // otherwise (4 band branches × 2 join sides)
     val sig = sig0.localCheckpoint()
@@ -168,10 +246,8 @@ object Dedup {
         concat(lit(s"s$b:"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).cast("string")).as("band"))
     }.reduce(_ unionAll _)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .dropDuplicates("a", "b")
+    logOverflow("simhashCandidates", banded, allPairsMax)
+    cappedBandPairs(banded, cap, allPairsMax)
   }
 
   /** Dedup cluster assignment: connected components over a near-dup pair
