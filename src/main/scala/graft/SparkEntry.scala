@@ -823,11 +823,30 @@ object SparkEntry {
         var level = unary.map(u => (Seq(u._1), Seq(u._2)))
         var out = empty
         var arity = 2
+        // one source scan per candidate-bearing table for the WHOLE lattice:
+        // each table's registered-column projection is localCheckpointed on
+        // first use and every later arity level reads the materialized
+        // blocks, never the parquet again
+        val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
+        def cachedTable(t: String): DataFrame = tableCache.getOrElseUpdate(t,
+          Tables.load(s, dir, t)
+            .select(Tables.indColumns(t).map(col): _*)
+            .localCheckpoint())
         while (level.nonEmpty) {
           val cands = Pruning.naryCandidatesLevel(level, unary)
+          // the engine lattice runs until exhaustion, but the DuckDB oracle
+          // is statically unrolled to NaryOracleLevels — make an unroll-depth
+          // mismatch self-diagnosing instead of a bare hash-fail
+          if (cands.nonEmpty && arity > NaryOracleLevels)
+            System.err.println(
+              s"[graft] WARNING: n-ary lattice reached arity $arity with " +
+                s"${cands.size} candidates, but the q_ind_nary oracle is " +
+                s"unrolled only to arity $NaryOracleLevels — oracle parity " +
+                "will fail until NaryOracleLevels is raised")
           if (cands.isEmpty) { level = Nil }
           else {
-            val verdicts = IndValidator.validateNaryBatch(s, dir, cands)
+            val verdicts = IndValidator
+              .validateNaryBatch(s, dir, cands, Some(cachedTable))
               .localCheckpoint()
             out = out.unionAll(verdicts)
             level = verdicts.filter(col("passed")).select("dep", "ref").collect()
@@ -1039,11 +1058,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(cachedLshPairs(s, dir))),
 
-    // SimHash signatures (32-bit, token-vote) — bit math ports exactly
+    // SimHash signatures (64-bit, token-vote) — bit math ports exactly
     "q_simhash_sig" -> ((s, dir) =>
       Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
-    // SimHash near-dup candidates via byte-band collision
+    // SimHash near-dup candidates via 16-bit-band collision
     "q_simhash_candidates" -> ((s, dir) =>
       Dedup.simhashCandidates(
         Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text"))),

@@ -108,12 +108,16 @@ object Drift {
     * global max, in whole epoch seconds (integral on both engines — no
     * float timestamps cross the engine boundary). One scan: per-partition
     * maxima, then a broadcast of the 1-row global max. Output:
-    * (partition, part_max_epoch, lag_seconds, fresh). */
+    * (partition, part_max_epoch, lag_seconds, fresh).
+    * A partition whose timestamps are ALL null keeps its row —
+    * part_max_epoch NULL, lag NULL, fresh=false: a feed gone dark (nulls
+    * only) is exactly the staleness signal the check exists for, so it must
+    * fail, not silently vanish from the frame (the group runs BEFORE any
+    * null handling; max() ignores nulls natively). */
   def freshness(df: DataFrame, partCol: String, tsCol: String,
                 maxLagSeconds: Long): DataFrame =
     freshnessFromMaxima(
-      df.filter(col(tsCol).isNotNull)
-        .groupBy(col(partCol).as("partition"))
+      df.groupBy(col(partCol).as("partition"))
         .agg(max(unix_timestamp(col(tsCol))).as("part_max_epoch")),
       maxLagSeconds)
 
@@ -126,7 +130,10 @@ object Drift {
     val globalMax = perPart.agg(max("part_max_epoch").as("global_max_epoch"))
     perPart.crossJoin(broadcast(globalMax))
       .withColumn("lag_seconds", col("global_max_epoch") - col("part_max_epoch"))
-      .withColumn("fresh", col("lag_seconds") <= maxLagSeconds)
+      // NULL lag (all-null partition) must FAIL, not propagate NULL — a
+      // NULL `fresh` would slip through the suite's filter(!fresh)
+      .withColumn("fresh",
+        coalesce(col("lag_seconds") <= maxLagSeconds, lit(false)))
       .select(col("partition"), col("part_max_epoch"), col("lag_seconds"),
         col("fresh"))
   }

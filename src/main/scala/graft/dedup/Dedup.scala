@@ -298,7 +298,10 @@ object Dedup {
     * |∩| / |∪|. `candidates`: (a, b). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    candidates: DataFrame, k: Int = 8): DataFrame = {
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): consumed by multiple joins below, and
+    // the blocks are reclaimed with the frame — a persist here outlived the
+    // query in long suite sessions and squeezed later caches
+    val cand = candidates.localCheckpoint()
     // shingle only the docs that appear in a candidate pair (semi-join
     // pushdown): the verify step touches |candidates| docs, not the corpus
     val ids = cand.select(col("a").as("id"))
@@ -307,7 +310,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol))
       .join(ids, Seq("id"), "left_semi")
       .select(col("id"), shingles(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     cand
       .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))

@@ -122,10 +122,19 @@ object IndValidator {
     * columns from one table. Output: (dep, ref, missing, passed) with
     * '+'-joined column lists; missing = distinct dep tuples absent from ref
     * (all-non-null rows only), exactly the unary SPIDER semantics lifted to
-    * tuples. */
+    * tuples.
+    *
+    * `loadTable` lets a multi-level caller (the apriori lattice) inject
+    * per-table CACHED base frames: the candidate combos differ per arity
+    * level but the table scan need not — without it every level re-scans
+    * every candidate-bearing table from parquet, a constant-factor but
+    * real cost at 100 TB (SparkEntry.naryLattice passes localCheckpointed
+    * projections, so the whole lattice does one source scan per table). */
   def validateNaryBatch(spark: SparkSession, sfDir: String,
-                        candidates: Seq[(Seq[String], Seq[String])]): DataFrame = {
+                        candidates: Seq[(Seq[String], Seq[String])],
+                        loadTable: Option[String => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.StringType
+    val load = loadTable.getOrElse((t: String) => Tables.load(spark, sfDir, t))
     def comboId(cols: Seq[String]) = cols.mkString("+")
     // Emit each DISTINCT column combo once (candidates share dep/ref sides
     // heavily: one dep combo pairs with many refs), ONE scan per TABLE via
@@ -139,7 +148,7 @@ object IndValidator {
       combos.map(comboId).sorted.zipWithIndex.toMap
     val tlf = combos.groupBy(_.head.split('.')(0)).toSeq.sortBy(_._1)
       .map { case (table, group) =>
-        val df = Tables.load(spark, sfDir, table)
+        val df = load(table)
         val entries = group.map { cols =>
           val names = cols.map(_.split('.')(1))
           // 128-bit tuple key: two independently-seeded xxhash64 halves over

@@ -149,7 +149,13 @@ object SuiteConfig {
           case (k, other) =>
             bad(k, "a positive 32-bit integer salt count", other, root)
         }.toMap
-      case _ => Map.empty[String, Int]
+      // only ABSENCE disables salting: a present-but-mistyped hotKeys value
+      // (array, string, number) must fail loudly like every other field —
+      // silently dropping it would disable salting behind the user's back
+      case JNothing => Map.empty[String, Int]
+      case other =>
+        throw new IllegalArgumentException(
+          s"hotKeys must be an object of {\"table.column\": saltCount}, got $other")
     }
     val checks = (root \ "checks") match {
       case JArray(cs) => cs.map(parseCheck)

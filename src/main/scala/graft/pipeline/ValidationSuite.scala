@@ -124,7 +124,8 @@ object ValidationSuite {
     // shared profiling stage (resumable) — built only when a check consumes
     // it (a suite over a single ad-hoc table must not profile the whole
     // registry)
-    lazy val profile = Checkpoint.stage(spark, dir, "profile")(
+    lazy val profile = Checkpoint.stage(spark, dir, "profile",
+      hash = Checkpoint.configHash("profile", s"sf=$sfDir"))(
       Profiler.profileAll(spark, sfDir)).df
 
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
@@ -159,7 +160,19 @@ object ValidationSuite {
         detail + (if (sampled) s" (sampled, offender values >= $cap)" else ""))
     }
 
-    config.checks.foreach {
+    // stage-resume soundness: each checkpoint stage is keyed by a hash of
+    // everything that defines its content — the full check definition, the
+    // violation cap, and the source dir (hotKeys excluded: the salted and
+    // plain distinct paths produce identical counts by construction). A
+    // rerun with any of these changed rebuilds the stage instead of
+    // resuming — without it a raised cap or edited budget would reload a
+    // stale TRUNCATED violation frame and report its count as exact.
+    def stageHash(c: Check): String =
+      Checkpoint.configHash(c.toString, s"cap=$cap", s"sf=$sfDir")
+
+    config.checks.foreach { chk =>
+      val hash = stageHash(chk)
+      chk match {
       case Unique(name, table, column, strict) =>
         val row = profile.filter(col("col") === s"$table.$column").collect()
         require(row.nonEmpty, s"unknown column $table.$column")
@@ -173,7 +186,7 @@ object ValidationSuite {
 
       case Referential(name, dt, dc, rt, rc, maxMissing) =>
         requireSoundCap(maxMissing)
-        val viol = Checkpoint.stage(spark, dir, name, Seq("profile"))(
+        val viol = Checkpoint.stage(spark, dir, name, Seq("profile"), hash)(
           capped(IndValidator.violations(
             Tables.load(spark, sfDir, dt), dc,
             Tables.load(spark, sfDir, rt), rc))).df
@@ -186,7 +199,7 @@ object ValidationSuite {
             (if (sampled) s" (sampled, true count >= $cap)" else ""))
 
       case CategoricalDrift(name, table, column, part, thr) =>
-        val drift = Checkpoint.stage(spark, dir, name)(
+        val drift = Checkpoint.stage(spark, dir, name, hash = hash)(
           Drift.categorical(Tables.load(spark, sfDir, table), part, column, thr)).df
         val bad = drift.filter(col("drifted"))
         val n = bad.count()
@@ -195,7 +208,7 @@ object ValidationSuite {
           s"$table.$column by $part tvd_threshold_e5=$thr")
 
       case KsDrift(name, table, column, part, lo, hi, bins, thr) =>
-        val drift = Checkpoint.stage(spark, dir, name)(
+        val drift = Checkpoint.stage(spark, dir, name, hash = hash)(
           Drift.ks(Tables.load(spark, sfDir, table), part, column,
             lo, hi, bins, thr)).df
         val bad = drift.filter(col("drifted"))
@@ -205,7 +218,7 @@ object ValidationSuite {
           s"$table.$column by $part ks_threshold_e5=$thr")
 
       case UniquePerPartition(name, table, column, part) =>
-        val verdicts = Checkpoint.stage(spark, dir, name)(
+        val verdicts = Checkpoint.stage(spark, dir, name, hash = hash)(
           graft.checks.PartitionChecks.uniquePerPartition(
             Tables.load(spark, sfDir, table), part, column)).df
         val bad = verdicts.filter(!col("passed"))
@@ -221,7 +234,7 @@ object ValidationSuite {
         // key whose values are ALL null stays in the frame with
         // distinct_count = 0 and fails the gate instead of vanishing — one
         // scan, every key group (including a null key) validated
-        val counts = Checkpoint.stage(spark, dir, name)(salts match {
+        val counts = Checkpoint.stage(spark, dir, name, hash = hash)(salts match {
           case Some(k) =>
             graft.operators.Skew.saltedDistinctCount(df, keyCol, valueCol, k)
           case None => df.groupBy(col(keyCol).as("key"))
@@ -246,7 +259,7 @@ object ValidationSuite {
             (if (exact) " (exact)" else ""))
 
       case NullRate(name, table, column, maxRateE5) =>
-        val rates = Checkpoint.stage(spark, dir, name)(
+        val rates = Checkpoint.stage(spark, dir, name, hash = hash)(
           ColumnChecks.nullRates(
             Tables.load(spark, sfDir, table), table, Seq(column))).df
         val r = rates.collect()(0)
@@ -259,13 +272,13 @@ object ValidationSuite {
       case AcceptedValues(name, table, column, allowed, maxViolations) =>
         groupedOffenderVerdict(name, "accepted_values", maxViolations,
           s"$table.$column ⊆ {${allowed.mkString(",")}} budget=$maxViolations") {
-          Checkpoint.stage(spark, dir, name)(
+          Checkpoint.stage(spark, dir, name, hash = hash)(
             capped(ColumnChecks.acceptedValuesViolations(
               Tables.load(spark, sfDir, table), table, column, allowed))).df
         }
 
       case ValueRange(name, table, column, lo, hi) =>
-        val stats = Checkpoint.stage(spark, dir, name)(
+        val stats = Checkpoint.stage(spark, dir, name, hash = hash)(
           ColumnChecks.rangeStats(
             Tables.load(spark, sfDir, table), table, column, lo, hi)).df
         val r = stats.collect()(0)
@@ -278,13 +291,13 @@ object ValidationSuite {
       case PatternMatch(name, table, column, regex, maxViolations) =>
         groupedOffenderVerdict(name, "pattern_match", maxViolations,
           s"$table.$column ~ /$regex/ budget=$maxViolations") {
-          Checkpoint.stage(spark, dir, name)(
+          Checkpoint.stage(spark, dir, name, hash = hash)(
             capped(ColumnChecks.patternViolations(
               Tables.load(spark, sfDir, table), table, column, regex))).df
         }
 
       case UniqueComposite(name, table, columns) =>
-        val stats = Checkpoint.stage(spark, dir, name)(
+        val stats = Checkpoint.stage(spark, dir, name, hash = hash)(
           ColumnChecks.compositeUniqueStats(
             Tables.load(spark, sfDir, table), table, columns)).df
         val r = stats.collect()(0)
@@ -295,7 +308,7 @@ object ValidationSuite {
             s"distinct=${r.getAs[Long]("n_distinct")}")
 
       case Freshness(name, table, tsCol, part, maxLag) =>
-        val fresh = Checkpoint.stage(spark, dir, name)(
+        val fresh = Checkpoint.stage(spark, dir, name, hash = hash)(
           Drift.freshness(Tables.load(spark, sfDir, table), part, tsCol,
             maxLag)).df
         val bad = fresh.filter(!col("fresh"))
@@ -305,7 +318,7 @@ object ValidationSuite {
           s"$table.$tsCol per $part within ${maxLag}s of global max")
 
       case TopKStability(name, table, column, part, k, thr) =>
-        val stab = Checkpoint.stage(spark, dir, name)(
+        val stab = Checkpoint.stage(spark, dir, name, hash = hash)(
           Drift.topkStability(Tables.load(spark, sfDir, table), part, column,
             k, thr)).df
         val bad = stab.filter(!col("stable"))
@@ -315,7 +328,7 @@ object ValidationSuite {
           s"$table.$column top-$k per $part jaccard_e5>=$thr")
 
       case NullRateDrift(name, table, column, part, thr) =>
-        val drift = Checkpoint.stage(spark, dir, name)(
+        val drift = Checkpoint.stage(spark, dir, name, hash = hash)(
           Drift.nullRateDrift(Tables.load(spark, sfDir, table), part, column,
             thr)).df
         val bad = drift.filter(col("drifted"))
@@ -325,7 +338,7 @@ object ValidationSuite {
           s"$table.$column null-rate by $part threshold_e5=$thr")
 
       case RowBalance(name, table, part, maxShare) =>
-        val bal = Checkpoint.stage(spark, dir, name)(
+        val bal = Checkpoint.stage(spark, dir, name, hash = hash)(
           graft.checks.PartitionChecks.rowBalance(
             Tables.load(spark, sfDir, table), part, maxShare)).df
         val bad = bal.filter(!col("balanced"))
@@ -335,7 +348,7 @@ object ValidationSuite {
           s"$table rows per $part share_e5<=$maxShare")
 
       case CrossContainment(name, table, column, part, maxMissing) =>
-        val verdicts = Checkpoint.stage(spark, dir, name)(
+        val verdicts = Checkpoint.stage(spark, dir, name, hash = hash)(
           graft.checks.PartitionChecks.crossPartitionContainment(
             Tables.load(spark, sfDir, table), part, column, maxMissing)).df
         val bad = verdicts.filter(!col("passed"))
@@ -343,7 +356,7 @@ object ValidationSuite {
         violationFrames(name) = bad
         outcomes += CheckOutcome(name, "cross_containment", n == 0, n,
           s"$table.$column across $part partitions budget=$maxMissing")
-    }
+    }}
 
     val verdicts = outcomes.toSeq.toDF()
     verdicts.write.mode("overwrite").parquet(s"$dir/_verdicts")

@@ -82,15 +82,21 @@ object Profiler {
   def profileAll(spark: SparkSession, sfDir: String,
                  exactDistinct: Boolean = true,
                  distinctLong: Option[DataFrame] = None): DataFrame = {
-    // each table's stats job collects a single row — run the 10 jobs
-    // concurrently (Spark schedules them across the same executors)
-    import scala.concurrent.{Await, Future}
+    // each table's stats job collects a single row — run the jobs
+    // concurrently (Spark schedules them across the same executors), but on
+    // a BOUNDED pool: unbounded Future.traverse on the global EC is fine at
+    // 10 tables and a driver/scheduler pile-up at a 10⁴-table registry
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val perTable = Await.result(
-      Future.traverse(Tables.all.filter(Tables.indColumns.contains)) { t =>
-        Future(stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
-      }, Duration.Inf).reduce(_ unionAll _)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val perTable =
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.traverse(Tables.all.filter(Tables.indColumns.contains)) { t =>
+            Future(stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
+          }, Duration.Inf).reduce(_ unionAll _)
+      } finally pool.shutdown()
     val withU =
       if (exactDistinct) {
         val u = exactDistinctCounts(

@@ -90,13 +90,17 @@ class CorpusDriftSpec extends SparkSpec {
       ("stale", java.sql.Timestamp.valueOf("2024-06-01 10:00:30")),
       ("empty_ts", null.asInstanceOf[java.sql.Timestamp])
     ).toDF("p", "ts")
-    val r = Drift.freshness(df, "p", "ts", maxLagSeconds = 3600L)
-      .collect().map(x => x.getString(0) ->
+    val out = Drift.freshness(df, "p", "ts", maxLagSeconds = 3600L).collect()
+    val r = out.map(x => x.getString(0) ->
         (x.getAs[Long]("lag_seconds"), x.getAs[Boolean]("fresh"))).toMap
     assert(r("live") == ((0L, true)))
     assert(r("stale") == ((7200L, false)))
-    // all-null partitions drop out (no timestamp to compare)
-    assert(!r.contains("empty_ts"))
+    // an ALL-null partition is a feed gone dark — it must FAIL the check
+    // with a NULL max/lag, not silently vanish from the frame
+    val dark = out.find(_.getString(0) == "empty_ts").get
+    assert(dark.isNullAt(dark.fieldIndex("part_max_epoch")))
+    assert(dark.isNullAt(dark.fieldIndex("lag_seconds")))
+    assert(!dark.getAs[Boolean]("fresh"))
   }
 
   test("nullRateDrift: dark-feed partition flagged against the global rate") {

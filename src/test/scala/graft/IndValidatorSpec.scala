@@ -125,4 +125,64 @@ class IndValidatorSpec extends SparkSpec {
     assert(passedByArity(4).map(_._2) ==
       Seq("orders.o_orderkey+orders.o_orderpriority+orders.o_custkey+orders.o_orderstatus"))
   }
+
+  test("lattice scan reuse: one table load for ALL levels, plans read no parquet") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-nary-cache").toString
+    val orders = (0 until 100).map(i => (i.toLong, 1000L + i, s"s$i"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val customer = (0 until 50).map(i => (i.toLong, 1000L + i, s"s$i"))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    customer.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val unary = Seq(
+      ("customer.c_custkey", "orders.o_orderkey"),
+      ("customer.c_name", "orders.o_custkey"),
+      ("customer.c_nationkey", "orders.o_orderstatus")).sorted
+    // the lattice's cached loader shape: checkpoint each table ONCE
+    val loads = scala.collection.mutable.Map.empty[String, Int]
+    val cache = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    def cached(t: String) = cache.getOrElseUpdate(t, {
+      loads(t) = loads.getOrElse(t, 0) + 1
+      spark.read.parquet(s"$dir/$t.parquet").localCheckpoint()
+    })
+    var level = unary.map(u => (Seq(u._1), Seq(u._2)))
+    var verdicts = Seq.empty[(String, String, Boolean)]
+    var rounds = 0
+    while (level.nonEmpty) {
+      val cands = graft.ind.Pruning.naryCandidatesLevel(level, unary)
+      if (cands.isEmpty) level = Nil
+      else {
+        rounds += 1
+        val v = IndValidator.validateNaryBatch(spark, dir, cands, Some(cached))
+        v.collect() // finalize AQE before reading the executed plan
+        // every level's physical plan reads the checkpointed blocks, never
+        // the parquet source
+        assert(!v.queryExecution.executedPlan.toString.contains("FileScan"),
+          s"level ${rounds + 1} re-scanned parquet")
+        val rows = v.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getBoolean(3))).toSeq
+        verdicts ++= rows
+        level = rows.filter(_._3).map(p =>
+          (p._1.split('+').toSeq, p._2.split('+').toSeq))
+      }
+    }
+    assert(rounds >= 2, "fixture must produce a multi-level lattice")
+    assert(loads.values.forall(_ == 1), s"tables re-loaded: $loads")
+    // cached-path verdicts equal the direct-load path
+    var level2 = unary.map(u => (Seq(u._1), Seq(u._2)))
+    var direct = Seq.empty[(String, String, Boolean)]
+    while (level2.nonEmpty) {
+      val cands = graft.ind.Pruning.naryCandidatesLevel(level2, unary)
+      if (cands.isEmpty) level2 = Nil
+      else {
+        val rows = IndValidator.validateNaryBatch(spark, dir, cands)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(3))).toSeq
+        direct ++= rows
+        level2 = rows.filter(_._3).map(p =>
+          (p._1.split('+').toSeq, p._2.split('+').toSeq))
+      }
+    }
+    assert(verdicts.sorted == direct.sorted)
+  }
 }

@@ -32,6 +32,34 @@ class InfraSpec extends SparkSpec {
     assert(!r3.skipped && builds == 2)
   }
 
+  test("checkpoint: changed config hash rebuilds instead of resuming stale") {
+    val dir = Files.createTempDirectory("ckpt_hash").toString
+    var builds = 0
+    // run 1 persists a TRUNCATED frame under config A (cap=1)
+    def build(cap: Int) = { builds += 1
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").limit(cap) }
+    val hA = Checkpoint.configHash("check=fk", "cap=1")
+    val r1 = Checkpoint.stage(spark, dir, "s", hash = hA)(build(1))
+    assert(!r1.skipped && r1.df.count() == 1)
+    // same hash → resume
+    val r2 = Checkpoint.stage(spark, dir, "s", hash = hA)(build(1))
+    assert(r2.skipped && builds == 1)
+    // run 2 with the cap removed MUST NOT reuse the 1-row stale frame
+    val hB = Checkpoint.configHash("check=fk", "cap=0")
+    val r3 = Checkpoint.stage(spark, dir, "s", hash = hB)(build(3))
+    assert(!r3.skipped && builds == 2 && r3.df.count() == 3)
+    assert(Files.readString(java.nio.file.Paths.get(r3.lineagePath))
+      .contains(s""""config_hash":"$hB""""))
+    // pre-hash sidecar (no config_hash key) never matches a real hash
+    val legacy = r3.lineagePath.replace("s.lineage", "legacy.lineage")
+    Checkpoint.stage(spark, dir, "legacy", hash = "")(build(3))
+    val stripped = Files.readString(java.nio.file.Paths.get(legacy))
+      .replaceAll(""""config_hash":"[^"]*",\s*""", "")
+    Files.writeString(java.nio.file.Paths.get(legacy), stripped)
+    val r4 = Checkpoint.stage(spark, dir, "legacy", hash = hB)(build(3))
+    assert(!r4.skipped && builds == 4)
+  }
+
   test("reference CSV: ;-delimited, backslash-escaped, headerless columnN naming") {
     val dir = Files.createTempDirectory("refcsv")
     val f = dir.resolve("t.csv")

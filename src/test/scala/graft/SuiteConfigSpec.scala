@@ -88,6 +88,16 @@ class SuiteConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SuiteConfig.fromJson("""{"hotKeys":{"t.c":0},"checks":[]}""", "/t")
     }
+    // a present-but-mistyped hotKeys VALUE (array / string) must fail like
+    // any other field — silently treating it as absent would disable
+    // salting behind the user's back; only true absence means "no hot keys"
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson("""{"hotKeys":["t.c"],"checks":[]}""", "/t")
+    }
+    intercept[IllegalArgumentException] {
+      SuiteConfig.fromJson("""{"hotKeys":"t.c=16","checks":[]}""", "/t")
+    }
+    assert(SuiteConfig.fromJson("""{"checks":[]}""", "/t").hotKeys.isEmpty)
   }
 
   test("RunSuite CLI with a JSON config file runs the declared suite green") {
