@@ -73,9 +73,38 @@ object Bench {
       case (k, v) if validationQueries(k) && v > 0 => v }.sum
     val rps = if (valSec > 0) math.round(rows / valSec) else 0L
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // incremental-revalidation evidence: fold the SAME 500-row delta into
+    // per-partition drift states built from the smallest scale dir and from
+    // sfDir (100× the rows at sf0.1) — flat times show per-batch cost
+    // scales with |delta| + |state| (partitions × categories), never corpus
+    // size, the operational property the incremental suite mode exists for
+    val incrJson = try {
+      val c = graft.pipeline.ValidationSuite.CategoricalDrift(
+        "bench_incr", "documents", "lang", "source", 10000L)
+      def state(dir: String) =
+        graft.pipeline.Incremental.stateOf(c, Tables.load(spark, dir, "documents"))
+          .localCheckpoint()
+      val small = state("/root/testdata/sf0.001")
+      val large = state(sfDir)
+      val delta = Tables.load(spark, sfDir, "documents").limit(500).localCheckpoint()
+      def timeUpdate(st: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        graft.pipeline.Incremental.verdictsFromState(c,
+          graft.pipeline.Incremental.mergeState(c, st,
+            graft.pipeline.Incremental.stateOf(c, delta))).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = timeUpdate(small)
+      val tl = timeUpdate(large)
+      s""","incr_delta_small_sec":$ts,"incr_delta_large_sec":$tl"""
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH incremental evidence failed: ${e.getMessage}")
+      ""
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","failed":$failedJson,""" +
-      s""""rows":$rows,"validation_sec":$valSec,"validation_rows_per_sec":$rps}""")
+      s""""rows":$rows,"validation_sec":$valSec,"validation_rows_per_sec":$rps""" +
+      incrJson + "}")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.pipeline.{SuiteConfig, ValidationSuite}
+import graft.pipeline.{Incremental, SuiteConfig, ValidationSuite}
 
 /** The spark-submit entry point for the standing validation suite
   * (north_rule: "run via spark-submit on multi-executor clusters"):
@@ -43,8 +43,36 @@ object RunSuite {
     failed
   }
 
+  /** Incremental pass: fold ONE append batch (deltaDir holds only the new
+    * rows, same table layout) into the per-check state under ckptDir and
+    * re-derive verdicts — cost scales with |delta| + |state|, never corpus
+    * size. Only state-mergeable checks run (drift / freshness / balance /
+    * top-k families); exact-uniqueness and referential checks stay on the
+    * full-run path. */
+  def runIncremental(spark: SparkSession, deltaDir: String, ckptDir: String,
+                     batchId: String, configJson: Option[String] = None): Int = {
+    val config = configJson match {
+      case Some(json) => SuiteConfig.fromJson(json, ckptDir)
+      case None => ValidationSuite.defaultConfig(ckptDir)
+    }
+    val (verdicts, _) = Incremental.run(spark, deltaDir, config, batchId)
+    val rows = verdicts.collect()
+    rows.foreach { r =>
+      val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
+      println(s"$status ${r.getAs[String]("name")} " +
+        s"[${r.getAs[String]("kind")}] violations=${r.getAs[Long]("violations")} " +
+        r.getAs[String]("detail"))
+    }
+    val failed = rows.count(!_.getAs[Boolean]("passed"))
+    println(s"""{"metric":"suite-incremental","checks":${rows.length},""" +
+      s""""failed":$failed,"batch":"$batchId","checkpoint":"$ckptDir"}""")
+    failed
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunSuite <dataDir> <checkpointDir>")
+    require(args.length >= 2,
+      "usage: RunSuite <dataDir> <checkpointDir> [config.json] | " +
+        "RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json]")
     // under spark-submit the master AND tuning conf (shuffle partitions
     // etc.) come from the cluster/--conf untouched; standalone runs (no
     // spark.master property) fall back to local[*] with a local-sized
@@ -56,9 +84,14 @@ object RunSuite {
                  else builder.master("local[*]")
                    .config("spark.sql.shuffle.partitions", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val configJson = args.lift(2).map(p =>
+    def readCfg(i: Int) = args.lift(i).map(p =>
       java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
-    val failed = run(spark, args(0), args(1), configJson)
+    val failed =
+      if (args(0) == "--incremental") {
+        require(args.length >= 4,
+          "usage: RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json]")
+        runIncremental(spark, args(1), args(2), args(3), readCfg(4))
+      } else run(spark, args(0), args(1), readCfg(2))
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -10,7 +10,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.eval.Evaluation
 import graft.ind.{IndValidator, Pruning}
-import graft.pipeline.Experiment
+import graft.pipeline.{Experiment, Incremental, ValidationSuite}
 import graft.profiling.Profiler
 import graft.sampling.{BudgetAllocator, Samplers}
 import graft.text.TextAnalysis
@@ -1258,6 +1258,32 @@ object SparkEntry {
       Drift.ks(Tables.load(s, dir, "events"), "event_type", "value",
         lo = 0.0, hi = 50.0, bins = 25, thresholdE5 = 5000L)),
 
+    // incremental revalidation, oracle-gated: fold THREE append batches
+    // (deterministic doc_id split) through the per-partition mergeable
+    // state and re-derive — must equal the single-pass drift over the
+    // whole table (same oracle SQL as q_drift_lang_tvd)
+    "q_incr_drift_tvd" -> ((s, dir) => {
+      val c = ValidationSuite.CategoricalDrift(
+        "incr", "documents", "lang", "source", 10000L)
+      val docs = Tables.load(s, dir, "documents")
+      val state = (0 until 3).map(i =>
+          Incremental.stateOf(c, docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce((a, b) => Incremental.mergeState(c, a, b))
+      Incremental.verdictsFromState(c, state)
+    }),
+
+    // incremental freshness: per-partition epoch maxima folded across the
+    // same 3-way split (max-monoid state), re-derived lag verdicts
+    "q_incr_freshness" -> ((s, dir) => {
+      val c = ValidationSuite.Freshness(
+        "incr", "events", "ts", "event_type", 86400L)
+      val ev = Tables.load(s, dir, "events")
+      val state = (0 until 3).map(i =>
+          Incremental.stateOf(c, ev.filter(pmod(col("event_id"), lit(3)) === i)))
+        .reduce((a, b) => Incremental.mergeState(c, a, b))
+      Incremental.verdictsFromState(c, state)
+    }),
+
     // ---- north-rule corpus (deterministic synthetic, rows-only checks) ----
 
     // per-row sha256(content) — THE correctness invariant (input_hint)
@@ -1383,7 +1409,34 @@ object SparkEntry {
 
   // ---- oracle SQL --------------------------------------------------------
 
+  /** shared by q_drift_lang_tvd and its incremental twin q_incr_drift_tvd —
+    * the incremental fold must reproduce the single-pass result exactly. */
+  private val driftLangTvdSql =
+    """WITH counts AS (SELECT source AS partition, lang AS cat, count(*) AS n
+      |               FROM documents GROUP BY 1, 2),
+      |pt AS (SELECT partition, sum(n) AS pt FROM counts GROUP BY 1),
+      |g AS (SELECT cat, sum(n) AS gn FROM counts GROUP BY 1),
+      |tot AS (SELECT count(*) AS t FROM documents),
+      |filled AS (SELECT p.partition, p.pt, g.cat, g.gn, coalesce(c.n, 0) AS n
+      |           FROM pt p CROSS JOIN g
+      |           LEFT JOIN counts c ON c.partition = p.partition AND c.cat = g.cat)
+      |SELECT partition, CAST(max(pt) AS BIGINT) AS n_rows,
+      |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) AS tvd_e5,
+      |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) >= 10000 AS drifted
+      |FROM filled, tot GROUP BY partition""".stripMargin
+
+  /** shared by q_freshness and its incremental twin q_incr_freshness. */
+  private val freshnessSql =
+    """WITH p AS (SELECT event_type AS partition,
+      |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS part_max_epoch
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |g AS (SELECT max(part_max_epoch) AS gm FROM p)
+      |SELECT partition, part_max_epoch, gm - part_max_epoch AS lag_seconds,
+      |  (gm - part_max_epoch) <= 86400 AS fresh FROM p, g""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_incr_drift_tvd" -> driftLangTvdSql,
+    "q_incr_freshness" -> freshnessSql,
     "q_profile_stats" -> profileSql,
 
     "q_unique_checks" ->
@@ -1464,13 +1517,7 @@ object SparkEntry {
     // floor(epoch()) before max: DuckDB's epoch(TIMESTAMP) is fractional
     // where Spark's unix_timestamp truncates — flooring each value first
     // keeps both engines on whole seconds (max is floor-monotonic)
-    "q_freshness" ->
-      """WITH p AS (SELECT event_type AS partition,
-        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS part_max_epoch
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
-        |g AS (SELECT max(part_max_epoch) AS gm FROM p)
-        |SELECT partition, part_max_epoch, gm - part_max_epoch AS lag_seconds,
-        |  (gm - part_max_epoch) <= 86400 AS fresh FROM p, g""".stripMargin,
+    "q_freshness" -> freshnessSql,
 
     "q_topk_stability" ->
       """WITH c AS (SELECT source AS partition, lang AS cat, count(*) AS n
@@ -2091,19 +2138,7 @@ object SparkEntry {
         |FROM keys LEFT JOIN miss ON miss.partition = keys.partition
         |GROUP BY keys.partition""".stripMargin,
 
-    "q_drift_lang_tvd" ->
-      """WITH counts AS (SELECT source AS partition, lang AS cat, count(*) AS n
-        |               FROM documents GROUP BY 1, 2),
-        |pt AS (SELECT partition, sum(n) AS pt FROM counts GROUP BY 1),
-        |g AS (SELECT cat, sum(n) AS gn FROM counts GROUP BY 1),
-        |tot AS (SELECT count(*) AS t FROM documents),
-        |filled AS (SELECT p.partition, p.pt, g.cat, g.gn, coalesce(c.n, 0) AS n
-        |           FROM pt p CROSS JOIN g
-        |           LEFT JOIN counts c ON c.partition = p.partition AND c.cat = g.cat)
-        |SELECT partition, CAST(max(pt) AS BIGINT) AS n_rows,
-        |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) AS tvd_e5,
-        |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) >= 10000 AS drifted
-        |FROM filled, tot GROUP BY partition""".stripMargin,
+    "q_drift_lang_tvd" -> driftLangTvdSql,
 
     "q_drift_value_ks" ->
       """WITH binned AS (

@@ -146,10 +146,17 @@ object Drift {
     * moves). One scan, one tiny reduce. Output:
     * (partition, n_rows, null_rate_e5, global_rate_e5, drifted). */
   def nullRateDrift(df: DataFrame, partCol: String, valCol: String,
-                    thresholdE5: Long): DataFrame = {
-    val perPart = df.groupBy(col(partCol).as("partition"))
-      .agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col(valCol))).as("n_nulls"))
+                    thresholdE5: Long): DataFrame =
+    nullRateDriftFromCounts(
+      df.groupBy(col(partCol).as("partition"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(valCol))).as("n_nulls")),
+      thresholdE5)
+
+  /** Null-rate drift from pre-aggregated (partition, n_rows, n_nulls) —
+    * the mergeable form incremental revalidation folds delta batches into. */
+  def nullRateDriftFromCounts(perPart: DataFrame,
+                              thresholdE5: Long): DataFrame = {
     val global = perPart
       .agg(sum("n_rows").as("gt"), sum("n_nulls").as("gn"))
       .select(expr("(gn * 100000) div gt").as("global_rate_e5"))
@@ -170,13 +177,20 @@ object Drift {
     * and the global top-k set broadcasts. Output:
     * (partition, n_common, jaccard_e5, stable). */
   def topkStability(df: DataFrame, partCol: String, catCol: String,
-                    k: Int, thresholdE5: Long): DataFrame = {
+                    k: Int, thresholdE5: Long): DataFrame =
+    topkStabilityFromCounts(
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
+        .agg(count("*").as("n")),
+      k, thresholdE5)
+
+  /** Top-k stability from pre-aggregated (partition, cat, n) counts — the
+    * mergeable form (same state as categoricalFromCounts, minus null cats). */
+  def topkStabilityFromCounts(counts0: DataFrame,
+                              k: Int, thresholdE5: Long): DataFrame = {
     // materialized once: partTop, the global top-k, and its size all read
     // these counts — without the checkpoint each consumer would rescan df
-    val counts = df.filter(col(catCol).isNotNull)
-      .groupBy(col(partCol).as("partition"), col(catCol).as("cat"))
-      .agg(count("*").as("n"))
-      .localCheckpoint()
+    val counts = counts0.localCheckpoint()
     val partTop = counts
       .withColumn("rk", row_number().over(
         Window.partitionBy("partition").orderBy(col("n").desc, col("cat"))))

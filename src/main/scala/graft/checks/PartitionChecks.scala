@@ -71,9 +71,14 @@ object PartitionChecks {
     * skewed key melts one reducer at 100 TB. One aggregate + a broadcast
     * 1-row total. Output: (partition, n_rows, share_e5, balanced). */
   def rowBalance(df: DataFrame, partCol: String,
-                 maxShareE5: Long): DataFrame = {
-    val counts = df.groupBy(col(partCol).as("partition"))
-      .agg(count("*").as("n_rows"))
+                 maxShareE5: Long): DataFrame =
+    rowBalanceFromCounts(
+      df.groupBy(col(partCol).as("partition")).agg(count("*").as("n_rows")),
+      maxShareE5)
+
+  /** Row balance from pre-aggregated (partition, n_rows) counts — the
+    * mergeable form incremental revalidation folds delta batches into. */
+  def rowBalanceFromCounts(counts: DataFrame, maxShareE5: Long): DataFrame = {
     val total = counts.agg(sum("n_rows").as("total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share_e5", expr("(n_rows * 100000) div total"))

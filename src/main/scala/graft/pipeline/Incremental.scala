@@ -1,0 +1,277 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.checks.{Drift, PartitionChecks}
+import graft.pipeline.ValidationSuite._
+
+/** Incremental partition-scoped revalidation — the append-only operational
+  * mode a 100 TB deployment actually runs in. A full `ValidationSuite.run`
+  * rescans the corpus on every invocation; this module instead keeps each
+  * check's PER-PARTITION MERGEABLE STATE (category counts, histogram bin
+  * counts, timestamp maxima, null/row counts — all commutative monoids)
+  * as a parquet frame under the checkpoint dir, folds each new ingest
+  * batch into it (touching only the partitions the batch contains —
+  * "partitions newer than the checkpoint"), and re-derives the suite
+  * verdicts from the merged state with the existing `*FromCounts` /
+  * `FromMaxima` forms.
+  *
+  * Cost per batch = one aggregation of the DELTA + one merge over
+  * |partitions|×|categories| state rows + verdict math over the same —
+  * independent of corpus size (the Bench incremental evidence drives the
+  * same delta into states built from 100×-different corpora and shows flat
+  * update time).
+  *
+  * Soundness:
+  *   - append-only contract: state merging assumes delta rows are NEW rows
+  *     (the Iceberg snapshot-append model). Updates/deletes need a full
+  *     re-run (or per-partition state rebuild — invalidate + replay).
+  *   - idempotence: each state sidecar records applied batch ids; a batch
+  *     id already applied is a NO-OP (a retried ingest must not double
+  *     count).
+  *   - config safety: the sidecar records a hash of the check's
+  *     STATE-DEFINING fields (table, column, partition column, binning) —
+  *     NOT thresholds, which only affect verdict derivation and may change
+  *     freely between batches. A state-defining change REFUSES to proceed
+  *     (the historical rows needed to rebuild are gone) instead of merging
+  *     incompatible state.
+  *   - verdict equality: folding any partitioning of the corpus through
+  *     the state equals the single-pass batch verdict (IncrementalSpec
+  *     proves frame equality per check kind).
+  */
+object Incremental {
+
+  /** Checks with a mergeable per-partition state. The rest (exact
+    * uniqueness, referential anti-joins, schema) either need full-history
+    * distincts or are metadata-only; they stay on the full-run path. */
+  def supported(c: Check): Boolean = c match {
+    case _: CategoricalDrift | _: KsDrift | _: Freshness |
+         _: NullRateDrift | _: RowBalance | _: TopKStability => true
+    case _ => false
+  }
+
+  private def tableOf(c: Check): String = c match {
+    case CategoricalDrift(_, t, _, _, _) => t
+    case KsDrift(_, t, _, _, _, _, _, _) => t
+    case Freshness(_, t, _, _, _)        => t
+    case NullRateDrift(_, t, _, _, _)    => t
+    case RowBalance(_, t, _, _)          => t
+    case TopKStability(_, t, _, _, _, _) => t
+    case other => throw new IllegalArgumentException(
+      s"check '${other.name}' has no incremental state")
+  }
+
+  /** Hash of the fields that DEFINE the state's content. Thresholds (and
+    * top-k's k) are excluded on purpose: they parameterize verdict
+    * derivation over the state, not the state itself. */
+  def stateKey(c: Check): String = c match {
+    case CategoricalDrift(_, t, col0, p, _) =>
+      Checkpoint.configHash("cat", t, col0, p)
+    case KsDrift(_, t, col0, p, lo, hi, bins, _) =>
+      Checkpoint.configHash("ks", t, col0, p, lo.toString, hi.toString, bins.toString)
+    case Freshness(_, t, ts, p, _) => Checkpoint.configHash("fresh", t, ts, p)
+    case NullRateDrift(_, t, col0, p, _) =>
+      Checkpoint.configHash("nrd", t, col0, p)
+    case RowBalance(_, t, p, _) => Checkpoint.configHash("bal", t, p)
+    case TopKStability(_, t, col0, p, _, _) =>
+      Checkpoint.configHash("topk", t, col0, p)
+    case other => throw new IllegalArgumentException(
+      s"check '${other.name}' has no incremental state")
+  }
+
+  /** Per-partition mergeable state of one check over a batch of rows —
+    * EXACTLY the aggregation the batch check derives internally, so merged
+    * state reproduces the batch verdict bit-for-bit. */
+  def stateOf(c: Check, batch: DataFrame): DataFrame = c match {
+    case CategoricalDrift(_, _, cat, p, _) =>
+      batch.groupBy(col(p).as("partition"), col(cat).as("cat"))
+        .agg(count(lit(1)).as("n"))
+    case TopKStability(_, _, cat, p, _, _) =>
+      batch.filter(col(cat).isNotNull)
+        .groupBy(col(p).as("partition"), col(cat).as("cat"))
+        .agg(count(lit(1)).as("n"))
+    case KsDrift(_, _, num, p, lo, hi, bins, _) =>
+      val w = (hi - lo) / bins
+      batch.filter(col(num).isNotNull)
+        .select(col(p).as("partition"),
+          least(greatest(floor((col(num) - lit(lo)) / lit(w)), lit(0L)),
+            lit(bins - 1L)).as("bin"))
+        .groupBy("partition", "bin").agg(count(lit(1)).as("n"))
+    case Freshness(_, _, ts, p, _) =>
+      batch.groupBy(col(p).as("partition"))
+        .agg(max(unix_timestamp(col(ts))).as("part_max_epoch"))
+    case NullRateDrift(_, _, v, p, _) =>
+      batch.groupBy(col(p).as("partition"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(v))).as("n_nulls"))
+    case RowBalance(_, _, p, _) =>
+      batch.groupBy(col(p).as("partition")).agg(count(lit(1)).as("n_rows"))
+    case other => throw new IllegalArgumentException(
+      s"check '${other.name}' has no incremental state")
+  }
+
+  /** Monoid merge of two state frames (counts add, maxima max) — touches
+    * only state rows, never source rows. */
+  def mergeState(c: Check, a: DataFrame, b: DataFrame): DataFrame = {
+    val both = a.unionByName(b)
+    c match {
+      case _: CategoricalDrift | _: TopKStability =>
+        both.groupBy("partition", "cat").agg(sum("n").as("n"))
+      case _: KsDrift =>
+        both.groupBy("partition", "bin").agg(sum("n").as("n"))
+      case _: Freshness =>
+        both.groupBy("partition")
+          .agg(max("part_max_epoch").as("part_max_epoch"))
+      case _: NullRateDrift =>
+        both.groupBy("partition")
+          .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"))
+      case _: RowBalance =>
+        both.groupBy("partition").agg(sum("n_rows").as("n_rows"))
+      case other => throw new IllegalArgumentException(
+        s"check '${other.name}' has no incremental state")
+    }
+  }
+
+  /** Re-derive the check's full verdict frame from (merged) state — the
+    * same frame the batch path produces. */
+  def verdictsFromState(c: Check, state: DataFrame): DataFrame = c match {
+    case CategoricalDrift(_, _, _, _, thr) =>
+      val total = state.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      Drift.categoricalFromCounts(state, total, thr)
+    case KsDrift(_, _, _, _, _, _, _, thr) =>
+      val total = state.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      Drift.ksFromCounts(state, total, thr)
+    case Freshness(_, _, _, _, maxLag) =>
+      Drift.freshnessFromMaxima(state, maxLag)
+    case NullRateDrift(_, _, _, _, thr) =>
+      Drift.nullRateDriftFromCounts(state, thr)
+    case RowBalance(_, _, _, maxShare) =>
+      PartitionChecks.rowBalanceFromCounts(state, maxShare)
+    case TopKStability(_, _, _, _, k, thr) =>
+      Drift.topkStabilityFromCounts(state, k, thr)
+    case other => throw new IllegalArgumentException(
+      s"check '${other.name}' has no incremental state")
+  }
+
+  /** Bad-row filter + outcome, mirroring ValidationSuite's per-kind logic. */
+  private def outcomeOf(c: Check, verdicts: DataFrame): (DataFrame, CheckOutcome) = {
+    val (kind, bad, detail) = c match {
+      case CategoricalDrift(_, t, col0, p, thr) =>
+        ("categorical_drift", verdicts.filter(col("drifted")),
+          s"$t.$col0 by $p tvd_threshold_e5=$thr")
+      case KsDrift(_, t, col0, p, _, _, _, thr) =>
+        ("ks_drift", verdicts.filter(col("drifted")),
+          s"$t.$col0 by $p ks_threshold_e5=$thr")
+      case Freshness(_, t, ts, p, maxLag) =>
+        ("freshness", verdicts.filter(!col("fresh")),
+          s"$t.$ts per $p within ${maxLag}s of global max")
+      case NullRateDrift(_, t, col0, p, thr) =>
+        ("nullrate_drift", verdicts.filter(col("drifted")),
+          s"$t.$col0 null-rate by $p threshold_e5=$thr")
+      case RowBalance(_, t, p, maxShare) =>
+        ("row_balance", verdicts.filter(!col("balanced")),
+          s"$t rows per $p share_e5<=$maxShare")
+      case TopKStability(_, t, col0, p, k, thr) =>
+        ("topk_stability", verdicts.filter(!col("stable")),
+          s"$t.$col0 top-$k per $p jaccard_e5>=$thr")
+      case other => throw new IllegalArgumentException(
+        s"check '${other.name}' has no incremental state")
+    }
+    val n = bad.count()
+    (bad, CheckOutcome(c.name, kind, n == 0, n, detail + " (incremental)"))
+  }
+
+  private val BatchesRe = """"batches":\[([^\]]*)\]""".r
+  private val KeyRe = """"state_key":"([0-9a-f]*)"""".r
+
+  private def sidecar(dir: String, name: String) =
+    Paths.get(s"$dir/${name}.state.lineage.json")
+
+  /** Fold one delta batch into a check's persisted state and return the
+    * re-derived verdict frame + outcome. `batchId` makes retries no-ops.
+    * Returns None (state untouched) when the batch was already applied. */
+  def update(spark: SparkSession, ckptDir: String, c: Check,
+             delta: DataFrame, batchId: String): Option[(DataFrame, CheckOutcome)] = {
+    require(supported(c), s"check '${c.name}' has no incremental state")
+    val statePath = s"$ckptDir/${c.name}.state"
+    val side = sidecar(ckptDir, c.name)
+    val key = stateKey(c)
+    val (oldState, applied) =
+      if (Files.exists(side) && Files.exists(Paths.get(s"$statePath/_SUCCESS"))) {
+        val j = Files.readString(side)
+        val priorKey = KeyRe.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
+        require(priorKey == key,
+          s"check '${c.name}': persisted state was built under a different " +
+            "state-defining config (table/column/partition/binning changed) — " +
+            "incremental merge would be unsound; invalidate the state and " +
+            "replay, or run the full suite")
+        val batches = BatchesRe.findFirstMatchIn(j).map(_.group(1))
+          .toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+        (Some(spark.read.parquet(statePath)), batches)
+      } else (None, Seq.empty[String])
+    if (applied.contains(batchId)) return None
+
+    val deltaState = stateOf(c, delta)
+    // localCheckpoint BEFORE the overwrite: the merged frame must be fully
+    // materialized off the old files, or the write would delete its own
+    // input mid-read
+    val merged = oldState.fold(deltaState)(o => mergeState(c, o, deltaState))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(statePath)
+    val state = spark.read.parquet(statePath)
+
+    // lineage sidecar: state key, applied batches, rows, and the partitions
+    // THIS batch touched (the "newer than the checkpoint" units)
+    val touched = deltaState.select("partition").distinct().collect()
+      .map(r => "\"" + String.valueOf(r.get(0)).replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\"")
+    val allBatches = (applied :+ batchId).map(b => "\"" + b + "\"")
+    Files.createDirectories(Paths.get(ckptDir))
+    Files.writeString(side,
+      s"""{"stage":"${c.name}.state","state_key":"$key",""" +
+        s""""batches":[${allBatches.mkString(",")}],"rows":${state.count()},""" +
+        s""""touched_partitions":[${touched.mkString(",")}]}""")
+
+    Some(outcomeOf(c, verdictsFromState(c, state)))
+  }
+
+  /** Incremental suite pass: fold `deltaDir`'s tables (only the NEW rows of
+    * this ingest batch, same layout as the full data dir) into every
+    * supported check's state and re-derive verdicts. Checks whose table has
+    * no delta file still re-emit verdicts from existing state (their state
+    * is unchanged but thresholds/global stats may shift as OTHER partitions
+    * move — re-derivation is |state|-cheap). Unsupported checks are
+    * reported as skipped=full-run-only. */
+  def run(spark: SparkSession, deltaDir: String, config: Config,
+          batchId: String): (DataFrame, Map[String, DataFrame]) = {
+    import spark.implicits._
+    val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
+    val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+    config.checks.filter(supported).foreach { c =>
+      val t = tableOf(c)
+      val deltaPath = s"$deltaDir/$t.parquet"
+      if (Files.exists(Paths.get(deltaPath))) {
+        update(spark, config.checkpointDir, c,
+            spark.read.parquet(deltaPath), batchId) match {
+          case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
+          case None => // batch already applied: re-derive from current state
+            val (bad, oc) = outcomeOf(c, verdictsFromState(c,
+              spark.read.parquet(s"${config.checkpointDir}/${c.name}.state")))
+            frames(c.name) = bad
+            outcomes += oc.copy(detail = oc.detail + s" [batch $batchId already applied]")
+        }
+      } else if (Files.exists(Paths.get(s"${config.checkpointDir}/${c.name}.state/_SUCCESS"))) {
+        val (bad, oc) = outcomeOf(c, verdictsFromState(c,
+          spark.read.parquet(s"${config.checkpointDir}/${c.name}.state")))
+        frames(c.name) = bad
+        outcomes += oc.copy(detail = oc.detail + " [no delta for table]")
+      }
+    }
+    (outcomes.toSeq.toDF(), frames.toMap)
+  }
+}

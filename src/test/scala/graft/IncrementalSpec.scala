@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.checks.{Drift, PartitionChecks}
+import graft.pipeline.{Incremental, ValidationSuite}
+import graft.pipeline.ValidationSuite._
+
+/** Incremental partition-scoped revalidation: folding any split of the
+  * corpus through the per-check state must reproduce the single-pass batch
+  * verdicts exactly; batches are idempotent; state-defining config changes
+  * refuse to merge. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic partitioned corpus: 4 partitions, designed drift in p3,
+  // nulls in p2, staleness in p3
+  private lazy val corpus = (0 until 2000).map { i =>
+    val p = s"p${i % 4}"
+    val cat = if (i % 4 == 3) s"c${i % 2}" else s"c${i % 5}"
+    val v = if (i % 4 == 3) (i % 50) + 50.0 else (i % 50).toDouble
+    val props = if (i % 4 == 2 && i % 3 == 0) null else s"x$i"
+    val ts = java.sql.Timestamp.valueOf(
+      if (i % 4 == 3) "2024-06-01 00:00:00" else "2024-06-02 12:00:00")
+    (i.toLong, p, cat, v, props, ts)
+  }.toDF("id", "part", "cat", "v", "props", "ts")
+
+  // three uneven batches by id hash — every batch touches several partitions
+  private def batches: Seq[DataFrame] = Seq(
+    corpus.filter(pmod(col("id"), lit(7)) < 3),
+    corpus.filter(pmod(col("id"), lit(7)) === 3),
+    corpus.filter(pmod(col("id"), lit(7)) > 3))
+
+  private def checkOf(kind: String): Check = kind match {
+    case "cat"   => CategoricalDrift("c_cat", "t", "cat", "part", 10000L)
+    case "ks"    => KsDrift("c_ks", "t", "v", "part", 0.0, 100.0, 20, 10000L)
+    case "fresh" => Freshness("c_fresh", "t", "ts", "part", 3600L)
+    case "nrd"   => NullRateDrift("c_nrd", "t", "props", "part", 5000L)
+    case "bal"   => RowBalance("c_bal", "t", "part", 26000L)
+    case "topk"  => TopKStability("c_topk", "t", "cat", "part", 3, 50000L)
+  }
+
+  private def batchVerdicts(c: Check): DataFrame = c match {
+    case CategoricalDrift(_, _, cat, p, thr) => Drift.categorical(corpus, p, cat, thr)
+    case KsDrift(_, _, v, p, lo, hi, bins, thr) => Drift.ks(corpus, p, v, lo, hi, bins, thr)
+    case Freshness(_, _, ts, p, lag) => Drift.freshness(corpus, p, ts, lag)
+    case NullRateDrift(_, _, v, p, thr) => Drift.nullRateDrift(corpus, p, v, thr)
+    case RowBalance(_, _, p, ms) => PartitionChecks.rowBalance(corpus, p, ms)
+    case TopKStability(_, _, cat, p, k, thr) => Drift.topkStability(corpus, p, cat, k, thr)
+    case other => fail(s"no batch twin for $other")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  for (kind <- Seq("cat", "ks", "fresh", "nrd", "bal", "topk"))
+    test(s"$kind: 3-batch incremental fold equals the single-pass batch verdicts") {
+      val c = checkOf(kind)
+      val dir = Files.createTempDirectory(s"incr_$kind").toString
+      var last: DataFrame = null
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val Some((_, _)) = Incremental.update(spark, dir, c, b, s"batch$i"): @unchecked
+        last = Incremental.verdictsFromState(c,
+          spark.read.parquet(s"$dir/${c.name}.state"))
+      }
+      assert(rows(last) == rows(batchVerdicts(c)))
+      // designed defects visible through the incremental path
+      kind match {
+        case "cat" =>
+          // p3's distribution is designed-different; it must drift and carry
+          // the max TVD (the global shifts too, so others may also flag)
+          val byTvd = last.orderBy(col("tvd_e5").desc).head()
+          assert(byTvd.getAs[String]("partition") == "p3" &&
+            byTvd.getAs[Boolean]("drifted"))
+        case "fresh" => assert(last.filter(!col("fresh"))
+          .select("partition").as[String].collect().toSet == Set("p3"))
+        case _ => ()
+      }
+    }
+
+  test("idempotence: re-applying an applied batch id is a no-op") {
+    val c = checkOf("cat")
+    val dir = Files.createTempDirectory("incr_idem").toString
+    assert(Incremental.update(spark, dir, c, batches(0), "b0").nonEmpty)
+    val before = rows(spark.read.parquet(s"$dir/${c.name}.state"))
+    assert(Incremental.update(spark, dir, c, batches(0), "b0").isEmpty)
+    assert(rows(spark.read.parquet(s"$dir/${c.name}.state")) == before)
+    // a NEW batch id still merges
+    assert(Incremental.update(spark, dir, c, batches(1), "b1").nonEmpty)
+    assert(rows(spark.read.parquet(s"$dir/${c.name}.state")) != before)
+  }
+
+  test("state-defining config change refuses; threshold change proceeds") {
+    val dir = Files.createTempDirectory("incr_cfg").toString
+    val c = checkOf("ks")
+    assert(Incremental.update(spark, dir, c, batches(0), "b0").nonEmpty)
+    // binning change redefines the state → unsound merge → refuse
+    val rebinned = KsDrift("c_ks", "t", "v", "part", 0.0, 100.0, 40, 10000L)
+    intercept[IllegalArgumentException] {
+      Incremental.update(spark, dir, rebinned, batches(1), "b1")
+    }
+    // threshold only re-parameterizes verdict derivation → fine
+    val retuned = KsDrift("c_ks", "t", "v", "part", 0.0, 100.0, 20, 99999L)
+    assert(Incremental.update(spark, dir, retuned, batches(1), "b1").nonEmpty)
+  }
+
+  test("run(): delta-dir suite emits incremental verdicts and touched-partition lineage") {
+    val data = Files.createTempDirectory("incr_data").toString
+    val ckpt = Files.createTempDirectory("incr_ckpt").toString
+    // deltas masquerade as the 'events' table (registry name needed by run())
+    val config = Config(Seq(
+      CategoricalDrift("ev_cat", "events", "cat", "part", 10000L),
+      Freshness("ev_fresh", "events", "ts", "part", 3600L),
+      Unique("not_incr", "events", "id")), ckpt)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.write.mode("overwrite").parquet(s"$data/events.parquet")
+      val (verdicts, frames) = Incremental.run(spark, data, config, s"batch$i")
+      // only the supported checks run incrementally
+      assert(verdicts.select("name").as[String].collect().toSet ==
+        Set("ev_cat", "ev_fresh"))
+      assert(frames.keySet == Set("ev_cat", "ev_fresh"))
+    }
+    // final incremental verdicts equal the full single-pass run
+    val finalCat = Incremental.verdictsFromState(checkOf("cat"),
+      spark.read.parquet(s"$ckpt/ev_cat.state"))
+    assert(rows(finalCat) == rows(batchVerdicts(checkOf("cat"))))
+    val lineage = Files.readString(
+      java.nio.file.Paths.get(s"$ckpt/ev_cat.state.lineage.json"))
+    assert(lineage.contains("\"batches\":[\"batch0\",\"batch1\",\"batch2\"]"))
+    assert(lineage.contains("touched_partitions"))
+  }
+
+  test("RunSuite --incremental CLI folds a delta batch and prints verdicts") {
+    val data = Files.createTempDirectory("incr_cli_data").toString
+    val ckpt = Files.createTempDirectory("incr_cli_ckpt").toString
+    val cfg =
+      """{"checks":[
+        |  {"type":"categorical_drift","name":"cat","table":"events",
+        |   "column":"cat","partitionBy":"part","thresholdE5":99999},
+        |  {"type":"freshness","name":"fr","table":"events","tsColumn":"ts",
+        |   "partitionBy":"part","maxLagSeconds":999999}]}""".stripMargin
+    batches(0).write.mode("overwrite").parquet(s"$data/events.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    val failed = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.runIncremental(spark, data, ckpt, "b0", Some(cfg))
+    }
+    assert(failed == 0)
+    val printed = out.toString
+    assert(printed.linesIterator.count(_.startsWith("PASS ")) == 2)
+    assert(printed.contains("\"metric\":\"suite-incremental\""))
+    assert(printed.contains("(incremental)"))
+  }
+}
