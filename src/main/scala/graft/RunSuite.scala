@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.pipeline.{Incremental, SuiteConfig, ValidationSuite}
+import graft.pipeline.{Incremental, StreamingSuite, SuiteConfig, ValidationSuite}
 
 /** The spark-submit entry point for the standing validation suite
   * (north_rule: "run via spark-submit on multi-executor clusters"):
@@ -69,10 +69,36 @@ object RunSuite {
     failed
   }
 
+  /** Streaming pass: every state-mergeable check runs as a Structured-
+    * Streaming aggregation over a rate-limited file stream of the data dir
+    * (one file per trigger), verdicts re-derived from the final bounded
+    * state — same rows as the batch suite by construction. */
+  def runStreaming(spark: SparkSession, dataDir: String, ckptDir: String,
+                   configJson: Option[String] = None): Int = {
+    val config = configJson match {
+      case Some(json) => SuiteConfig.fromJson(json, ckptDir)
+      case None => ValidationSuite.defaultConfig(ckptDir)
+    }
+    val (verdicts, _) = StreamingSuite.run(spark, dataDir, config)
+    val rows = verdicts.collect()
+    rows.foreach { r =>
+      val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
+      println(s"$status ${r.getAs[String]("name")} " +
+        s"[${r.getAs[String]("kind")}] violations=${r.getAs[Long]("violations")} " +
+        r.getAs[String]("detail"))
+    }
+    verdicts.write.mode("overwrite").parquet(s"$ckptDir/_verdicts_streaming")
+    val failed = rows.count(!_.getAs[Boolean]("passed"))
+    println(s"""{"metric":"suite-streaming","checks":${rows.length},""" +
+      s""""failed":$failed,"checkpoint":"$ckptDir"}""")
+    failed
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RunSuite <dataDir> <checkpointDir> [config.json] | " +
-        "RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json]")
+        "RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json] | " +
+        "RunSuite --streaming <dataDir> <checkpointDir> [config.json]")
     // under spark-submit the master AND tuning conf (shuffle partitions
     // etc.) come from the cluster/--conf untouched; standalone runs (no
     // spark.master property) fall back to local[*] with a local-sized
@@ -91,6 +117,10 @@ object RunSuite {
         require(args.length >= 4,
           "usage: RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json]")
         runIncremental(spark, args(1), args(2), args(3), readCfg(4))
+      } else if (args(0) == "--streaming") {
+        require(args.length >= 3,
+          "usage: RunSuite --streaming <dataDir> <checkpointDir> [config.json]")
+        runStreaming(spark, args(1), args(2), readCfg(3))
       } else run(spark, args(0), args(1), readCfg(2))
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -42,6 +42,17 @@ object SparkEntry {
     * yields 0 and an empty oracle). */
   val NaryOracleLevels = 4
 
+  /** Reference-shaped Metanome JSON-lines fixture for q_metanome_ingest
+    * (format per pysrc/core/parse_results.py:22-29): one PartialSPIDER
+    * unary row, one with the sampled-file `__` naming, one exact-SPIDER row
+    * WITHOUT missingValues, a false claim, and an n-ary row. */
+  private val metanomeFixture: Seq[String] = Seq(
+    """{"type":"ColumnCombination","dependant":{"columnIdentifiers":[{"tableIdentifier":"nation.csv","columnIdentifier":"n_regionkey"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"region.csv","columnIdentifier":"r_regionkey"}]},"missingValues":0}""",
+    """{"type":"ColumnCombination","dependant":{"columnIdentifiers":[{"tableIdentifier":"orders__random_100.csv","columnIdentifier":"o_custkey"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"customer__first_200.csv","columnIdentifier":"c_custkey"}]},"missingValues":3}""",
+    """{"type":"ColumnCombination","dependant":{"columnIdentifiers":[{"tableIdentifier":"lineitem.csv","columnIdentifier":"l_orderkey"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"orders.csv","columnIdentifier":"o_orderkey"}]}}""",
+    """{"type":"ColumnCombination","dependant":{"columnIdentifiers":[{"tableIdentifier":"part.csv","columnIdentifier":"p_name"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"region.csv","columnIdentifier":"r_name"}]},"missingValues":42}""",
+    """{"type":"ColumnCombination","dependant":{"columnIdentifiers":[{"tableIdentifier":"customer.csv","columnIdentifier":"c_custkey"},{"tableIdentifier":"customer.csv","columnIdentifier":"c_name"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"orders.csv","columnIdentifier":"o_orderkey"},{"tableIdentifier":"orders.csv","columnIdentifier":"o_custkey"}]}}""")
+
   /** DuckDB side of `SchemaChecks.canonicalType`'s vocabulary: maps a
     * pragma_table_info type name onto the shared canonical spelling. */
   private def duckTypeCase(c: String): String =
@@ -867,6 +878,39 @@ object SparkEntry {
     "q_profile_stats" -> ((s, dir) => cachedProfile(s, dir)
       .withColumnRenamed("nulls", "n_nulls")),
 
+    // approx-tier profile with an error-bound verdict — the stated 100 TB
+    // path (profileAll(exactDistinct=false)): every column's HLL estimate
+    // must land within 3σ of the exact count (rsd 0.05 → 15%, floor 8 for
+    // tiny columns), and the per-partition sketches must merge to within a
+    // 1%+4 band of the direct sketch (the union is a register-level merge,
+    // but sparse-mode estimator paths differ by a hair — measured 501 vs
+    // 504 — so bit-equality of ESTIMATES is the wrong claim). Oracle = the
+    // exact counts + all-TRUE verdicts.
+    "q_profile_approx" -> ((s, dir) => {
+      val approx = Profiler.profileAll(s, dir, exactDistinct = false)
+        .select(col("col"), col("unique_count").as("approx"))
+      val exact = Profiler.exactDistinctCounts(cachedDistinctLong(s, dir))
+        .select(col("col"), col("unique_count").as("exact_distinct"))
+      val docs = Tables.load(s, dir, "documents")
+      val ev = Tables.load(s, dir, "events")
+      def close(m: Long, d: Long): Boolean =
+        math.abs(m - d) <= math.max(4L, math.ceil(0.01 * d).toLong)
+      val mergeOk =
+        close(Profiler.hllMergedEstimate(
+            Profiler.hllPerPartition(docs, "source", "doc_id")),
+          Profiler.hllDirectEstimate(docs, "doc_id")) &&
+        close(Profiler.hllMergedEstimate(
+            Profiler.hllPerPartition(ev, "event_type", "user_id")),
+          Profiler.hllDirectEstimate(ev, "user_id"))
+      approx.join(exact, Seq("col"), "left")
+        .withColumn("exact_distinct", coalesce(col("exact_distinct"), lit(0L)))
+        .withColumn("within_bound",
+          abs(col("approx") - col("exact_distinct")) <=
+            greatest(ceil(col("exact_distinct") * 0.15).cast("long"), lit(8L)))
+        .withColumn("sketches_merge_close", lit(mergeOk))
+        .select("col", "exact_distinct", "within_bound", "sketches_merge_close")
+    }),
+
     // north_star uniqueness check, derived from the profile
     "q_unique_checks" -> ((s, dir) => cachedProfile(s, dir)
       .select(col("col"), col("cnt"), col("unique_count"),
@@ -967,6 +1011,23 @@ object SparkEntry {
     "q_ind_exact" -> ((s, dir) =>
       cachedVerdicts(s, dir)
         .filter(col("missing") === 0).select("dep", "ref")),
+
+    // S6 interop: ingest a Metanome/PartialSPIDER JSON-lines result set
+    // (the reference's external-tool output format) and score it against
+    // THIS engine's exact-IND baseline — the reference's evaluation use
+    // case with a real third-party run. Fixture lines exercise every
+    // format variant: PartialSPIDER with missingValues, exact SPIDER
+    // without (→ 0), the sampled-file `__` naming, and an n-ary row.
+    "q_metanome_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = graft.sources.IndResults.parse(
+        metanomeFixture.toDS(), stripSampleSuffix = true)
+      val bl = cachedVerdicts(s, dir).filter(col("missing") === 0)
+        .select(col("dep"), col("ref"), lit(true).as("is_tp"))
+      parsed.join(bl, Seq("dep", "ref"), "left")
+        .withColumn("is_tp", coalesce(col("is_tp"), lit(false)))
+        .select("dep", "ref", "missing", "is_tp")
+    }),
 
     // J1 partial: error budget k=50 (reference MAX_NUMBER_MISSING_VALUES)
     "q_ind_partial" -> ((s, dir) =>
@@ -1439,6 +1500,17 @@ object SparkEntry {
     "q_incr_freshness" -> freshnessSql,
     "q_profile_stats" -> profileSql,
 
+    // rank-tolerance-style verdict: exact distincts from DuckDB, all-TRUE
+    // error-bound + sketch-merge booleans from the engine
+    "q_profile_approx" ->
+      Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
+        Tables.indColumns(t).map { c =>
+          s"SELECT '$t.$c' AS col, " +
+            s"count(DISTINCT CAST($c AS VARCHAR)) AS exact_distinct, " +
+            s"TRUE AS within_bound, TRUE AS sketches_merge_close FROM $t"
+        }
+      }.mkString("\nUNION ALL\n"),
+
     "q_unique_checks" ->
       Tables.all.filter(Tables.indColumns.contains).flatMap { t =>
         Tables.indColumns(t).map { c =>
@@ -1608,6 +1680,19 @@ object SparkEntry {
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),
+
+    "q_metanome_ingest" ->
+      (indCoreSql +
+        """, found(dep, ref, missing) AS (VALUES
+          |  ('nation.n_regionkey', 'region.r_regionkey', 0),
+          |  ('orders.o_custkey', 'customer.c_custkey', 3),
+          |  ('lineitem.l_orderkey', 'orders.o_orderkey', 0),
+          |  ('part.p_name', 'region.r_name', 42),
+          |  ('customer.c_custkey+customer.c_name', 'orders.o_orderkey+orders.o_custkey', 0)),
+          |bl AS (SELECT dep, ref FROM verdict WHERE missing = 0)
+          |SELECT f.dep, f.ref, CAST(f.missing AS BIGINT) AS missing,
+          |  (b.dep IS NOT NULL) AS is_tp
+          |FROM found f LEFT JOIN bl b ON b.dep = f.dep AND b.ref = f.ref""".stripMargin),
 
     "q_ind_partial" ->
       (indCoreSql + "SELECT dep, ref, missing FROM verdict WHERE missing <= 50"),

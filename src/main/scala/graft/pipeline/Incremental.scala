@@ -54,7 +54,7 @@ object Incremental {
     case _ => false
   }
 
-  private def tableOf(c: Check): String = c match {
+  private[pipeline] def tableOf(c: Check): String = c match {
     case CategoricalDrift(_, t, _, _, _) => t
     case KsDrift(_, t, _, _, _, _, _, _) => t
     case Freshness(_, t, _, _, _)        => t
@@ -157,8 +157,10 @@ object Incremental {
       s"check '${other.name}' has no incremental state")
   }
 
-  /** Bad-row filter + outcome, mirroring ValidationSuite's per-kind logic. */
-  private def outcomeOf(c: Check, verdicts: DataFrame): (DataFrame, CheckOutcome) = {
+  /** Bad-row filter + outcome, mirroring ValidationSuite's per-kind logic.
+    * `tag` marks which always-on path produced the verdict. */
+  private[pipeline] def outcomeOf(c: Check, verdicts: DataFrame,
+                                  tag: String = " (incremental)"): (DataFrame, CheckOutcome) = {
     val (kind, bad, detail) = c match {
       case CategoricalDrift(_, t, col0, p, thr) =>
         ("categorical_drift", verdicts.filter(col("drifted")),
@@ -182,7 +184,7 @@ object Incremental {
         s"check '${other.name}' has no incremental state")
     }
     val n = bad.count()
-    (bad, CheckOutcome(c.name, kind, n == 0, n, detail + " (incremental)"))
+    (bad, CheckOutcome(c.name, kind, n == 0, n, detail + tag))
   }
 
   private val BatchesRe = """"batches":\[([^\]]*)\]""".r

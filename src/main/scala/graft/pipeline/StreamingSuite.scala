@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.streaming.EventStream
+import graft.pipeline.ValidationSuite._
+
+/** Always-on streaming twin of the validation suite: each state-mergeable
+  * check (the same six families the incremental mode covers) runs as a
+  * Structured-Streaming aggregation over a rate-limited file stream of its
+  * table, maintaining ONLY the per-partition mergeable state (counts /
+  * maxima — |partitions|×|categories| rows, bounded by the key space, so
+  * no watermark eviction is needed), and verdicts re-derive from the final
+  * state with the identical `*FromCounts`/`FromMaxima` forms the batch and
+  * incremental paths use. Verdict rows are therefore EQUAL to the batch
+  * suite's by construction — StreamingSuiteSpec proves it over multi-file
+  * dirs processed one file per trigger.
+  *
+  * At 100 TB this is the standing-ingest deployment: the stream updates
+  * the tiny state table per trigger; nothing ever rescans history.
+  */
+object StreamingSuite {
+
+  /** File stream over one table of a data dir (`maxFilesPerTrigger` rate
+    * limit — a backfill over thousands of files processes incrementally
+    * instead of as one giant batch). TIMESTAMP_NTZ columns are cast to
+    * TIMESTAMP: the streaming parquet source surfaces naive timestamps as
+    * NTZ where the batch reader gives LTZ, and check semantics must match
+    * the batch twin exactly (UTC sessions make the wall clock identical). */
+  def readTable(spark: SparkSession, dir: String, table: String,
+                maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tablePath = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(tablePath).schema
+    val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    // multi-file table (a directory of part files — the ingest layout):
+    // stream the directory itself; single-file driver layout: stream the
+    // parent dir admitting only this table's file
+    val raw =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tablePath)))
+        reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast("timestamp"))
+    }
+  }
+
+  /** Drive one check's streaming state to completion over a bounded dir
+    * and re-derive its verdict frame. The state aggregation is EXACTLY
+    * `Incremental.stateOf` applied to the stream (complete output mode —
+    * the memory sink then holds the final state table). */
+  def checkVerdicts(spark: SparkSession, dataDir: String, c: Check,
+                    maxFilesPerTrigger: Int = 1): DataFrame = {
+    val stream = readTable(spark, dataDir, Incremental.tableOf(c),
+      maxFilesPerTrigger)
+    val state = EventStream.runToCompletion(
+        Incremental.stateOf(c, stream),
+        s"stream_state_${c.name}", "complete")
+      .localCheckpoint() // memory-sink views can't self-join unmaterialized
+    Incremental.verdictsFromState(c, state)
+  }
+
+  /** Streaming suite pass over a bounded dir: verdict rows for every
+    * state-mergeable check in the config (same shapes as the batch suite;
+    * unsupported checks stay on the batch/full path). */
+  def run(spark: SparkSession, dataDir: String, config: Config,
+          maxFilesPerTrigger: Int = 1): (DataFrame, Map[String, DataFrame]) = {
+    import spark.implicits._
+    val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
+    val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+    config.checks.filter(Incremental.supported).foreach { c =>
+      val (bad, oc) = Incremental.outcomeOf(c,
+        checkVerdicts(spark, dataDir, c, maxFilesPerTrigger), " (streaming)")
+      frames(c.name) = bad
+      outcomes += oc
+    }
+    (outcomes.toSeq.toDF(), frames.toMap)
+  }
+}

@@ -41,6 +41,21 @@ object Samplers {
   def first(valuesWithRowId: DataFrame, n: Int): DataFrame =
     valuesWithRowId.orderBy(col("rowId"), col("val")).limit(n).select("val")
 
+  /** M2 on the CSV-ingest path: TRUE file-order 'first' — the reference's
+    * pandas head(n)-over-distinct semantics (sampling_methods.py:25-33),
+    * valid here because RefCsv single-file text scans order
+    * monotonically_increasing_id by physical line position (see
+    * RefCsv.read keepRowId). Keep-first dedup: each distinct non-blank
+    * value keeps its FIRST line's id. Parquet tables keep the
+    * declared-key-order deviation (scan order undefined under
+    * parallelism). Input: a RefCsv.read(keepRowId = true) frame. */
+  def firstFileOrder(csvWithRowId: DataFrame, c: String, n: Int): DataFrame =
+    first(csvWithRowId
+      .select(col(c).cast(StringType).as("val"),
+        col("__row_id").as("rowId"))
+      .filter(col("val").isNotNull && length(trim(col("val"))) > 0)
+      .groupBy("val").agg(min("rowId").as("rowId")), n)
+
   /** M3 `smallest-value`: by string length asc, lexicographic asc within a
     * length (sampling_methods.py:36-47). */
   def smallestValue(values: DataFrame, n: Int): DataFrame =

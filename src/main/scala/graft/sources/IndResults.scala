@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reader for the Metanome/SPIDER JSON-lines IND result format the
+  * reference parses driver-side (reference: pysrc/core/parse_results.py:10-115
+  * — line layout {type, dependant:{columnIdentifiers:[{tableIdentifier,
+  * columnIdentifier}]}, referenced:{...}, missingValues}). This is the last
+  * interop door: a user can score a REAL Metanome/PartialSPIDER run against
+  * this engine's exact baseline with the existing E1/E2 evaluation
+  * machinery, exactly the reference's evaluation use case
+  * (pysrc/scripts/evaluation.py:213-221).
+  *
+  * Output: typed verdict rows (dep, ref, missing) where dep/ref are
+  * '+'-joined `table.column` ids (unary rows are single ids) — the same
+  * shape IndValidator emits, so downstream joins need no adapter. The
+  * tableIdentifier's file extension is dropped (\"orders.csv\" → orders) and,
+  * with `stripSampleSuffix`, the reference's sampled-file naming
+  * (\"orders__random_100.csv\") collapses to the base table — the
+  * header=true half of the reference's identity mapping (the headerless
+  * 'columnN' reconstruction stayed n/a with typed columns, SURVEY §2 J3).
+  *
+  * Distributed parse: `spark.read.json` over the lines — a 10^6-IND result
+  * file parses as a normal partitioned scan, not a driver loop.
+  */
+object IndResults {
+
+  private val side = StructType(Seq(StructField("columnIdentifiers",
+    ArrayType(StructType(Seq(
+      StructField("tableIdentifier", StringType),
+      StructField("columnIdentifier", StringType)))))))
+
+  /** Explicit schema: no inference pass over the file, and absent
+    * missingValues (exact-SPIDER output) reads as null → 0. */
+  val schema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("dependant", side),
+    StructField("referenced", side),
+    StructField("missingValues", LongType)))
+
+  private def sideId(c: org.apache.spark.sql.Column,
+                     stripSampleSuffix: Boolean) = {
+    val cleaned = transform(c.getField("columnIdentifiers"), e => {
+      // rsplit('.', 1)[0]: drop the file extension only (keep dotted names)
+      val base = regexp_replace(e.getField("tableIdentifier"),
+        "\\.[^.]*$", "")
+      val table =
+        if (stripSampleSuffix) split(base, "__").getItem(0) else base
+      concat(table, lit("."), e.getField("columnIdentifier"))
+    })
+    concat_ws("+", cleaned)
+  }
+
+  /** Parse pre-loaded JSON lines (shared core; also the no-filesystem test
+    * seam). */
+  def parse(lines: Dataset[String],
+            stripSampleSuffix: Boolean = false): DataFrame = {
+    val spark = lines.sparkSession
+    spark.read.schema(schema).json(lines)
+      .select(
+        sideId(col("dependant"), stripSampleSuffix).as("dep"),
+        sideId(col("referenced"), stripSampleSuffix).as("ref"),
+        coalesce(col("missingValues"), lit(0L)).as("missing"))
+  }
+
+  /** Read a Metanome result file (JSON lines) into typed verdict rows. */
+  def read(spark: SparkSession, path: String,
+           stripSampleSuffix: Boolean = false): DataFrame = {
+    import spark.implicits._
+    parse(spark.read.textFile(path), stripSampleSuffix)
+  }
+}

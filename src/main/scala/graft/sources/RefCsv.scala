@@ -22,22 +22,30 @@ object RefCsv {
     * an unescaped delimiter plus an unescape pass reproduces it exactly, and
     * stays fully distributed/codegen'd. Malformed (wrong-width) lines are
     * dropped, matching on_bad_lines='skip'. */
+  /** `keepRowId` appends a `__row_id` column capturing FILE ORDER: for a
+    * single-file text scan the splits are byte ranges in offset order, so
+    * monotonically_increasing_id (partition << 33 | row-in-partition) is
+    * ordered exactly by physical line position — the well-defined source
+    * order the reference's 'first' sampling assumes (pandas head
+    * semantics). Parquet tables keep the declared-key-order deviation
+    * instead: their scan order is undefined under parallelism. */
   def read(spark: SparkSession, path: String, width: Int,
-           header: Boolean = false): DataFrame = {
+           header: Boolean = false, keepRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw0 = spark.read.text(path)
+      .withColumn("__row_id", monotonically_increasing_id())
     val raw = if (header) {
       // drop the first physical line (header) — reference strips row 0
-      val withIdx = raw0.withColumn("__i", monotonically_increasing_id())
-      val minIdx = withIdx.agg(min("__i")).head.getLong(0)
-      withIdx.filter(col("__i") =!= minIdx).drop("__i")
+      val minRow = raw0.agg(min("__row_id")).head
+      if (minRow.isNullAt(0)) raw0
+      else raw0.filter(col("__row_id") =!= minRow.getLong(0))
     } else raw0
     val parts = split(col("value"), """(?<!\\);""")
     val unescaped = transform(parts, p => regexp_replace(p, """\\;""", ";"))
-    raw.select(unescaped.as("p"))
+    val dataCols = (1 to width).map(i => element_at(col("p"), i).as(s"column$i"))
+    raw.select(unescaped.as("p"), col("__row_id"))
       .filter(size(col("p")) === width) // DROPMALFORMED
-      .select((1 to width).map(i =>
-        element_at(col("p"), i).as(s"column$i")): _*)
+      .select((if (keepRowId) dataCols :+ col("__row_id") else dataCols): _*)
   }
 
   /** Infer the width of a headerless reference CSV from its first line. */

@@ -33,4 +33,30 @@ class ArtifactSpec extends SparkSpec {
     val topBack = rankedBack.agg(max("credibility_e6")).head.getLong(0)
     assert(top == topBack)
   }
+
+  test("Metanome JSON-lines result file reads into typed verdict rows") {
+    val dir = Files.createTempDirectory("metanome")
+    val f = dir.resolve("results.jsonl")
+    Files.writeString(f, Seq(
+      // PartialSPIDER unary with missing count
+      """{"type":"x","dependant":{"columnIdentifiers":[{"tableIdentifier":"nation.csv","columnIdentifier":"n_regionkey"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"region.csv","columnIdentifier":"r_regionkey"}]},"missingValues":7}""",
+      // exact SPIDER: no missingValues field → 0
+      """{"type":"x","dependant":{"columnIdentifiers":[{"tableIdentifier":"a.b.csv","columnIdentifier":"c1"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"t2.csv","columnIdentifier":"c2"}]}}""",
+      // sampled-file naming + n-ary sides
+      """{"type":"x","dependant":{"columnIdentifiers":[{"tableIdentifier":"orders__random_100.csv","columnIdentifier":"o_orderkey"},{"tableIdentifier":"orders__random_100.csv","columnIdentifier":"o_custkey"}]},"referenced":{"columnIdentifiers":[{"tableIdentifier":"customer__first_5.csv","columnIdentifier":"c_custkey"},{"tableIdentifier":"customer__first_5.csv","columnIdentifier":"c_name"}]},"missingValues":2}"""
+    ).mkString("\n"))
+    val rows = graft.sources.IndResults
+      .read(spark, f.toString, stripSampleSuffix = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("nation.n_regionkey", "region.r_regionkey", 7L),
+      // extension strip is RIGHT-split once: dotted table names survive
+      ("a.b.c1", "t2.c2", 0L),
+      ("orders.o_orderkey+orders.o_custkey",
+        "customer.c_custkey+customer.c_name", 2L)))
+    // without the sample strip, the raw sampled-file identity is preserved
+    val raw = graft.sources.IndResults.read(spark, f.toString)
+      .collect().map(_.getString(0)).toSet
+    assert(raw.contains("orders__random_100.o_orderkey+orders__random_100.o_custkey"))
+  }
 }

@@ -71,4 +71,34 @@ class CsvEndToEndSpec extends SparkSpec {
     assert(u("orders_small.column2") == 3L) // blank dropped, c1 c2 c3
     assert(u("customers_small.column1") == 4L)
   }
+
+  test("file-order 'first' sampling matches pandas head-over-distinct semantics") {
+    // values deliberately ANTI-sorted: file order c9, c2, c1 — a key-order
+    // or hash-order sampler would pick a different prefix
+    val d = Files.createTempDirectory("csvfirst")
+    Files.writeString(d.resolve("t.csv"),
+      """x1;c9
+        |x2;c2
+        |x3;c9
+        |x4;
+        |x5;c1
+        |x6;c2
+        |x7;c5
+        |""".stripMargin)
+    val csv = RefCsv.read(spark, s"$d/t.csv", width = 2, keepRowId = true)
+    // pandas: distinct-in-order of non-blank column2 = [c9, c2, c1, c5]
+    val got2 = graft.sampling.Samplers.firstFileOrder(csv, "column2", 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq("c9", "c2"))
+    val got3 = graft.sampling.Samplers.firstFileOrder(csv, "column2", 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(got3 == Seq("c9", "c2", "c1"))
+    // header strip composes: row 0 dropped, order preserved
+    Files.writeString(d.resolve("h.csv"), "id;cust\n" +
+      Files.readString(d.resolve("t.csv")))
+    val hv = RefCsv.read(spark, s"$d/h.csv", width = 2,
+      header = true, keepRowId = true)
+    assert(graft.sampling.Samplers.firstFileOrder(hv, "column2", 3)
+      .collect().map(_.getString(0)).toSeq == Seq("c9", "c2", "c1"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.checks.{Drift, PartitionChecks}
+import graft.pipeline.{StreamingSuite, ValidationSuite}
+import graft.pipeline.ValidationSuite._
+
+/** Streaming suite: a rate-limited multi-file stream (one file per
+  * trigger) must produce the SAME verdict rows as the batch suite over the
+  * same data — the end-to-end evidence for the always-on deployment. */
+class StreamingSuiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("multi-file rate-limited stream: verdict parity with batch for all six kinds") {
+    // 4-part multi-file table → 4 triggers at maxFilesPerTrigger=1: the
+    // complete-mode state must still equal the batch aggregate
+    val dir = Files.createTempDirectory("stream_suite").toString
+    val df = (0 until 1200).map { i =>
+      val p = s"p${i % 3}"
+      val cat = if (i % 3 == 2) s"c${i % 2}" else s"c${i % 5}"
+      val props = if (i % 3 == 1 && i % 4 == 0) null else s"x$i"
+      val ts = java.sql.Timestamp.valueOf(
+        if (i % 3 == 2) "2024-06-01 00:00:00" else "2024-06-02 12:00:00")
+      (i.toLong, p, cat, (i % 40).toDouble, props, ts)
+    }.toDF("id", "part", "cat", "v", "props", "ts")
+    df.repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(new java.io.File(s"$dir/events.parquet").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val cases: Seq[(Check, DataFrame)] = Seq(
+      CategoricalDrift("s_cat", "events", "cat", "part", 10000L) ->
+        Drift.categorical(batch, "part", "cat", 10000L),
+      KsDrift("s_ks", "events", "v", "part", 0.0, 40.0, 20, 10000L) ->
+        Drift.ks(batch, "part", "v", 0.0, 40.0, 20, 10000L),
+      Freshness("s_fresh", "events", "ts", "part", 3600L) ->
+        Drift.freshness(batch, "part", "ts", 3600L),
+      NullRateDrift("s_nrd", "events", "props", "part", 2000L) ->
+        Drift.nullRateDrift(batch, "part", "props", 2000L),
+      RowBalance("s_bal", "events", "part", 40000L) ->
+        PartitionChecks.rowBalance(batch, "part", 40000L),
+      TopKStability("s_topk", "events", "cat", "part", 3, 30000L) ->
+        Drift.topkStability(batch, "part", "cat", 3, 30000L))
+    cases.foreach { case (c, batchVerdicts) =>
+      val streamed = StreamingSuite.checkVerdicts(spark, dir, c,
+        maxFilesPerTrigger = 1)
+      assert(rows(streamed) == rows(batchVerdicts), s"parity broke for ${c.name}")
+    }
+  }
+
+  test("RunSuite --streaming CLI: verdicts printed and persisted") {
+    val dir = Files.createTempDirectory("stream_cli").toString
+    val ckpt = Files.createTempDirectory("stream_cli_ckpt").toString
+    Seq((1L, "a", "x", java.sql.Timestamp.valueOf("2024-06-02 12:00:00")),
+        (2L, "b", "x", java.sql.Timestamp.valueOf("2024-06-02 12:00:05")))
+      .toDF("id", "part", "cat", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cfg =
+      """{"checks":[
+        |  {"type":"freshness","name":"fr","table":"events","tsColumn":"ts",
+        |   "partitionBy":"part","maxLagSeconds":3600},
+        |  {"type":"row_balance","name":"rb","table":"events",
+        |   "partitionBy":"part","maxShareE5":60000}]}""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val failed = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.runStreaming(spark, dir, ckpt, Some(cfg))
+    }
+    assert(failed == 0)
+    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 2)
+    assert(out.toString.contains("(streaming)"))
+    assert(spark.read.parquet(s"$ckpt/_verdicts_streaming").count() == 2)
+  }
+}
