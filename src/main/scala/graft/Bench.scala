@@ -84,7 +84,7 @@ object Bench {
       def state(dir: String) =
         graft.pipeline.Incremental.stateOf(c, Tables.load(spark, dir, "documents"))
           .localCheckpoint()
-      val small = state("/root/testdata/sf0.001")
+      val small = state(warmDir) // the smallest scale dir (same env as warm-up)
       val large = state(sfDir)
       val delta = Tables.load(spark, sfDir, "documents").limit(500).localCheckpoint()
       def timeUpdate(st: org.apache.spark.sql.DataFrame): Double = {
@@ -94,6 +94,7 @@ object Bench {
             graft.pipeline.Incremental.stateOf(c, delta))).count()
         (System.nanoTime() - t0) / 1e9
       }
+      timeUpdate(small) // untimed JIT/codegen warm-up of the update shape
       val ts = timeUpdate(small)
       val tl = timeUpdate(large)
       s""","incr_delta_small_sec":$ts,"incr_delta_large_sec":$tl"""

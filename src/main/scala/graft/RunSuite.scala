@@ -20,27 +20,42 @@ import graft.pipeline.{Incremental, StreamingSuite, SuiteConfig, ValidationSuite
   */
 object RunSuite {
 
-  /** Run a suite and print the verdict lines + JSON summary; returns the
-    * failed-check count (session lifecycle stays with the caller, so tests
-    * drive this against their own session). */
-  def run(spark: SparkSession, dataDir: String, ckptDir: String,
-          configJson: Option[String] = None): Int = {
-    val config = configJson match {
+  private def configOf(configJson: Option[String], ckptDir: String) =
+    configJson match {
       case Some(json) => SuiteConfig.fromJson(json, ckptDir)
       case None => ValidationSuite.defaultConfig(ckptDir)
     }
-    val (verdicts, _) = ValidationSuite.run(spark, dataDir, config)
-    val rows = verdicts.collect()
+
+  /** Shared verdict printer + summary line; returns the failed count.
+    * Skipped checks (an incremental/streaming pass over a non-mergeable
+    * check) print as SKIP and are counted separately — a pass that covered
+    * 6 of 22 checks must not read as 22 green. */
+  private def printVerdicts(rows: Array[org.apache.spark.sql.Row],
+                            metric: String, extra: String): Int = {
     rows.foreach { r =>
-      val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
+      val status =
+        if (r.getAs[String]("kind") == "skipped") "SKIP"
+        else if (r.getAs[Boolean]("passed")) "PASS"
+        else "FAIL"
       println(s"$status ${r.getAs[String]("name")} " +
         s"[${r.getAs[String]("kind")}] violations=${r.getAs[Long]("violations")} " +
         r.getAs[String]("detail"))
     }
     val failed = rows.count(!_.getAs[Boolean]("passed"))
-    println(s"""{"metric":"suite","checks":${rows.length},"failed":$failed,""" +
-      s""""checkpoint":"$ckptDir"}""")
+    val skipped = rows.count(_.getAs[String]("kind") == "skipped")
+    println(s"""{"metric":"$metric","checks":${rows.length},""" +
+      s""""failed":$failed,"skipped":$skipped$extra}""")
     failed
+  }
+
+  /** Run a suite and print the verdict lines + JSON summary; returns the
+    * failed-check count (session lifecycle stays with the caller, so tests
+    * drive this against their own session). */
+  def run(spark: SparkSession, dataDir: String, ckptDir: String,
+          configJson: Option[String] = None): Int = {
+    val (verdicts, _) = ValidationSuite.run(spark, dataDir,
+      configOf(configJson, ckptDir))
+    printVerdicts(verdicts.collect(), "suite", s""","checkpoint":"$ckptDir"""")
   }
 
   /** Incremental pass: fold ONE append batch (deltaDir holds only the new
@@ -51,22 +66,10 @@ object RunSuite {
     * full-run path. */
   def runIncremental(spark: SparkSession, deltaDir: String, ckptDir: String,
                      batchId: String, configJson: Option[String] = None): Int = {
-    val config = configJson match {
-      case Some(json) => SuiteConfig.fromJson(json, ckptDir)
-      case None => ValidationSuite.defaultConfig(ckptDir)
-    }
-    val (verdicts, _) = Incremental.run(spark, deltaDir, config, batchId)
-    val rows = verdicts.collect()
-    rows.foreach { r =>
-      val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
-      println(s"$status ${r.getAs[String]("name")} " +
-        s"[${r.getAs[String]("kind")}] violations=${r.getAs[Long]("violations")} " +
-        r.getAs[String]("detail"))
-    }
-    val failed = rows.count(!_.getAs[Boolean]("passed"))
-    println(s"""{"metric":"suite-incremental","checks":${rows.length},""" +
-      s""""failed":$failed,"batch":"$batchId","checkpoint":"$ckptDir"}""")
-    failed
+    val (verdicts, _) = Incremental.run(spark, deltaDir,
+      configOf(configJson, ckptDir), batchId)
+    printVerdicts(verdicts.collect(), "suite-incremental",
+      s""","batch":"$batchId","checkpoint":"$ckptDir"""")
   }
 
   /** Streaming pass: every state-mergeable check runs as a Structured-
@@ -75,23 +78,11 @@ object RunSuite {
     * state — same rows as the batch suite by construction. */
   def runStreaming(spark: SparkSession, dataDir: String, ckptDir: String,
                    configJson: Option[String] = None): Int = {
-    val config = configJson match {
-      case Some(json) => SuiteConfig.fromJson(json, ckptDir)
-      case None => ValidationSuite.defaultConfig(ckptDir)
-    }
-    val (verdicts, _) = StreamingSuite.run(spark, dataDir, config)
-    val rows = verdicts.collect()
-    rows.foreach { r =>
-      val status = if (r.getAs[Boolean]("passed")) "PASS" else "FAIL"
-      println(s"$status ${r.getAs[String]("name")} " +
-        s"[${r.getAs[String]("kind")}] violations=${r.getAs[Long]("violations")} " +
-        r.getAs[String]("detail"))
-    }
+    val (verdicts, _) = StreamingSuite.run(spark, dataDir,
+      configOf(configJson, ckptDir))
     verdicts.write.mode("overwrite").parquet(s"$ckptDir/_verdicts_streaming")
-    val failed = rows.count(!_.getAs[Boolean]("passed"))
-    println(s"""{"metric":"suite-streaming","checks":${rows.length},""" +
-      s""""failed":$failed,"checkpoint":"$ckptDir"}""")
-    failed
+    printVerdicts(verdicts.collect(), "suite-streaming",
+      s""","checkpoint":"$ckptDir"""")
   }
 
   def main(args: Array[String]): Unit = {

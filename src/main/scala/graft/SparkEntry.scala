@@ -1486,14 +1486,17 @@ object SparkEntry {
       |  CAST((sum(abs(n * t - gn * pt)) * 100000) // (2 * max(pt) * max(t)) AS BIGINT) >= 10000 AS drifted
       |FROM filled, tot GROUP BY partition""".stripMargin
 
-  /** shared by q_freshness and its incremental twin q_incr_freshness. */
+  /** shared by q_freshness and its incremental twin q_incr_freshness.
+    * No null pre-filter and a coalesced verdict: a partition whose ts
+    * values are ALL null must appear with a NULL max and fresh=false (the
+    * dark-feed semantics the engine implements), not vanish. */
   private val freshnessSql =
     """WITH p AS (SELECT event_type AS partition,
       |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS part_max_epoch
-      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |  FROM events GROUP BY 1),
       |g AS (SELECT max(part_max_epoch) AS gm FROM p)
       |SELECT partition, part_max_epoch, gm - part_max_epoch AS lag_seconds,
-      |  (gm - part_max_epoch) <= 86400 AS fresh FROM p, g""".stripMargin
+      |  coalesce((gm - part_max_epoch) <= 86400, false) AS fresh FROM p, g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_incr_drift_tvd" -> driftLangTvdSql,

@@ -214,7 +214,8 @@ object Similarity {
     // the NARROW (id, bucket) frame — neither the window sort nor the
     // all-pairs join shuffles the vectors; they join back by id afterwards.
     val pairs = graft.dedup.Dedup.cappedBandPairs(
-      b.select(col("id"), col("bucket").as("band")), cap, allPairsMax)
+      b.select(col("id"), col("bucket").as("band")), cap, allPairsMax,
+      "nearDupPairs")
     pairs
       .join(b.select(col("id").as("a"), col("iv").as("iva"), col("n").as("na")), Seq("a"))
       .join(b.select(col("id").as("b"), col("iv").as("ivb"), col("n").as("nb")), Seq("b"))

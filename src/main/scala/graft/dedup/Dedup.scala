@@ -48,13 +48,24 @@ object Dedup {
     *     (a cap-regular chain), which is all downstream clustering needs.
     * Output: (a, b) with a < b, distinct across bands. */
   def cappedBandPairs(banded: DataFrame, cap: Int = NeighborCap,
-                      allPairsMax: Int = AllPairsMax): DataFrame = {
+                      allPairsMax: Int = AllPairsMax,
+                      label: String = "cappedBandPairs"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one row per (doc, band); narrow — checkpoint so the population window
     // runs once, not per join side / regime branch
     val sized = banded
       .withColumn("n", count(lit(1)).over(Window.partitionBy("band")))
       .localCheckpoint()
+    // no-silent-caps: report chain-linked buckets from the ALREADY
+    // materialized sized frame (one cheap agg over checkpointed rows — the
+    // callers previously paid a second full band aggregation for this)
+    val over = sized.filter(col("n") > allPairsMax)
+      .agg(count_distinct(col("band")).as("buckets"),
+        coalesce(sum(lit(1)), lit(0L)).as("docs")).head()
+    if (over.getLong(0) > 0)
+      log.warn(s"$label: ${over.getLong(0)} band buckets exceed all-pairs " +
+        s"max $allPairsMax (${over.getLong(1)} doc-band rows) — those " +
+        "buckets were chain-linked, not all-pairs")
     val small = sized.filter(col("n") <= allPairsMax).select("id", "band")
     val smallPairs = small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
@@ -70,29 +81,15 @@ object Dedup {
   }
 
   /** Buckets whose population exceeds allPairsMax — i.e. where
-    * cappedBandPairs chain-linked instead of emitting all pairs. Callers
-    * log these (the no-silent-caps rule): a handful of overflowed buckets
-    * is the designed boilerplate-family case; overflow on MOST buckets
-    * means the banding is too coarse for the corpus. */
+    * cappedBandPairs chain-linked instead of emitting all pairs (it logs
+    * them itself per the no-silent-caps rule; this standalone form exists
+    * for inspection and tests). A handful of overflowed buckets is the
+    * designed boilerplate-family case; overflow on MOST buckets means the
+    * banding is too coarse for the corpus. */
   def bandOverflow(banded: DataFrame,
                    allPairsMax: Int = AllPairsMax): DataFrame =
     banded.groupBy("band").agg(count(lit(1)).as("n"))
       .filter(col("n") > allPairsMax)
-
-  /** One bounded agg job over the (checkpointed, one-row-per-doc-per-band)
-    * banded frame: logs overflowed buckets, returns their count. */
-  private def logOverflow(what: String, banded: DataFrame,
-                          allPairsMax: Int): Long = {
-    val over = bandOverflow(banded, allPairsMax)
-      .agg(count(lit(1)).as("buckets"), coalesce(sum("n"), lit(0L)).as("docs"))
-      .head()
-    val buckets = over.getLong(0)
-    if (buckets > 0)
-      log.warn(s"$what: $buckets band buckets exceed all-pairs max " +
-        s"$allPairsMax (${over.getLong(1)} docs) — those buckets were " +
-        "chain-linked, not all-pairs")
-    buckets
-  }
 
   /** Exact dedup: group by content hash; keeps the smallest id per group
     * (deterministic winner). Output: (text_hash, n_dups, keep_id). */
@@ -172,8 +169,7 @@ object Dedup {
       // comma-separated so integer signatures can't collide by concatenation
       withSig.select(col("id"), concat_ws(",", lit(s"b$b") +: cols: _*).as("band"))
     }.reduce(_ unionAll _)
-    logOverflow("minhashLsh", banded, allPairsMax)
-    cappedBandPairs(banded, cap, allPairsMax)
+    cappedBandPairs(banded, cap, allPairsMax, "minhashLsh")
   }
 
   /** MOSS-style winnowing fingerprints: per-position k-shingle hashes, the
@@ -246,8 +242,7 @@ object Dedup {
         concat(lit(s"s$b:"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).cast("string")).as("band"))
     }.reduce(_ unionAll _)
-    logOverflow("simhashCandidates", banded, allPairsMax)
-    cappedBandPairs(banded, cap, allPairsMax)
+    cappedBandPairs(banded, cap, allPairsMax, "simhashCandidates")
   }
 
   /** Dedup cluster assignment: connected components over a near-dup pair

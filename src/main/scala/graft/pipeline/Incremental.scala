@@ -189,21 +189,48 @@ object Incremental {
 
   private val BatchesRe = """"batches":\[([^\]]*)\]""".r
   private val KeyRe = """"state_key":"([0-9a-f]*)"""".r
+  private val DirRe = """"state_dir":"([^"]*)"""".r
 
   private def sidecar(dir: String, name: String) =
     Paths.get(s"$dir/${name}.state.lineage.json")
 
+  /** Batch ids live in the sidecar JSON and in file-system-adjacent logs —
+    * constrain them to a safe alphabet instead of escaping (a snapshot id /
+    * date / counter always fits; an id with commas or quotes would
+    * otherwise corrupt the sidecar's batches list and defeat idempotence). */
+  private val BatchIdRe = "^[A-Za-z0-9._-]+$".r
+
+  /** Current state parquet dir for a check, resolved through the sidecar
+    * (the sidecar is the commit point — orphan state dirs from a crashed
+    * update are ignored and eventually overwritten). */
+  def statePath(spark: SparkSession, ckptDir: String, name: String): Option[String] = {
+    val side = sidecar(ckptDir, name)
+    if (!Files.exists(side)) None
+    else DirRe.findFirstMatchIn(Files.readString(side))
+      .map(m => s"$ckptDir/${m.group(1)}")
+      .filter(p => Files.exists(Paths.get(s"$p/_SUCCESS")))
+  }
+
   /** Fold one delta batch into a check's persisted state and return the
     * re-derived verdict frame + outcome. `batchId` makes retries no-ops.
-    * Returns None (state untouched) when the batch was already applied. */
+    * Returns None (state untouched) when the batch was already applied.
+    *
+    * Crash consistency: each update writes a NEW versioned state dir and
+    * then atomically swaps the sidecar (write-temp + ATOMIC_MOVE). The
+    * sidecar is the single commit point — a crash between the parquet
+    * write and the swap leaves the sidecar pointing at the OLD state with
+    * the OLD batch list, so the retry re-applies the batch against the old
+    * state and nothing is double-counted or lost. The superseded state dir
+    * is deleted only after the swap (best-effort). */
   def update(spark: SparkSession, ckptDir: String, c: Check,
              delta: DataFrame, batchId: String): Option[(DataFrame, CheckOutcome)] = {
     require(supported(c), s"check '${c.name}' has no incremental state")
-    val statePath = s"$ckptDir/${c.name}.state"
+    require(BatchIdRe.findFirstIn(batchId).isDefined,
+      s"batchId '$batchId' must match ${BatchIdRe.regex}")
     val side = sidecar(ckptDir, c.name)
     val key = stateKey(c)
-    val (oldState, applied) =
-      if (Files.exists(side) && Files.exists(Paths.get(s"$statePath/_SUCCESS"))) {
+    val (oldState, oldDir, applied) = statePath(spark, ckptDir, c.name) match {
+      case Some(p) =>
         val j = Files.readString(side)
         val priorKey = KeyRe.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
         require(priorKey == key,
@@ -214,30 +241,45 @@ object Incremental {
         val batches = BatchesRe.findFirstMatchIn(j).map(_.group(1))
           .toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty)
-        (Some(spark.read.parquet(statePath)), batches)
-      } else (None, Seq.empty[String])
+        (Some(spark.read.parquet(p)), Some(p), batches)
+      case None => (None, None, Seq.empty[String])
+    }
     if (applied.contains(batchId)) return None
 
     val deltaState = stateOf(c, delta)
-    // localCheckpoint BEFORE the overwrite: the merged frame must be fully
-    // materialized off the old files, or the write would delete its own
-    // input mid-read
+    // localCheckpoint: materialize the merge fully before any file churn
     val merged = oldState.fold(deltaState)(o => mergeState(c, o, deltaState))
       .localCheckpoint()
-    merged.write.mode("overwrite").parquet(statePath)
-    val state = spark.read.parquet(statePath)
+    val newDirName = s"${c.name}.state_v${applied.size + 1}_$batchId"
+    val newPath = s"$ckptDir/$newDirName"
+    merged.write.mode("overwrite").parquet(newPath)
+    val state = spark.read.parquet(newPath)
 
-    // lineage sidecar: state key, applied batches, rows, and the partitions
-    // THIS batch touched (the "newer than the checkpoint" units)
+    // lineage sidecar: state pointer, key, applied batches, rows, and the
+    // partitions THIS batch touched (the "newer than the checkpoint" units)
     val touched = deltaState.select("partition").distinct().collect()
       .map(r => "\"" + String.valueOf(r.get(0)).replace("\\", "\\\\")
         .replace("\"", "\\\"") + "\"")
     val allBatches = (applied :+ batchId).map(b => "\"" + b + "\"")
     Files.createDirectories(Paths.get(ckptDir))
-    Files.writeString(side,
+    val json =
       s"""{"stage":"${c.name}.state","state_key":"$key",""" +
+        s""""state_dir":"$newDirName",""" +
         s""""batches":[${allBatches.mkString(",")}],"rows":${state.count()},""" +
-        s""""touched_partitions":[${touched.mkString(",")}]}""")
+        s""""touched_partitions":[${touched.mkString(",")}]}"""
+    val tmp = Paths.get(s"$ckptDir/.${c.name}.state.lineage.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, side,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // superseded state is unreferenced now — reclaim (best-effort)
+    oldDir.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
 
     Some(outcomeOf(c, verdictsFromState(c, state)))
   }
@@ -254,25 +296,31 @@ object Incremental {
     import spark.implicits._
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-    config.checks.filter(supported).foreach { c =>
-      val t = tableOf(c)
-      val deltaPath = s"$deltaDir/$t.parquet"
-      if (Files.exists(Paths.get(deltaPath))) {
-        update(spark, config.checkpointDir, c,
-            spark.read.parquet(deltaPath), batchId) match {
-          case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
-          case None => // batch already applied: re-derive from current state
-            val (bad, oc) = outcomeOf(c, verdictsFromState(c,
-              spark.read.parquet(s"${config.checkpointDir}/${c.name}.state")))
-            frames(c.name) = bad
-            outcomes += oc.copy(detail = oc.detail + s" [batch $batchId already applied]")
-        }
-      } else if (Files.exists(Paths.get(s"${config.checkpointDir}/${c.name}.state/_SUCCESS"))) {
-        val (bad, oc) = outcomeOf(c, verdictsFromState(c,
-          spark.read.parquet(s"${config.checkpointDir}/${c.name}.state")))
-        frames(c.name) = bad
-        outcomes += oc.copy(detail = oc.detail + " [no delta for table]")
+    def fromState(c: Check, note: String): Unit =
+      statePath(spark, config.checkpointDir, c.name) match {
+        case Some(p) =>
+          val (bad, oc) = outcomeOf(c, verdictsFromState(c, spark.read.parquet(p)))
+          frames(c.name) = bad
+          outcomes += oc.copy(detail = oc.detail + note)
+        case None => ()
       }
+    config.checks.foreach {
+      // checks without mergeable state must NOT vanish into a green exit —
+      // emit an explicit skipped row (passed, zero violations) so the
+      // operator sees which checks still need the full run
+      case c if !supported(c) =>
+        outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
+          "no mergeable state — run the full suite for this check")
+      case c =>
+        val deltaPath = s"$deltaDir/${tableOf(c)}.parquet"
+        if (Files.exists(Paths.get(deltaPath))) {
+          update(spark, config.checkpointDir, c,
+              spark.read.parquet(deltaPath), batchId) match {
+            case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
+            case None => // already applied: re-derive from current state
+              fromState(c, s" [batch $batchId already applied]")
+          }
+        } else fromState(c, " [no delta for table]")
     }
     (outcomes.toSeq.toDF(), frames.toMap)
   }

@@ -70,11 +70,18 @@ object StreamingSuite {
     import spark.implicits._
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
-    config.checks.filter(Incremental.supported).foreach { c =>
-      val (bad, oc) = Incremental.outcomeOf(c,
-        checkVerdicts(spark, dataDir, c, maxFilesPerTrigger), " (streaming)")
-      frames(c.name) = bad
-      outcomes += oc
+    config.checks.foreach {
+      // non-mergeable checks must NOT vanish into a green exit — emit an
+      // explicit skipped row so the operator sees what still needs the
+      // full batch run
+      case c if !Incremental.supported(c) =>
+        outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
+          "no mergeable state — run the full suite for this check")
+      case c =>
+        val (bad, oc) = Incremental.outcomeOf(c,
+          checkVerdicts(spark, dataDir, c, maxFilesPerTrigger), " (streaming)")
+        frames(c.name) = bad
+        outcomes += oc
     }
     (outcomes.toSeq.toDF(), frames.toMap)
   }

@@ -151,8 +151,10 @@ object EventStream {
     * are recomputed downstream over the tiny maxima table. */
   def streamingPartitionMaxEpoch(stream: DataFrame, partCol: String,
                                  tsCol: String): DataFrame =
-    stream.filter(col(tsCol).isNotNull)
-      .groupBy(col(partCol).as("partition"))
+    // no null pre-filter: max() ignores nulls natively, and an ALL-null
+    // partition must keep its state row (NULL max → fresh=false downstream,
+    // the dark-feed signal) exactly like the batch Drift.freshness
+    stream.groupBy(col(partCol).as("partition"))
       .agg(max(unix_timestamp(col(tsCol))).as("part_max_epoch"))
 
   /** Drive a bounded stream to completion into an in-memory table; returns

@@ -252,6 +252,16 @@ class DedupTextSpec extends SparkSpec {
     assert(bigPairs < 3 + 64 * 63 / 2 + 65 * Dedup.NeighborCap + 200 * Dedup.NeighborCap)
   }
 
+  test("ngramJaccard leaves no cached plans behind (long-session hygiene)") {
+    spark.catalog.clearCache()
+    val cands = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
+    Dedup.ngramJaccard(docs, "doc_id", "text", cands).collect()
+    // localCheckpoint blocks are reclaimed with the frame; nothing may
+    // register in the session cache manager and outlive the query
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ngramJaccard registered persistent cache entries")
+  }
+
   test("band overflow reports exactly the chain-linked buckets") {
     import spark.implicits._
     val banded = ((0 until 65).map(i => (i.toLong, "over")) ++

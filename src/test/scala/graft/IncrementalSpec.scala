@@ -64,7 +64,7 @@ class IncrementalSpec extends SparkSpec {
       batches.zipWithIndex.foreach { case (b, i) =>
         val Some((_, _)) = Incremental.update(spark, dir, c, b, s"batch$i"): @unchecked
         last = Incremental.verdictsFromState(c,
-          spark.read.parquet(s"$dir/${c.name}.state"))
+          spark.read.parquet(Incremental.statePath(spark, dir, c.name).get))
       }
       assert(rows(last) == rows(batchVerdicts(c)))
       // designed defects visible through the incremental path
@@ -85,12 +85,41 @@ class IncrementalSpec extends SparkSpec {
     val c = checkOf("cat")
     val dir = Files.createTempDirectory("incr_idem").toString
     assert(Incremental.update(spark, dir, c, batches(0), "b0").nonEmpty)
-    val before = rows(spark.read.parquet(s"$dir/${c.name}.state"))
+    val before = rows(spark.read.parquet(Incremental.statePath(spark, dir, c.name).get))
     assert(Incremental.update(spark, dir, c, batches(0), "b0").isEmpty)
-    assert(rows(spark.read.parquet(s"$dir/${c.name}.state")) == before)
+    assert(rows(spark.read.parquet(Incremental.statePath(spark, dir, c.name).get)) == before)
     // a NEW batch id still merges
     assert(Incremental.update(spark, dir, c, batches(1), "b1").nonEmpty)
-    assert(rows(spark.read.parquet(s"$dir/${c.name}.state")) != before)
+    assert(rows(spark.read.parquet(Incremental.statePath(spark, dir, c.name).get)) != before)
+  }
+
+  test("crash between state write and sidecar swap: retry is exact, not double-counted") {
+    val c = checkOf("cat")
+    // clean two-batch run in a reference dir → the expected final state
+    val clean = Files.createTempDirectory("incr_clean").toString
+    assert(Incremental.update(spark, clean, c, batches(0), "b0").nonEmpty)
+    assert(Incremental.update(spark, clean, c, batches(1), "b1").nonEmpty)
+    val want = rows(spark.read.parquet(
+      Incremental.statePath(spark, clean, c.name).get))
+    // crashed dir: b0 committed, then update(b1) "died" AFTER writing its
+    // new state dir but BEFORE the sidecar swap — the old state dir is
+    // still on disk (deletion happens only after the swap) and the orphan
+    // dir holds b1-applied state the sidecar never references
+    val dir = Files.createTempDirectory("incr_crash").toString
+    assert(Incremental.update(spark, dir, c, batches(0), "b0").nonEmpty)
+    Incremental.stateOf(c, batches(2)) // garbage content proves it's ignored
+      .write.mode("overwrite").parquet(s"$dir/${c.name}.state_v2_b1")
+    // retry must re-apply b1 against the COMMITTED (b0) state — same final
+    // result as the clean run, no double count, orphan overwritten — and
+    // idempotence holds afterwards
+    assert(Incremental.update(spark, dir, c, batches(1), "b1").nonEmpty)
+    assert(rows(spark.read.parquet(
+      Incremental.statePath(spark, dir, c.name).get)) == want)
+    assert(Incremental.update(spark, dir, c, batches(1), "b1").isEmpty)
+    // malformed batch ids are rejected before any file churn
+    intercept[IllegalArgumentException] {
+      Incremental.update(spark, dir, c, batches(2), "b2,evil\"id")
+    }
   }
 
   test("state-defining config change refuses; threshold change proceeds") {
@@ -118,14 +147,17 @@ class IncrementalSpec extends SparkSpec {
     batches.zipWithIndex.foreach { case (b, i) =>
       b.write.mode("overwrite").parquet(s"$data/events.parquet")
       val (verdicts, frames) = Incremental.run(spark, data, config, s"batch$i")
-      // only the supported checks run incrementally
+      // supported checks run incrementally; the unsupported one emits an
+      // explicit skipped row instead of silently vanishing
       assert(verdicts.select("name").as[String].collect().toSet ==
-        Set("ev_cat", "ev_fresh"))
+        Set("ev_cat", "ev_fresh", "not_incr"))
+      assert(verdicts.filter(col("kind") === "skipped")
+        .select("name").as[String].collect().toSeq == Seq("not_incr"))
       assert(frames.keySet == Set("ev_cat", "ev_fresh"))
     }
     // final incremental verdicts equal the full single-pass run
     val finalCat = Incremental.verdictsFromState(checkOf("cat"),
-      spark.read.parquet(s"$ckpt/ev_cat.state"))
+      spark.read.parquet(Incremental.statePath(spark, ckpt, "ev_cat").get))
     assert(rows(finalCat) == rows(batchVerdicts(checkOf("cat"))))
     val lineage = Files.readString(
       java.nio.file.Paths.get(s"$ckpt/ev_cat.state.lineage.json"))
