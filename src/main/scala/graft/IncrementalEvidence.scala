@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.Incremental
+import graft.pipeline.ValidationSuite._
+
+/** At-scale evidence for incremental revalidation (the claim the Bench
+  * `incr_delta_*` fields make at testdata scale, here over the scaling
+  * corpora): build per-partition drift state from a 24M-row and a 48M-row
+  * corpus (one full pass each — the cost a FULL suite pays EVERY run),
+  * then fold the same 100k-row delta into each through the real
+  * crash-consistent `Incremental.update` path (state aggregation + merge +
+  * sidecar + verdict re-derivation). Done-claim: the delta fold costs the
+  * same against both states (state rows = |partitions|×|categories|,
+  * independent of corpus size) and is orders of magnitude below the full
+  * pass it replaces. Prints one JSON line.
+  */
+object IncrementalEvidence {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val check = CategoricalDrift("corpus_lang_drift", "corpus", "lang",
+      "commit", 30000L)
+    // delta materialized once, outside every timed section
+    val delta = graft.corpus.Corpus.generate(spark, 100000L).localCheckpoint()
+
+    def measure(corpusPath: String, tag: String): (Double, Double) = {
+      val corpus = spark.read.parquet(corpusPath)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"incr_ev_$tag").toString
+      val t0 = System.nanoTime()
+      require(Incremental.update(spark, ckpt, check, corpus, "base").nonEmpty)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      require(Incremental.update(spark, ckpt, check, delta, "delta1").nonEmpty)
+      val deltaSec = (System.nanoTime() - t1) / 1e9
+      (buildSec, deltaSec)
+    }
+
+    // warm-up of the update shape (JIT/codegen), unmeasured
+    measure("/tmp/graft_scaling_corpus_4000000", "warm")
+    val (b24, d24) = measure("/tmp/graft_scaling_corpus_24000000", "24m")
+    val (b48, d48) = measure("/tmp/graft_scaling_corpus_48000000", "48m")
+    println(s"""{"metric":"incremental_scale","delta_rows":100000,""" +
+      s""""state_build_24m_sec":$b24,"delta_update_24m_sec":$d24,""" +
+      s""""state_build_48m_sec":$b48,"delta_update_48m_sec":$d48}""")
+    spark.stop()
+  }
+}
