@@ -876,7 +876,8 @@ object SparkEntry {
     // A1/A2: per-column descriptive statistics (one scan per table + one
     // shared distinct shuffle for exact uniques)
     "q_profile_stats" -> ((s, dir) => cachedProfile(s, dir)
-      .withColumnRenamed("nulls", "n_nulls")),
+      .withColumnRenamed("nulls", "n_nulls")
+      .drop("approx_distinct")), // sketch estimate has no DuckDB twin
 
     // approx-tier profile with an error-bound verdict — the stated 100 TB
     // path (profileAll(exactDistinct=false)): every column's HLL estimate
@@ -887,8 +888,10 @@ object SparkEntry {
     // 504 — so bit-equality of ESTIMATES is the wrong claim). Oracle = the
     // exact counts + all-TRUE verdicts.
     "q_profile_approx" -> ((s, dir) => {
-      val approx = Profiler.profileAll(s, dir, exactDistinct = false)
-        .select(col("col"), col("unique_count").as("approx"))
+      // the shared cached profile already carries the HLL estimate — no
+      // second scan of every table for the approx tier
+      val approx = cachedProfile(s, dir)
+        .select(col("col"), col("approx_distinct").as("approx"))
       val exact = Profiler.exactDistinctCounts(cachedDistinctLong(s, dir))
         .select(col("col"), col("unique_count").as("exact_distinct"))
       val docs = Tables.load(s, dir, "documents")

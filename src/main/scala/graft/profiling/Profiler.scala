@@ -104,10 +104,13 @@ object Profiler {
         perTable.join(broadcast(u), Seq("col"), "left")
           .withColumn("unique_count", coalesce(col("unique_count"), lit(0L)))
       } else perTable.withColumn("unique_count", col("approx_distinct"))
+    // approx_distinct rides along: consumers needing the HLL estimate
+    // (q_profile_approx's error-bound verdict) read it off the shared
+    // cached profile instead of re-scanning every table
     withU.withColumn("unique_ratio",
         when(col("cnt") > 0, round(col("unique_count") / col("cnt"), 5)))
       .select("col", "cnt", "nulls", "unique_count", "unique_ratio",
-              "min_val", "max_val", "shortest", "longest")
+              "min_val", "max_val", "shortest", "longest", "approx_distinct")
   }
 
   /** Native numeric profile (no string casts — doubles/timestamps keep their

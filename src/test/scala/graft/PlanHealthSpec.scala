@@ -73,6 +73,31 @@ class PlanHealthSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"cross-product shape:\n$plan")
   }
 
+  test("capped band pairs: big buckets take the window path, never a join") {
+    import spark.implicits._
+    // one degenerate bucket (> AllPairsMax): the quadratic regime must be
+    // a lead() window over the bucket, with NO join in the plan — a band
+    // join would compute the in-bucket cartesian product even if its
+    // output were capped
+    val big = (0L until 200L).map(i => (i, "hot")).toDF("id", "band")
+    val bigPairs = graft.dedup.Dedup.cappedBandPairs(big)
+    bigPairs.collect()
+    val bigPlan = bigPairs.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("Window"), s"no window in big-bucket plan:\n$bigPlan")
+    assert(!bigPlan.toLowerCase.contains("sortmergejoin") &&
+      !bigPlan.toLowerCase.contains("shuffledhashjoin") &&
+      !bigPlan.contains("CartesianProduct"),
+      s"big-bucket path joined:\n$bigPlan")
+    // small buckets keep the exact equi-join (full recall), no cross shape
+    val small = (0L until 20L).map(i => (i, s"b${i % 4}")).toDF("id", "band")
+    val smallPairs = graft.dedup.Dedup.cappedBandPairs(small)
+    smallPairs.collect()
+    val smallPlan = smallPairs.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("CartesianProduct") &&
+      !smallPlan.contains("BroadcastNestedLoopJoin"),
+      s"small-bucket cross shape:\n$smallPlan")
+  }
+
   test("topk stability: two-phase partition top-k, distributed global top-k") {
     val counts = Tables.load(spark, sf, "documents")
       .groupBy(col("source").as("partition"), col("lang").as("cat"))

@@ -41,6 +41,25 @@ class ProfilerSpec extends SparkSpec {
     assert(m == Map("t.a" -> 2L, "t.b" -> 1L))
   }
 
+  test("approx tier: exactDistinct=false uses the HLL estimate as unique_count") {
+    // the approx tier (the 100 TB path) must agree with the approx_distinct
+    // column the exact-tier profile carries — q_profile_approx's error-bound
+    // verdict reads the latter off the shared cache, so they must be the
+    // same numbers
+    val approx = Profiler.profileAll(spark, "/root/testdata/sf0.001",
+        exactDistinct = false)
+      .select("col", "unique_count", "approx_distinct")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.nonEmpty)
+    assert(approx.values.forall { case (u, a) => u == a },
+      "approx tier unique_count must BE the sketch estimate")
+    val exact = Profiler.profileAll(spark, "/root/testdata/sf0.001")
+      .select("col", "approx_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.map { case (k, v) => k -> v._2 } == exact,
+      "the sketch estimate must not depend on the tier")
+  }
+
   test("histogram: fixed-bin equi-width with clamping") {
     val df = (0 until 100).map(_.toDouble).toDF("x")
     val h = Profiler.histogram(df, "x", 0.0, 100.0, 10)
