@@ -32,5 +32,22 @@ object CorpusSuiteEvidence {
       ckpt, hotKeys = Map("corpus.lang" -> 16)))
     v.show(false)
     println(s"SUITE_24M_SEC ${(System.nanoTime() - t0) / 1e9}")
+
+    // always-on evidence: the SAME drift check as a rate-limited file
+    // stream over the 256-split corpus (32 files per trigger → 8 triggers
+    // of bounded complete-mode state), verdicts equal the batch check
+    val drift = CategoricalDrift("corpus_lang_stream", "corpus", "lang",
+      "commit", 30000L)
+    val t1 = System.nanoTime()
+    val streamed = graft.pipeline.StreamingSuite
+      .checkVerdicts(spark, dataDir, drift, maxFilesPerTrigger = 32)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val streamSec = (System.nanoTime() - t1) / 1e9
+    val batch = graft.checks.Drift.categorical(
+        spark.read.parquet(s"$dataDir/corpus.parquet"), "commit", "lang", 30000L)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    println(s"STREAM_24M_SEC $streamSec PARITY ${streamed == batch} " +
+      s"PARTITION_VERDICTS ${streamed.size}")
+    require(streamed == batch, "streaming drift diverged from batch at 24M")
   }
 }

@@ -1336,6 +1336,20 @@ object SparkEntry {
       Incremental.verdictsFromState(c, state)
     }),
 
+    // STREAMING twins, oracle-gated: the same checks as Structured-
+    // Streaming aggregations over the file stream (complete-mode bounded
+    // state), verdicts re-derived from the final state — must equal the
+    // batch oracles bit-for-bit
+    "q_stream_drift_tvd" -> ((s, dir) =>
+      graft.pipeline.StreamingSuite.checkVerdicts(s, dir,
+        ValidationSuite.CategoricalDrift(
+          "stream", "documents", "lang", "source", 10000L))),
+
+    "q_stream_freshness" -> ((s, dir) =>
+      graft.pipeline.StreamingSuite.checkVerdicts(s, dir,
+        ValidationSuite.Freshness(
+          "stream", "events", "ts", "event_type", 86400L))),
+
     // incremental freshness: per-partition epoch maxima folded across the
     // same 3-way split (max-monoid state), re-derived lag verdicts
     "q_incr_freshness" -> ((s, dir) => {
@@ -1504,6 +1518,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_incr_drift_tvd" -> driftLangTvdSql,
     "q_incr_freshness" -> freshnessSql,
+    "q_stream_drift_tvd" -> driftLangTvdSql,
+    "q_stream_freshness" -> freshnessSql,
     "q_profile_stats" -> profileSql,
 
     // rank-tolerance-style verdict: exact distincts from DuckDB, all-TRUE

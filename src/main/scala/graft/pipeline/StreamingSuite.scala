@@ -51,13 +51,18 @@ object StreamingSuite {
     * and re-derive its verdict frame. The state aggregation is EXACTLY
     * `Incremental.stateOf` applied to the stream (complete output mode —
     * the memory sink then holds the final state table). */
+  // memory-sink query names must be session-unique: the same check may
+  // stream several dirs in one JVM (Verify/Bench run every query per
+  // scale dir)
+  private val runCounter = new java.util.concurrent.atomic.AtomicLong()
+
   def checkVerdicts(spark: SparkSession, dataDir: String, c: Check,
                     maxFilesPerTrigger: Int = 1): DataFrame = {
     val stream = readTable(spark, dataDir, Incremental.tableOf(c),
       maxFilesPerTrigger)
     val state = EventStream.runToCompletion(
         Incremental.stateOf(c, stream),
-        s"stream_state_${c.name}", "complete")
+        s"stream_state_${c.name}_${runCounter.incrementAndGet()}", "complete")
       .localCheckpoint() // memory-sink views can't self-join unmaterialized
     Incremental.verdictsFromState(c, state)
   }
