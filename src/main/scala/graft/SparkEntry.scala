@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Similarity
-import graft.checks.{ColumnChecks, Drift, SchemaChecks}
+import graft.checks.{ColumnChecks, Drift, History, SchemaChecks}
 import graft.corpus.Corpus
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -1336,6 +1336,25 @@ object SparkEntry {
       Incremental.verdictsFromState(c, state)
     }),
 
+    // run-over-run profile shift (checks.History): a simulated next ingest
+    // that LOST a fifth of events (designed shrink) vs an unchanged
+    // customer table — shrunk columns flag, stable ones pass. Exact
+    // distincts here so DuckDB reproduces every statistic.
+    "q_profile_shift" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cust = Tables.load(s, dir, "customer")
+      val evCols = Seq("event_id", "user_id", "event_type")
+      val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      def prof(df: org.apache.spark.sql.DataFrame, t: String, cols: Seq[String]) =
+        History.miniProfile(df, t, cols, approxDistinct = false)
+      val cur = prof(ev.filter(pmod(col("event_id"), lit(5)) < 4), "events", evCols)
+        .unionAll(prof(cust, "customer", custCols))
+      val prev = prof(ev, "events", evCols)
+        .unionAll(prof(cust, "customer", custCols))
+      History.shift(cur, prev,
+        cntShrinkTolE5 = 1000L, nullTolE5 = 1000L, distinctTolE5 = 5000L)
+    }),
+
     // STREAMING twins, oracle-gated: the same checks as Structured-
     // Streaming aggregations over the file stream (complete-mode bounded
     // state), verdicts re-derived from the final state — must equal the
@@ -1520,6 +1539,44 @@ object SparkEntry {
     "q_incr_freshness" -> freshnessSql,
     "q_stream_drift_tvd" -> driftLangTvdSql,
     "q_stream_freshness" -> freshnessSql,
+
+    "q_profile_shift" -> {
+      def side(table: String, cols: Seq[String], where: String): String =
+        cols.map { c =>
+          s"SELECT '$table.$c' AS col, count(CAST($c AS VARCHAR)) AS cnt, " +
+            s"count(*) - count(CAST($c AS VARCHAR)) AS n_nulls, " +
+            s"count(DISTINCT CAST($c AS VARCHAR)) AS u FROM $table $where"
+        }.mkString(" UNION ALL ")
+      val evCols = Seq("event_id", "user_id", "event_type")
+      val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      s"""WITH cur AS (${side("events", evCols, "WHERE event_id % 5 < 4")}
+         |  UNION ALL ${side("customer", custCols, "")}),
+         |prev AS (${side("events", evCols, "")}
+         |  UNION ALL ${side("customer", custCols, "")}),
+         |j AS (SELECT cur.col, cur.cnt AS c_cnt, cur.n_nulls AS c_nulls,
+         |        cur.u AS c_u, prev.cnt AS p_cnt, prev.n_nulls AS p_nulls,
+         |        prev.u AS p_u
+         |      FROM cur JOIN prev USING (col)),
+         |m AS (SELECT col,
+         |  CASE WHEN p_cnt > 0 THEN (c_cnt * 100000) // p_cnt
+         |       WHEN c_cnt = 0 THEN 100000 END AS cnt_ratio_e5,
+         |  abs(CASE WHEN c_nulls + c_cnt > 0
+         |           THEN (c_nulls * 100000) // (c_nulls + c_cnt) ELSE 0 END -
+         |      CASE WHEN p_nulls + p_cnt > 0
+         |           THEN (p_nulls * 100000) // (p_nulls + p_cnt) ELSE 0 END)
+         |    AS null_rate_delta_e5,
+         |  abs(CASE WHEN c_cnt > 0 THEN (c_u * 100000) // c_cnt ELSE 0 END -
+         |      CASE WHEN p_cnt > 0 THEN (p_u * 100000) // p_cnt ELSE 0 END)
+         |    AS distinct_ratio_delta_e5
+         |  FROM j)
+         |SELECT col, CAST(cnt_ratio_e5 AS BIGINT) AS cnt_ratio_e5,
+         |  CAST(null_rate_delta_e5 AS BIGINT) AS null_rate_delta_e5,
+         |  CAST(distinct_ratio_delta_e5 AS BIGINT) AS distinct_ratio_delta_e5,
+         |  coalesce(cnt_ratio_e5 < 99000, true)
+         |    OR null_rate_delta_e5 > 1000
+         |    OR distinct_ratio_delta_e5 > 5000 AS shifted
+         |FROM m""".stripMargin
+    },
     "q_profile_stats" -> profileSql,
 
     // rank-tolerance-style verdict: exact distincts from DuckDB, all-TRUE

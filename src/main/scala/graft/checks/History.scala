@@ -1,0 +1,92 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Run-over-run metric-shift detection — the temporal half of drift
+  * validation. `Drift` compares distributions ACROSS partitions of one
+  * snapshot; this module compares a table's per-column metric profile
+  * against the PREVIOUS run's snapshot, catching the regressions partition
+  * drift can't see: a table that silently halved, a column whose null rate
+  * crept up ingest-over-ingest, a key column whose distinct count stopped
+  * growing. The snapshot is one tiny row per column, so the history store
+  * costs nothing at any corpus size; the comparison is state-vs-state like
+  * the incremental path (never a rescan of the previous corpus).
+  *
+  * All shift statistics are 1e5-scaled floored integers with one trailing
+  * division (engine-exact — oracle-able in DuckDB like every other
+  * verdict in the engine).
+  */
+object History {
+
+  /** One-agg per-column mini-profile: (col, cnt, n_nulls, distinct_count).
+    * `approxDistinct` uses the HLL sketch (the 100 TB default — a
+    * multi-column exact count_distinct Expands the scan k-fold); exact is
+    * available for oracle-gated paths. One scan either way. */
+  def miniProfile(df: DataFrame, table: String, cols: Seq[String],
+                  approxDistinct: Boolean = true): DataFrame = {
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      val v = col(c).cast(StringType)
+      Seq(count(v).as(s"${c}__cnt"),
+        (if (approxDistinct) approx_count_distinct(v)
+         else count_distinct(v)).as(s"${c}__u"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("__total")
+    val out = cols.map { c =>
+      (s"$table.$c", row.getAs[Long](s"${c}__cnt"),
+        total - row.getAs[Long](s"${c}__cnt"), row.getAs[Long](s"${c}__u"))
+    }
+    df.sparkSession.createDataFrame(out)
+      .toDF("col", "cnt", "n_nulls", "distinct_count")
+  }
+
+  /** Shift verdicts between two mini-profiles (current vs previous
+    * snapshot). Per column:
+    *   - cnt_ratio_e5 = ⌊cur_cnt·1e5 / prev_cnt⌋ (0-row previous → flagged
+    *     only if current differs)
+    *   - null-rate delta and distinct-ratio delta as 1e5 absolute diffs
+    * `shifted` fires when the count ratio leaves [1e5−cntTol, +∞) — rows
+    * may only shrink within tolerance; growth is normal for append-only —
+    * or either delta exceeds its tolerance. Columns present on one side
+    * only always flag (schema drift shows up here too). */
+  def shift(current: DataFrame, previous: DataFrame,
+            cntShrinkTolE5: Long, nullTolE5: Long,
+            distinctTolE5: Long): DataFrame = {
+    val cur = current.select(col("col"), col("cnt").as("c_cnt"),
+      col("n_nulls").as("c_nulls"), col("distinct_count").as("c_u"))
+    val prev = previous.select(col("col"), col("cnt").as("p_cnt"),
+      col("n_nulls").as("p_nulls"), col("distinct_count").as("p_u"))
+    cur.join(prev, Seq("col"), "full_outer")
+      .withColumn("present_both",
+        col("c_cnt").isNotNull && col("p_cnt").isNotNull)
+      .withColumn("cnt_ratio_e5",
+        when(col("present_both") && col("p_cnt") > 0,
+          expr("(c_cnt * 100000) div p_cnt"))
+          .when(col("present_both") && col("p_cnt") === 0 && col("c_cnt") === 0,
+            lit(100000L)))
+      .withColumn("c_nullrate_e5",
+        when(col("c_nulls") + col("c_cnt") > 0,
+          expr("(c_nulls * 100000) div (c_nulls + c_cnt)")).otherwise(lit(0L)))
+      .withColumn("p_nullrate_e5",
+        when(col("p_nulls") + col("p_cnt") > 0,
+          expr("(p_nulls * 100000) div (p_nulls + p_cnt)")).otherwise(lit(0L)))
+      .withColumn("null_rate_delta_e5",
+        when(col("present_both"),
+          abs(col("c_nullrate_e5") - col("p_nullrate_e5"))))
+      .withColumn("c_uratio_e5",
+        when(col("c_cnt") > 0, expr("(c_u * 100000) div c_cnt")).otherwise(lit(0L)))
+      .withColumn("p_uratio_e5",
+        when(col("p_cnt") > 0, expr("(p_u * 100000) div p_cnt")).otherwise(lit(0L)))
+      .withColumn("distinct_ratio_delta_e5",
+        when(col("present_both"), abs(col("c_uratio_e5") - col("p_uratio_e5"))))
+      .withColumn("shifted",
+        !col("present_both") ||
+          coalesce(col("cnt_ratio_e5") < lit(100000L - cntShrinkTolE5), lit(true)) ||
+          coalesce(col("null_rate_delta_e5") > nullTolE5, lit(true)) ||
+          coalesce(col("distinct_ratio_delta_e5") > distinctTolE5, lit(true)))
+      .select("col", "cnt_ratio_e5", "null_rate_delta_e5",
+        "distinct_ratio_delta_e5", "shifted")
+  }
+}

@@ -121,6 +121,10 @@ object SuiteConfig {
         str(j, "regex"), lng(j, "maxViolations", 0L))
     case "unique_composite" =>
       UniqueComposite(str(j, "name"), str(j, "table"), strings(j, "columns"))
+    case "profile_shift" =>
+      ProfileShift(str(j, "name"), str(j, "table"), strings(j, "columns"),
+        lng(j, "cntShrinkTolE5", 1000L), lng(j, "nullTolE5", 1000L),
+        lng(j, "distinctTolE5", 5000L))
     case "freshness" =>
       Freshness(str(j, "name"), str(j, "table"), str(j, "tsColumn"),
         str(j, "partitionBy"), lng(j, "maxLagSeconds", 86400L))

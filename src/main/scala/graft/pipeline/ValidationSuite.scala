@@ -92,6 +92,16 @@ object ValidationSuite {
     * flags keys needing salting/AQE before they melt one reducer. */
   case class RowBalance(name: String, table: String, partitionBy: String,
                         maxShareE5: Long) extends Check
+  /** run-over-run metric shift (checks.History): the table's per-column
+    * mini-profile (counts, null rates, HLL distincts) vs the PREVIOUS
+    * run's snapshot persisted under the checkpoint dir — catches the
+    * regressions partition drift can't see (a table that halved, a null
+    * rate creeping ingest-over-ingest). The first run establishes the
+    * baseline and passes; every run replaces the snapshot. */
+  case class ProfileShift(name: String, table: String, columns: Seq[String],
+                          cntShrinkTolE5: Long = 1000L,
+                          nullTolE5: Long = 1000L,
+                          distinctTolE5: Long = 5000L) extends Check
 
   /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
     * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
@@ -346,6 +356,33 @@ object ValidationSuite {
         violationFrames(name) = bad
         outcomes += CheckOutcome(name, "row_balance", n == 0, n,
           s"$table rows per $part share_e5<=$maxShare")
+
+      case ProfileShift(name, table, columns, cntTol, nullTol, uTol) =>
+        val snapPath = s"$dir/$name.snapshot"
+        val cur = graft.checks.History.miniProfile(
+          Tables.load(spark, sfDir, table), table, columns)
+        val hasPrev = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$snapPath/_SUCCESS"))
+        if (hasPrev) {
+          // localCheckpoint BEFORE the snapshot overwrite below: the
+          // verdict frame reads the previous snapshot's files
+          val verdicts = graft.checks.History.shift(
+              cur, spark.read.parquet(snapPath), cntTol, nullTol, uTol)
+            .localCheckpoint()
+          val bad = verdicts.filter(col("shifted"))
+          val n = bad.count()
+          violationFrames(name) = bad
+          outcomes += CheckOutcome(name, "profile_shift", n == 0, n,
+            s"$table metrics vs previous snapshot shrinkTol=$cntTol " +
+              s"nullTol=$nullTol distinctTol=$uTol")
+        } else {
+          violationFrames(name) =
+            graft.checks.History.shift(cur, cur, cntTol, nullTol, uTol)
+              .filter(lit(false))
+          outcomes += CheckOutcome(name, "profile_shift", passed = true, 0L,
+            s"$table baseline snapshot established")
+        }
+        cur.write.mode("overwrite").parquet(snapPath)
 
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name, hash = hash)(

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.History
+import graft.pipeline.{SuiteConfig, ValidationSuite}
+import graft.pipeline.ValidationSuite._
+
+/** Run-over-run metric-shift detection: mini-profiles, shift verdicts, and
+  * the suite's baseline-then-compare snapshot lifecycle. */
+class HistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(n: Int, nullEvery: Int) = (0 until n).map { i =>
+    (i.toLong, if (nullEvery > 0 && i % nullEvery == 0) null else s"v${i % 50}")
+  }.toDF("id", "v")
+
+  test("miniProfile: one row per column with exact counts") {
+    val p = History.miniProfile(df(100, 4), "t", Seq("id", "v"),
+        approxDistinct = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("t.id") == ((100L, 0L, 100L)))
+    assert(p("t.v") == ((75L, 25L, 50L)))
+  }
+
+  test("shift: shrink, null-rate creep, and missing columns flag; stable passes") {
+    val prev = Seq(
+      ("t.a", 1000L, 0L, 100L),   // stable
+      ("t.b", 1000L, 0L, 100L),   // will shrink
+      ("t.c", 900L, 100L, 50L),   // null rate will creep
+      ("t.gone", 10L, 0L, 5L)     // disappears
+    ).toDF("col", "cnt", "n_nulls", "distinct_count")
+    val cur = Seq(
+      ("t.a", 1005L, 0L, 100L),   // tiny growth: fine
+      ("t.b", 800L, 0L, 80L),     // -20% rows
+      ("t.c", 700L, 300L, 50L),   // 10% -> 30% nulls
+      ("t.new", 10L, 0L, 5L)      // appears
+    ).toDF("col", "cnt", "n_nulls", "distinct_count")
+    val got = History.shift(cur, prev, 1000L, 1000L, 5000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(!got("t.a"))
+    assert(got("t.b") && got("t.c"))
+    assert(got("t.gone") && got("t.new")) // schema drift flags both ways
+  }
+
+  test("suite ProfileShift: baseline run passes, stable rerun passes, shrunk run fails") {
+    val data = Files.createTempDirectory("hist_data").toString
+    val ckpt = Files.createTempDirectory("hist_ckpt").toString
+    df(2000, 5).write.mode("overwrite").parquet(s"$data/events.parquet")
+    val config = Config(Seq(
+      ProfileShift("ev_shift", "events", Seq("id", "v"))), ckpt)
+    def failures() = ValidationSuite.run(spark, data, config)._1
+      .filter(!col("passed")).count()
+    assert(failures() == 0L) // baseline established
+    assert(failures() == 0L) // unchanged data: within tolerance
+    // the next "ingest" lost 40% of rows
+    df(1200, 5).write.mode("overwrite").parquet(s"$data/events.parquet")
+    val (verdicts, frames) = ValidationSuite.run(spark, data, config)
+    assert(verdicts.filter(!col("passed")).count() == 1L)
+    assert(frames("ev_shift").filter(col("shifted")).count() == 2L)
+    // and the snapshot rolled forward: rerunning on the shrunk data passes
+    assert(failures() == 0L)
+  }
+
+  test("SuiteConfig parses profile_shift with defaults") {
+    val cfg = SuiteConfig.fromJson(
+      """{"checks":[{"type":"profile_shift","name":"ps","table":"events",
+        |"columns":["event_id","user_id"]}]}""".stripMargin, "/t")
+    assert(cfg.checks == Seq(
+      ProfileShift("ps", "events", Seq("event_id", "user_id"),
+        1000L, 1000L, 5000L)))
+  }
+}
