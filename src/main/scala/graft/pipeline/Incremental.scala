@@ -284,6 +284,106 @@ object Incremental {
     Some(outcomeOf(c, verdictsFromState(c, state)))
   }
 
+  // ---- incremental referential (Bloom state) ------------------------------
+
+  private val BloomFileRe = """"bloom_file":"([^"]*)"""".r
+  private val ViolRe = """"violations":(\d+)""".r
+
+  /** Incremental referential check over mergeable Bloom state — extends
+    * the incremental vocabulary to the FK family, which has no exact
+    * count-monoid: the state is a Bloom filter of every ref-side value
+    * seen so far (mergeable by construction — adding values IS the merge),
+    * persisted as a versioned binary with the same sidecar-commit-point
+    * crash discipline as the count states.
+    *
+    * Per batch: ref-delta values feed the filter FIRST, then dep-delta
+    * rows are checked — a value failing `mightContain` was NEVER in any
+    * ref batch so far, so every reported violation is DEFINITE (Bloom has
+    * no false negatives). One-sided approximation: a dangling dep value
+    * may pass the filter with probability ≤ fpp and go unreported (the
+    * exact full run remains the recall backstop); and a violation
+    * reported now is not retracted if the ref key arrives in a LATER
+    * batch (append-only dims rarely heal; re-run full when they do).
+    * Cumulative definite violations gate against `maxMissing`.
+    * Returns None when the batch id was already applied. */
+  def updateReferential(spark: SparkSession, ckptDir: String, c: Referential,
+                        refDelta: Option[DataFrame], depDelta: Option[DataFrame],
+                        batchId: String, expectedRef: Long = 1000000L,
+                        fpp: Double = 0.01): Option[(DataFrame, CheckOutcome)] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.types.StringType
+    require(BatchIdRe.findFirstIn(batchId).isDefined,
+      s"batchId '$batchId' must match ${BatchIdRe.regex}")
+    val side = sidecar(ckptDir, c.name)
+    val key = Checkpoint.configHash("ref-bloom", c.refTable, c.refColumn,
+      c.depTable, c.depColumn, expectedRef.toString, fpp.toString)
+    val (bloom, applied, priorViol, oldBloomFile) =
+      if (Files.exists(side)) {
+        val j = Files.readString(side)
+        val priorKey = KeyRe.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
+        require(priorKey == key,
+          s"check '${c.name}': persisted Bloom state was built under a " +
+            "different config — invalidate and replay, or run the full suite")
+        val file = BloomFileRe.findFirstMatchIn(j).map(_.group(1)).get
+        val in = java.nio.file.Files.newInputStream(
+          Paths.get(s"$ckptDir/$file"))
+        val b = try BloomFilter.readFrom(in) finally in.close()
+        val batches = BatchesRe.findFirstMatchIn(j).map(_.group(1))
+          .toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+        val viol = ViolRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+        (b, batches, viol, Some(file))
+      } else
+        (BloomFilter.create(math.max(expectedRef, 64L), fpp),
+          Seq.empty[String], 0L, None)
+    if (applied.contains(batchId)) return None
+
+    // ref values first: a batch carrying both sides must let its dep rows
+    // see its own ref keys. The delta's filter builds DISTRIBUTED
+    // (stat.bloomFilter aggregates on executors) with the same
+    // (expectedRef, fpp) sizing, so mergeInPlace into the state filter is
+    // compatible bit-OR — rows never stream through the driver.
+    refDelta.foreach { ref =>
+      val deltaBloom = ref
+        .select(col(c.refColumn).cast(StringType).as("v"))
+        .filter(col("v").isNotNull)
+        .stat.bloomFilter("v", math.max(expectedRef, 64L), fpp)
+      bloom.mergeInPlace(deltaBloom): Unit
+    }
+    val violations = depDelta match {
+      case Some(dep) =>
+        dep.filter(col(c.depColumn).isNotNull)
+          .filter(!graft.functions.BloomMightContain.mightContain(
+            col(c.depColumn).cast(StringType), bloom))
+          .localCheckpoint() // pin: the driver-side bloom mutates per batch
+      case None => spark.emptyDataFrame
+    }
+    val newViol = if (depDelta.isDefined) violations.count() else 0L
+    val totalViol = priorViol + newViol
+
+    val bloomFile = s"${c.name}.bloom_v${applied.size + 1}_$batchId"
+    val out = java.nio.file.Files.newOutputStream(Paths.get(s"$ckptDir/$bloomFile"))
+    try bloom.writeTo(out) finally out.close()
+    val allBatches = (applied :+ batchId).map(b => "\"" + b + "\"")
+    val tmp = Paths.get(s"$ckptDir/.${c.name}.state.lineage.json.tmp")
+    Files.writeString(tmp,
+      s"""{"stage":"${c.name}.state","state_key":"$key",""" +
+        s""""bloom_file":"$bloomFile","violations":$totalViol,""" +
+        s""""batches":[${allBatches.mkString(",")}]}""")
+    Files.move(tmp, side,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // superseded bloom is unreferenced after the swap — reclaim
+    oldBloomFile.foreach(f => Files.deleteIfExists(Paths.get(s"$ckptDir/$f")): Unit)
+
+    Some((violations, CheckOutcome(c.name, "referential_incremental",
+      totalViol <= c.maxMissing, totalViol,
+      s"${c.depTable}.${c.depColumn} ⊆ ${c.refTable}.${c.refColumn} " +
+        s"definite_violations=$totalViol (+$newViol this batch) " +
+        s"budget=${c.maxMissing} fpp<=$fpp (one-sided: reported rows are " +
+        "definite; misses possible at fpp) (incremental)")))
+  }
+
   /** Incremental suite pass: fold `deltaDir`'s tables (only the NEW rows of
     * this ingest batch, same layout as the full data dir) into every
     * supported check's state and re-derive verdicts. Checks whose table has
@@ -304,7 +404,25 @@ object Incremental {
           outcomes += oc.copy(detail = oc.detail + note)
         case None => ()
       }
+    def deltaOf(t: String): Option[DataFrame] = {
+      val p = s"$deltaDir/$t.parquet"
+      if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
     config.checks.foreach {
+      // referential folds through Bloom state (definite-violation
+      // semantics — see updateReferential)
+      case c: Referential =>
+        updateReferential(spark, config.checkpointDir, c,
+            deltaOf(c.refTable), deltaOf(c.depTable), batchId) match {
+          case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
+          case None => // already applied: outcome from the sidecar's totals
+            val j = Files.readString(sidecar(config.checkpointDir, c.name))
+            val viol = ViolRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+            outcomes += CheckOutcome(c.name, "referential_incremental",
+              viol <= c.maxMissing, viol,
+              s"definite_violations=$viol budget=${c.maxMissing} " +
+                s"[batch $batchId already applied]")
+        }
       // checks without mergeable state must NOT vanish into a green exit —
       // emit an explicit skipped row (passed, zero violations) so the
       // operator sees which checks still need the full run

@@ -165,6 +165,39 @@ class IncrementalSpec extends SparkSpec {
     assert(lineage.contains("touched_partitions"))
   }
 
+  test("incremental referential: Bloom state, definite violations, out-of-order refs") {
+    val ckpt = Files.createTempDirectory("incr_ref").toString
+    val c = Referential("fk", "facts", "k", "dims", "id", maxMissing = 1L)
+    def dims(ids: Long*) = ids.map(i => (i, s"d$i")).toDF("id", "name")
+    def facts(ks: Long*) = ks.zipWithIndex.map { case (k, r) =>
+      (r.toLong, k) }.toDF("row", "k")
+    // batch 0: dims {1,2,3} + facts referencing 1,2 → no violations
+    val Some((_, oc0)) = Incremental.updateReferential(spark, ckpt, c,
+      Some(dims(1L, 2L, 3L)), Some(facts(1L, 2L)), "b0"): @unchecked
+    assert(oc0.passed && oc0.violations == 0L)
+    // batch 1: facts referencing 3 (ok) and 99 (DEFINITE dangler)
+    val Some((bad1, oc1)) = Incremental.updateReferential(spark, ckpt, c,
+      None, Some(facts(3L, 99L)), "b1"): @unchecked
+    assert(oc1.passed && oc1.violations == 1L) // within budget 1
+    assert(bad1.select("k").collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // batch 2: another dangler → cumulative 2 > budget → FAIL
+    val Some((_, oc2)) = Incremental.updateReferential(spark, ckpt, c,
+      None, Some(facts(98L)), "b2"): @unchecked
+    assert(!oc2.passed && oc2.violations == 2L)
+    // idempotence: replaying b2 is a no-op
+    assert(Incremental.updateReferential(spark, ckpt, c,
+      None, Some(facts(98L)), "b2").isEmpty)
+    // same-batch ref+dep: dep rows see the batch's OWN ref keys
+    val Some((_, oc3)) = Incremental.updateReferential(spark, ckpt, c,
+      Some(dims(50L)), Some(facts(50L)), "b3"): @unchecked
+    assert(oc3.violations == 2L) // no new violations
+    // config change (different sizing) refuses to merge
+    intercept[IllegalArgumentException] {
+      Incremental.updateReferential(spark, ckpt, c,
+        None, Some(facts(1L)), "b4", expectedRef = 42L)
+    }
+  }
+
   test("RunSuite --incremental CLI folds a delta batch and prints verdicts") {
     val data = Files.createTempDirectory("incr_cli_data").toString
     val ckpt = Files.createTempDirectory("incr_cli_ckpt").toString
