@@ -61,9 +61,11 @@ object RunSuite {
   /** Incremental pass: fold ONE append batch (deltaDir holds only the new
     * rows, same table layout) into the per-check state under ckptDir and
     * re-derive verdicts — cost scales with |delta| + |state|, never corpus
-    * size. Only state-mergeable checks run (drift / freshness / balance /
-    * top-k families); exact-uniqueness and referential checks stay on the
-    * full-run path. */
+    * size. State-mergeable checks (drift / freshness / balance / top-k
+    * families) fold exactly; referential checks fold through Bloom state
+    * with definite-violation semantics (Incremental.updateReferential);
+    * exact-uniqueness and schema checks stay on the full-run path and
+    * print as SKIP. */
   def runIncremental(spark: SparkSession, deltaDir: String, ckptDir: String,
                      batchId: String, configJson: Option[String] = None): Int = {
     val (verdicts, _) = Incremental.run(spark, deltaDir,

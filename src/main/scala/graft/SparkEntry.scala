@@ -1347,10 +1347,12 @@ object SparkEntry {
       val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
       def prof(df: org.apache.spark.sql.DataFrame, t: String, cols: Seq[String]) =
         History.miniProfile(df, t, cols, approxDistinct = false)
+      // customer is identical on both sides: profile it ONCE (miniProfile
+      // is an eager scan per call)
+      val custProf = prof(cust, "customer", custCols)
       val cur = prof(ev.filter(pmod(col("event_id"), lit(5)) < 4), "events", evCols)
-        .unionAll(prof(cust, "customer", custCols))
-      val prev = prof(ev, "events", evCols)
-        .unionAll(prof(cust, "customer", custCols))
+        .unionAll(custProf)
+      val prev = prof(ev, "events", evCols).unionAll(custProf)
       History.shift(cur, prev,
         cntShrinkTolE5 = 1000L, nullTolE5 = 1000L, distinctTolE5 = 5000L)
     }),

@@ -45,9 +45,13 @@ import graft.pipeline.ValidationSuite._
   */
 object Incremental {
 
-  /** Checks with a mergeable per-partition state. The rest (exact
-    * uniqueness, referential anti-joins, schema) either need full-history
-    * distincts or are metadata-only; they stay on the full-run path. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Checks with a mergeable per-partition COUNT/MAX state. Referential
+    * checks fold separately through Bloom state (`updateReferential` —
+    * definite-violation semantics); exact uniqueness needs full-history
+    * distincts and schema checks are metadata-only — those stay on the
+    * full-run path. */
   def supported(c: Check): Boolean = c match {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
          _: NullRateDrift | _: RowBalance | _: TopKStability => true
@@ -306,18 +310,20 @@ object Incremental {
     * batch (append-only dims rarely heal; re-run full when they do).
     * Cumulative definite violations gate against `maxMissing`.
     * Returns None when the batch id was already applied. */
+  private val RefValsRe = """"ref_values":(\d+)""".r
+
   def updateReferential(spark: SparkSession, ckptDir: String, c: Referential,
                         refDelta: Option[DataFrame], depDelta: Option[DataFrame],
-                        batchId: String, expectedRef: Long = 1000000L,
-                        fpp: Double = 0.01): Option[(DataFrame, CheckOutcome)] = {
+                        batchId: String): Option[(DataFrame, CheckOutcome)] = {
     import org.apache.spark.util.sketch.BloomFilter
     import org.apache.spark.sql.types.StringType
     require(BatchIdRe.findFirstIn(batchId).isDefined,
       s"batchId '$batchId' must match ${BatchIdRe.regex}")
+    val (expectedRef, fpp) = (c.expectedRef, c.fpp)
     val side = sidecar(ckptDir, c.name)
     val key = Checkpoint.configHash("ref-bloom", c.refTable, c.refColumn,
       c.depTable, c.depColumn, expectedRef.toString, fpp.toString)
-    val (bloom, applied, priorViol, oldBloomFile) =
+    val (bloom, applied, priorViol, priorRefVals, oldBloomFile) =
       if (Files.exists(side)) {
         val j = Files.readString(side)
         val priorKey = KeyRe.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
@@ -332,10 +338,11 @@ object Incremental {
           .toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty)
         val viol = ViolRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
-        (b, batches, viol, Some(file))
+        val rv = RefValsRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+        (b, batches, viol, rv, Some(file))
       } else
         (BloomFilter.create(math.max(expectedRef, 64L), fpp),
-          Seq.empty[String], 0L, None)
+          Seq.empty[String], 0L, 0L, None)
     if (applied.contains(batchId)) return None
 
     // ref values first: a batch carrying both sides must let its dep rows
@@ -343,20 +350,37 @@ object Incremental {
     // (stat.bloomFilter aggregates on executors) with the same
     // (expectedRef, fpp) sizing, so mergeInPlace into the state filter is
     // compatible bit-OR — rows never stream through the driver.
-    refDelta.foreach { ref =>
-      val deltaBloom = ref
-        .select(col(c.refColumn).cast(StringType).as("v"))
-        .filter(col("v").isNotNull)
-        .stat.bloomFilter("v", math.max(expectedRef, 64L), fpp)
-      bloom.mergeInPlace(deltaBloom): Unit
-    }
+    val refValsDelta = refDelta.map { ref =>
+      val vals = ref.select(col(c.refColumn).cast(StringType).as("v"))
+        .filter(col("v").isNotNull).dropDuplicates("v")
+        .localCheckpoint() // consumed twice: bloom build + saturation count
+      bloom.mergeInPlace(
+        vals.stat.bloomFilter("v", math.max(expectedRef, 64L), fpp)): Unit
+      vals.count()
+    }.getOrElse(0L)
+    // per-batch distinct counts can double-count values repeated across
+    // batches — an UPPER bound, which is the safe direction for a
+    // saturation warning
+    val refVals = priorRefVals + refValsDelta
+    val saturated = refVals > expectedRef
+    if (saturated)
+      log.warn(s"check '${c.name}': ~$refVals ref values exceed the Bloom " +
+        s"sizing expectedRef=$expectedRef — the fpp<=$fpp bound no longer " +
+        "holds; violations may go unreported. Raise expectedRef and replay, " +
+        "or run the full suite")
+
     val violations = depDelta match {
       case Some(dep) =>
         dep.filter(col(c.depColumn).isNotNull)
           .filter(!graft.functions.BloomMightContain.mightContain(
             col(c.depColumn).cast(StringType), bloom))
           .localCheckpoint() // pin: the driver-side bloom mutates per batch
-      case None => spark.emptyDataFrame
+      case None =>
+        // stable empty shape: callers read the dep column off this frame
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(c.depColumn, StringType))))
     }
     val newViol = if (depDelta.isDefined) violations.count() else 0L
     val totalViol = priorViol + newViol
@@ -369,6 +393,7 @@ object Incremental {
     Files.writeString(tmp,
       s"""{"stage":"${c.name}.state","state_key":"$key",""" +
         s""""bloom_file":"$bloomFile","violations":$totalViol,""" +
+        s""""ref_values":$refVals,""" +
         s""""batches":[${allBatches.mkString(",")}]}""")
     Files.move(tmp, side,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -381,7 +406,10 @@ object Incremental {
       s"${c.depTable}.${c.depColumn} ⊆ ${c.refTable}.${c.refColumn} " +
         s"definite_violations=$totalViol (+$newViol this batch) " +
         s"budget=${c.maxMissing} fpp<=$fpp (one-sided: reported rows are " +
-        "definite; misses possible at fpp) (incremental)")))
+        "definite; misses possible at fpp)" +
+        (if (saturated) s" (BLOOM OVER CAPACITY: ~$refVals > $expectedRef " +
+          "ref values — fpp bound void, run the full suite)" else "") +
+        " (incremental)")))
   }
 
   /** Incremental suite pass: fold `deltaDir`'s tables (only the NEW rows of
@@ -412,16 +440,31 @@ object Incremental {
       // referential folds through Bloom state (definite-violation
       // semantics — see updateReferential)
       case c: Referential =>
-        updateReferential(spark, config.checkpointDir, c,
-            deltaOf(c.refTable), deltaOf(c.depTable), batchId) match {
-          case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
-          case None => // already applied: outcome from the sidecar's totals
-            val j = Files.readString(sidecar(config.checkpointDir, c.name))
+        def emptyDep = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(c.depColumn,
+              org.apache.spark.sql.types.StringType))))
+        def sidecarOutcome(note: String): Unit = {
+          val sd = sidecar(config.checkpointDir, c.name)
+          if (Files.exists(sd)) {
+            val j = Files.readString(sd)
             val viol = ViolRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+            frames(c.name) = emptyDep
             outcomes += CheckOutcome(c.name, "referential_incremental",
               viol <= c.maxMissing, viol,
-              s"definite_violations=$viol budget=${c.maxMissing} " +
-                s"[batch $batchId already applied]")
+              s"definite_violations=$viol budget=${c.maxMissing} $note")
+          }
+        }
+        val (refD, depD) = (deltaOf(c.refTable), deltaOf(c.depTable))
+        if (refD.isEmpty && depD.isEmpty)
+          // nothing to fold — do NOT consume the batch id: a late-arriving
+          // delta file must still be applicable under the same id
+          sidecarOutcome(s"[no delta for either table; batch $batchId not consumed]")
+        else updateReferential(spark, config.checkpointDir, c,
+            refD, depD, batchId) match {
+          case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
+          case None => sidecarOutcome(s"[batch $batchId already applied]")
         }
       // checks without mergeable state must NOT vanish into a green exit —
       // emit an explicit skipped row (passed, zero violations) so the

@@ -60,10 +60,14 @@ object StreamingSuite {
                     maxFilesPerTrigger: Int = 1): DataFrame = {
     val stream = readTable(spark, dataDir, Incremental.tableOf(c),
       maxFilesPerTrigger)
+    val viewName = s"stream_state_${c.name}_${runCounter.incrementAndGet()}"
     val state = EventStream.runToCompletion(
-        Incremental.stateOf(c, stream),
-        s"stream_state_${c.name}_${runCounter.incrementAndGet()}", "complete")
+        Incremental.stateOf(c, stream), viewName, "complete")
       .localCheckpoint() // memory-sink views can't self-join unmaterialized
+    // the checkpointed frame owns the data now — drop the memory-sink view
+    // so a long-lived suite session doesn't accumulate one collected state
+    // table per check per pass
+    spark.catalog.dropTempView(viewName)
     Incremental.verdictsFromState(c, state)
   }
 

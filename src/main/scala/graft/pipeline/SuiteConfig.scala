@@ -64,6 +64,11 @@ object SuiteConfig {
     case JLong(v) => v.toDouble
     case other => bad(f, "a number", other, j)
   }
+  /** optional double: absent → default; mistyped still fails loudly. */
+  private def dbl(j: JValue, f: String, d: Double): Double = (j \ f) match {
+    case JNothing => d
+    case _ => dbl(j, f)
+  }
   private def bool(j: JValue, f: String, d: Boolean): Boolean = (j \ f) match {
     case JNothing => d
     case JBool(v) => v
@@ -83,7 +88,8 @@ object SuiteConfig {
         bool(j, "strict", d = true))
     case "referential" =>
       Referential(str(j, "name"), str(j, "depTable"), str(j, "depColumn"),
-        str(j, "refTable"), str(j, "refColumn"), lng(j, "maxMissing", 0L))
+        str(j, "refTable"), str(j, "refColumn"), lng(j, "maxMissing", 0L),
+        lng(j, "expectedRef", 1000000L), dbl(j, "fpp", 0.01))
     case "categorical_drift" =>
       CategoricalDrift(str(j, "name"), str(j, "table"), str(j, "column"),
         str(j, "partitionBy"), lng(j, "thresholdE5", 10000L))

@@ -22,10 +22,15 @@ object ValidationSuite {
   case class Unique(name: String, table: String, column: String,
                     strict: Boolean = true) extends Check
   /** distinct(dep) ⊆ distinct(ref) with ≤ maxMissing missing values;
-    * violations = the missing values themselves. */
+    * violations = the missing values themselves. `expectedRef`/`fpp` size
+    * the Bloom pre-filter (exact path) and the incremental Bloom state —
+    * a ref side outgrowing expectedRef saturates the filter, so size it
+    * for the dimension's eventual cardinality. */
   case class Referential(name: String, depTable: String, depColumn: String,
                          refTable: String, refColumn: String,
-                         maxMissing: Long = 0L) extends Check
+                         maxMissing: Long = 0L,
+                         expectedRef: Long = 1000000L,
+                         fpp: Double = 0.01) extends Check
   /** categorical total-variation drift of `column` across `partitionBy`. */
   case class CategoricalDrift(name: String, table: String, column: String,
                               partitionBy: String, thresholdE5: Long) extends Check
@@ -194,12 +199,12 @@ object ValidationSuite {
         outcomes += CheckOutcome(name, "unique", ok, cnt - u,
           s"cnt=$cnt unique=$u nulls=$nulls")
 
-      case Referential(name, dt, dc, rt, rc, maxMissing) =>
+      case Referential(name, dt, dc, rt, rc, maxMissing, expectedRef, fpp) =>
         requireSoundCap(maxMissing)
         val viol = Checkpoint.stage(spark, dir, name, Seq("profile"), hash)(
           capped(IndValidator.violations(
             Tables.load(spark, sfDir, dt), dc,
-            Tables.load(spark, sfDir, rt), rc))).df
+            Tables.load(spark, sfDir, rt), rc, expectedRef, fpp))).df
         val n = viol.count()
         val sampled = cap > 0 && n >= cap
         violationFrames(name) = viol
@@ -358,31 +363,59 @@ object ValidationSuite {
           s"$table rows per $part share_e5<=$maxShare")
 
       case ProfileShift(name, table, columns, cntTol, nullTol, uTol) =>
-        val snapPath = s"$dir/$name.snapshot"
+        // snapshot lifecycle mirrors Incremental's crash discipline:
+        // versioned snapshot dirs behind an atomically-swapped pointer
+        // file — a crash mid-write can't destroy the baseline, and the
+        // pointer records the previous comparison's flag count so a
+        // rerun after a crashed suite can't SILENTLY swallow a detected
+        // shift (it resurfaces in the detail). Note the check is
+        // run-effectful by design: a completed comparison rolls the
+        // baseline forward even if a later check in the suite fails.
+        import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+        val pointer = JPaths.get(s"$dir/$name.snapshot.json")
+        val PtrRe = """"snapshot_dir":"([^"]*)","version":(\d+),"last_violations":(\d+)""".r
+        val prior = if (JFiles.exists(pointer))
+          PtrRe.findFirstMatchIn(JFiles.readString(pointer))
+            .filter(m => JFiles.exists(JPaths.get(s"$dir/${m.group(1)}/_SUCCESS")))
+          else None
         val cur = graft.checks.History.miniProfile(
           Tables.load(spark, sfDir, table), table, columns)
-        val hasPrev = java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$snapPath/_SUCCESS"))
-        if (hasPrev) {
-          // localCheckpoint BEFORE the snapshot overwrite below: the
-          // verdict frame reads the previous snapshot's files
-          val verdicts = graft.checks.History.shift(
-              cur, spark.read.parquet(snapPath), cntTol, nullTol, uTol)
-            .localCheckpoint()
-          val bad = verdicts.filter(col("shifted"))
-          val n = bad.count()
-          violationFrames(name) = bad
-          outcomes += CheckOutcome(name, "profile_shift", n == 0, n,
-            s"$table metrics vs previous snapshot shrinkTol=$cntTol " +
-              s"nullTol=$nullTol distinctTol=$uTol")
-        } else {
-          violationFrames(name) =
-            graft.checks.History.shift(cur, cur, cntTol, nullTol, uTol)
-              .filter(lit(false))
-          outcomes += CheckOutcome(name, "profile_shift", passed = true, 0L,
-            s"$table baseline snapshot established")
+        val (n, prevFlagged) = prior match {
+          case Some(m) =>
+            val verdicts = graft.checks.History.shift(
+                cur, spark.read.parquet(s"$dir/${m.group(1)}"),
+                cntTol, nullTol, uTol)
+              .localCheckpoint() // pinned before the old dir is reclaimed
+            val bad = verdicts.filter(col("shifted"))
+            violationFrames(name) = bad
+            (bad.count(), m.group(3).toLong)
+          case None =>
+            violationFrames(name) =
+              graft.checks.History.shift(cur, cur, cntTol, nullTol, uTol)
+                .filter(lit(false))
+            (0L, 0L)
         }
-        cur.write.mode("overwrite").parquet(snapPath)
+        outcomes += CheckOutcome(name, "profile_shift", n == 0, n,
+          (if (prior.isEmpty) s"$table baseline snapshot established"
+           else s"$table metrics vs previous snapshot shrinkTol=$cntTol " +
+             s"nullTol=$nullTol distinctTol=$uTol") +
+            (if (prevFlagged > 0)
+              s" [previous comparison flagged $prevFlagged]" else ""))
+        val version = prior.map(_.group(2).toInt + 1).getOrElse(1)
+        val snapDir = s"$name.snapshot_v$version"
+        cur.write.mode("overwrite").parquet(s"$dir/$snapDir")
+        val tmp = JPaths.get(s"$dir/.$name.snapshot.json.tmp")
+        JFiles.writeString(tmp,
+          s"""{"snapshot_dir":"$snapDir","version":$version,"last_violations":$n}""")
+        JFiles.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        prior.foreach { m =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(s"$dir/${m.group(1)}"))
+        }
 
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name, hash = hash)(

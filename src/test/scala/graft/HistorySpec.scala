@@ -61,7 +61,13 @@ class HistorySpec extends SparkSpec {
     val (verdicts, frames) = ValidationSuite.run(spark, data, config)
     assert(verdicts.filter(!col("passed")).count() == 1L)
     assert(frames("ev_shift").filter(col("shifted")).count() == 2L)
-    // and the snapshot rolled forward: rerunning on the shrunk data passes
+    // the snapshot rolled forward: rerunning on the shrunk data passes,
+    // but the previous comparison's flags RESURFACE in the detail — a
+    // crashed suite can't silently swallow a detected shift
+    val (v2, _) = ValidationSuite.run(spark, data, config)
+    assert(v2.filter(!col("passed")).count() == 0L)
+    assert(v2.filter(col("name") === "ev_shift").head()
+      .getAs[String]("detail").contains("[previous comparison flagged 2]"))
     assert(failures() == 0L)
   }
 

@@ -191,11 +191,19 @@ class IncrementalSpec extends SparkSpec {
     val Some((_, oc3)) = Incremental.updateReferential(spark, ckpt, c,
       Some(dims(50L)), Some(facts(50L)), "b3"): @unchecked
     assert(oc3.violations == 2L) // no new violations
-    // config change (different sizing) refuses to merge
+    // config change (different Bloom sizing) refuses to merge
     intercept[IllegalArgumentException] {
-      Incremental.updateReferential(spark, ckpt, c,
-        None, Some(facts(1L)), "b4", expectedRef = 42L)
+      Incremental.updateReferential(spark, ckpt, c.copy(expectedRef = 42L),
+        None, Some(facts(1L)), "b4")
     }
+    // saturation is loud: a ref side outgrowing expectedRef marks the
+    // verdict detail (fpp bound void), never a silent green
+    val tiny = Referential("fk_tiny", "facts", "k", "dims", "id",
+      maxMissing = 0L, expectedRef = 64L)
+    val ckpt2 = Files.createTempDirectory("incr_ref_sat").toString
+    val Some((_, ocSat)) = Incremental.updateReferential(spark, ckpt2, tiny,
+      Some(dims((1L to 200L): _*)), Some(facts(5L)), "b0"): @unchecked
+    assert(ocSat.detail.contains("BLOOM OVER CAPACITY"))
   }
 
   test("RunSuite --incremental CLI folds a delta batch and prints verdicts") {
