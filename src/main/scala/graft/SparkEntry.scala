@@ -1336,6 +1336,32 @@ object SparkEntry {
       Incremental.verdictsFromState(c, state)
     }),
 
+    // incremental referential via Bloom state, oracle-gated: 3 append
+    // batches (ref dimension first, then dep splits) folded through
+    // updateReferential; with the default 1M-sized filter over testdata
+    // cardinalities the false-positive mass is ~0, so the DEFINITE
+    // violation rows equal the exact anti-join the oracle computes
+    // (Spark's BloomFilter hashing is seed-fixed — deterministic)
+    "q_incr_referential" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("incr_ref_q").toString
+      val c = ValidationSuite.Referential(
+        "fkq", "events", "user_id", "customer", "c_custkey", maxMissing = 10L)
+      val ev = Tables.load(s, dir, "events").select("event_id", "user_id")
+      // DESIGNED danglers: the dimension "lost" every 7th key, so events
+      // referencing them are definite violations — a clean 0-row result
+      // would be indistinguishable from a broken pipeline
+      val cust = Tables.load(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+      (0 until 3).map { i =>
+        val Some((bad, _)) = Incremental.updateReferential(s, ckpt, c,
+          if (i == 0) Some(cust) else None,
+          Some(ev.filter(pmod(col("event_id"), lit(3)) === i)),
+          s"b$i"): @unchecked
+        bad
+      }.reduce(_ unionAll _)
+    }),
+
     // run-over-run profile shift (checks.History): a simulated next ingest
     // that LOST a fifth of events (designed shrink) vs an unchanged
     // customer table — shrunk columns flag, stable ones pass. Exact
@@ -1541,6 +1567,13 @@ object SparkEntry {
     "q_incr_freshness" -> freshnessSql,
     "q_stream_drift_tvd" -> driftLangTvdSql,
     "q_stream_freshness" -> freshnessSql,
+
+    "q_incr_referential" ->
+      """SELECT event_id, user_id FROM events e
+        |WHERE user_id IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey % 7 <> 0
+        |                    AND CAST(c.c_custkey AS VARCHAR) = CAST(e.user_id AS VARCHAR))""".stripMargin,
 
     "q_profile_shift" -> {
       def side(table: String, cols: Seq[String], where: String): String =
