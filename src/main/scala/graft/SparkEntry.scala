@@ -1353,13 +1353,21 @@ object SparkEntry {
       // would be indistinguishable from a broken pipeline
       val cust = Tables.load(s, dir, "customer")
         .filter(pmod(col("c_custkey"), lit(7)) =!= 0)
-      (0 until 3).map { i =>
+      val out = (0 until 3).map { i =>
         val Some((bad, _)) = Incremental.updateReferential(s, ckpt, c,
           if (i == 0) Some(cust) else None,
           Some(ev.filter(pmod(col("event_id"), lit(3)) === i)),
           s"b$i"): @unchecked
-        bad
+        bad // localCheckpointed inside update — survives the cleanup below
       }.reduce(_ unionAll _)
+      // reclaim the per-invocation state (~1.2MB Bloom + sidecar) eagerly:
+      // repeated bench/verify runs must not accumulate orphan temp dirs
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckpt))
+      out
     }),
 
     // run-over-run profile shift (checks.History): a simulated next ingest
