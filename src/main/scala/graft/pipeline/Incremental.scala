@@ -386,6 +386,7 @@ object Incremental {
     val totalViol = priorViol + newViol
 
     val bloomFile = s"${c.name}.bloom_v${applied.size + 1}_$batchId"
+    Files.createDirectories(Paths.get(ckptDir)) // first batch on a fresh dir
     val out = java.nio.file.Files.newOutputStream(Paths.get(s"$ckptDir/$bloomFile"))
     try bloom.writeTo(out) finally out.close()
     val allBatches = (applied :+ batchId).map(b => "\"" + b + "\"")

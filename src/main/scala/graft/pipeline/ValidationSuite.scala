@@ -480,7 +480,11 @@ object ValidationSuite {
       "^Customer#[0-9]{9}$"),
     NullRateDrift("nnd_event_props", "events", "props", "event_type", 1000L),
     UniqueComposite("pk_documents_src_doc", "documents",
-      Seq("source", "doc_id"))
+      Seq("source", "doc_id")),
+    // run-over-run metric shift: first suite run on a checkpoint dir
+    // establishes the baseline; later runs compare against it
+    ProfileShift("shift_orders", "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct
