@@ -42,6 +42,9 @@ import graft.pipeline.ValidationSuite._
   *   - verdict equality: folding any partitioning of the corpus through
   *     the state equals the single-pass batch verdict (IncrementalSpec
   *     proves frame equality per check kind).
+  *
+  * Referential checks fold through a different (Bloom) state with
+  * one-sided semantics — see `updateReferential`.
   */
 object Incremental {
 
