@@ -28,13 +28,16 @@ object RunSuite {
 
   /** Shared verdict printer + summary line; returns the failed count.
     * Skipped checks (an incremental/streaming pass over a non-mergeable
-    * check) print as SKIP and are counted separately — a pass that covered
-    * 6 of 22 checks must not read as 22 green. */
+    * check, or a check with no state and no delta yet) print as SKIP and
+    * are counted separately — a pass that covered 6 of 22 checks must not
+    * read as 22 green. */
+  private val SkipKinds = Set("skipped", "no_state")
+
   private def printVerdicts(rows: Array[org.apache.spark.sql.Row],
                             metric: String, extra: String): Int = {
     rows.foreach { r =>
       val status =
-        if (r.getAs[String]("kind") == "skipped") "SKIP"
+        if (SkipKinds(r.getAs[String]("kind"))) "SKIP"
         else if (r.getAs[Boolean]("passed")) "PASS"
         else "FAIL"
       println(s"$status ${r.getAs[String]("name")} " +
@@ -42,7 +45,7 @@ object RunSuite {
         r.getAs[String]("detail"))
     }
     val failed = rows.count(!_.getAs[Boolean]("passed"))
-    val skipped = rows.count(_.getAs[String]("kind") == "skipped")
+    val skipped = rows.count(r => SkipKinds(r.getAs[String]("kind")))
     println(s"""{"metric":"$metric","checks":${rows.length},""" +
       s""""failed":$failed,"skipped":$skipped$extra}""")
     failed
@@ -82,9 +85,16 @@ object RunSuite {
                    configJson: Option[String] = None): Int = {
     val (verdicts, _) = StreamingSuite.run(spark, dataDir,
       configOf(configJson, ckptDir))
-    verdicts.write.mode("overwrite").parquet(s"$ckptDir/_verdicts_streaming")
-    printVerdicts(verdicts.collect(), "suite-streaming",
+    val rows = verdicts.collect()
+    val failed = printVerdicts(rows, "suite-streaming",
       s""","checkpoint":"$ckptDir"""")
+    // artifact written only AFTER the verdict pass, stamped with the
+    // run-level failed count — a consumer scripting on the file must not
+    // read a failed run as complete-and-green off its mere existence
+    verdicts.withColumn("suite_failed",
+        org.apache.spark.sql.functions.lit(failed))
+      .write.mode("overwrite").parquet(s"$ckptDir/_verdicts_streaming")
+    failed
   }
 
   def main(args: Array[String]): Unit = {

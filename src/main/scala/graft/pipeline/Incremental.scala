@@ -312,7 +312,16 @@ object Incremental {
     * reported now is not retracted if the ref key arrives in a LATER
     * batch (append-only dims rarely heal; re-run full when they do).
     * Cumulative definite violations gate against `maxMissing`.
-    * Returns None when the batch id was already applied. */
+    * Returns None when the batch id was already applied.
+    *
+    * Return-value asymmetry (deliberate): the returned violation FRAME
+    * holds only THIS batch's definite violations (older batches' rows are
+    * not persisted — Bloom state carries no row payload), while
+    * `CheckOutcome.violations` is the CUMULATIVE total across batches.
+    * Consumers persisting the frame per batch get the full history by
+    * appending; counting the frame of one batch will NOT equal the
+    * outcome's number. The count-monoid path (`update`) has no such
+    * split — its frame and count always agree. */
   private val RefValsRe = """"ref_values":(\d+)""".r
 
   def updateReferential(spark: SparkSession, ckptDir: String, c: Referential,
@@ -434,7 +443,13 @@ object Incremental {
           val (bad, oc) = outcomeOf(c, verdictsFromState(c, spark.read.parquet(p)))
           frames(c.name) = bad
           outcomes += oc.copy(detail = oc.detail + note)
-        case None => ()
+        case None =>
+          // no delta AND no persisted state: the check must not vanish into
+          // a green exit (a misnamed table file on the first batch would
+          // otherwise silently drop it) — surface an explicit no-state row
+          outcomes += CheckOutcome(c.name, "no_state", passed = true, 0L,
+            s"no persisted state and no delta for ${tableOf(c)} — nothing " +
+              s"folded yet; verify the table name/delta layout$note")
       }
     def deltaOf(t: String): Option[DataFrame] = {
       val p = s"$deltaDir/$t.parquet"
@@ -458,7 +473,14 @@ object Incremental {
             outcomes += CheckOutcome(c.name, "referential_incremental",
               viol <= c.maxMissing, viol,
               s"definite_violations=$viol budget=${c.maxMissing} $note")
-          }
+          } else
+            // no deltas AND no Bloom sidecar: surface rather than drop —
+            // a first batch with both table files missing/misnamed must
+            // not read as a green exit with the check absent
+            outcomes += CheckOutcome(c.name, "no_state", passed = true, 0L,
+              s"no persisted Bloom state and no delta for ${c.refTable}/" +
+                s"${c.depTable} — nothing folded yet; verify the delta " +
+                s"layout $note")
         }
         val (refD, depD) = (deltaOf(c.refTable), deltaOf(c.depTable))
         if (refD.isEmpty && depD.isEmpty)

@@ -185,6 +185,30 @@ object ValidationSuite {
     def stageHash(c: Check): String =
       Checkpoint.configHash(c.toString, s"cap=$cap", s"sf=$sfDir")
 
+    // ProfileShift snapshots batched: each mini-profile is one single-row
+    // agg job; run serially inside the check loop a 10⁴-table registry
+    // pays 10⁴ sequential job round-trips. Pre-compute every shift check's
+    // current profile concurrently on the same bounded-pool discipline as
+    // Profiler.profileAll (Spark schedules the jobs across the same
+    // executors); the case below reads its frame off this map while the
+    // snapshot pointer/dir lifecycle stays sequential (driver file ops).
+    val shiftProfiles: Map[String, DataFrame] = {
+      val shifts = config.checks.collect { case p: ProfileShift => p }
+      if (shifts.isEmpty) Map.empty
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(Future.traverse(shifts) { p =>
+            Future(p.name -> graft.checks.History.miniProfile(
+              Tables.load(spark, sfDir, p.table), p.table, p.columns))
+          }, Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
+    }
+
     config.checks.foreach { chk =>
       val hash = stageHash(chk)
       chk match {
@@ -378,8 +402,7 @@ object ValidationSuite {
           PtrRe.findFirstMatchIn(JFiles.readString(pointer))
             .filter(m => JFiles.exists(JPaths.get(s"$dir/${m.group(1)}/_SUCCESS")))
           else None
-        val cur = graft.checks.History.miniProfile(
-          Tables.load(spark, sfDir, table), table, columns)
+        val cur = shiftProfiles(name) // batched above — no per-check job here
         val (n, prevFlagged) = prior match {
           case Some(m) =>
             val verdicts = graft.checks.History.shift(

@@ -79,7 +79,15 @@ object Samplers {
     * partition) — a tiny driver-side frame — prefix-sum the counts into
     * per-partition offsets, then number within each (key, partition) and add
     * the offset. Every sort is bounded by one range partition; the only
-    * driver state is #partitions × #keys counts. Output: input + `rn`. */
+    * driver state is #partitions × #keys counts. Output: input + `rn`.
+    *
+    * CONTRACT: the key column must be LOW-CARDINALITY (sampler method
+    * names, table names — tens of values): the per-(key, partition) count
+    * frame collects to the driver, so a high-cardinality key (a join key,
+    * a doc id) turns the driver state data-sized. The guard below fails
+    * fast rather than OOM-ing the driver at scale. */
+  val NumberedByValMaxKeyGroups = 100000
+
   def numberedByVal(values: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.size <= 1, "numberedByVal supports at most one key column")
     val spark = values.sparkSession
@@ -89,7 +97,13 @@ object Samplers {
       .localCheckpoint() // pins partition ids for the two consumers below
     val counts = parted
       .groupBy((keyCols :+ "_pid").map(col): _*).agg(count("*").as("_cnt"))
+      .limit(NumberedByValMaxKeyGroups + 1)
       .collect()
+    require(counts.length <= NumberedByValMaxKeyGroups,
+      s"numberedByVal: > $NumberedByValMaxKeyGroups (key, partition) " +
+        "groups — the key column must be low-cardinality (its counts " +
+        "collect to the driver); use a window or repartition-by-key " +
+        "pipeline for high-cardinality keys")
     val offsetsDf = keyCols match {
       case Seq(k) =>
         val rows = counts.map(r => (r.getAs[String](k), r.getAs[Int]("_pid"), r.getAs[Long]("_cnt")))

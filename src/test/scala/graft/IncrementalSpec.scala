@@ -206,6 +206,24 @@ class IncrementalSpec extends SparkSpec {
     assert(ocSat.detail.contains("BLOOM OVER CAPACITY"))
   }
 
+  test("no state + no delta: checks surface as no_state rows, never dropped") {
+    // empty delta dir + fresh ckpt: a first batch whose table files are
+    // missing/misnamed must not exit green with the checks silently absent
+    val data = Files.createTempDirectory("incr_nostate_data").toString
+    val ckpt = Files.createTempDirectory("incr_nostate_ckpt").toString
+    val config = Config(Seq(
+      CategoricalDrift("c_cat", "events", "cat", "part", 10000L),
+      Referential("c_ref", "facts", "k", "dims", "id", maxMissing = 0L)), ckpt)
+    val (verdicts, _) = Incremental.run(spark, data, config, "b0")
+    val byName = verdicts.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName.keySet == Set("c_cat", "c_ref"))
+    Seq("c_cat", "c_ref").foreach { n =>
+      assert(byName(n).getAs[String]("kind") == "no_state", n)
+      assert(byName(n).getAs[Boolean]("passed"), n)
+      assert(byName(n).getAs[Long]("violations") == 0L, n)
+    }
+  }
+
   test("RunSuite --incremental CLI folds a delta batch and prints verdicts") {
     val data = Files.createTempDirectory("incr_cli_data").toString
     val ckpt = Files.createTempDirectory("incr_cli_ckpt").toString

@@ -30,6 +30,18 @@ class SamplerScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
   }
 
+  test("numberedByVal fails fast on a high-cardinality key (driver-state guard)") {
+    // the per-(key, partition) counts collect to the driver — a data-sized
+    // key must refuse loudly instead of OOM-ing the driver at scale
+    val n = Samplers.NumberedByValMaxKeyGroups + 50
+    val wide = spark.range(n).selectExpr("cast(id as string) as k",
+      "cast(id as string) as val")
+    val e = intercept[IllegalArgumentException] {
+      Samplers.numberedByVal(wide, Seq("k"))
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+  }
+
   test("numberedByVal matches a naive global row numbering") {
     val dv = values.select("val").dropDuplicates("val")
     val naive = dv.withColumn("rn", row_number().over(Window.orderBy("val")))

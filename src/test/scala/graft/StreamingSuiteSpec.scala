@@ -75,6 +75,33 @@ class StreamingSuiteSpec extends SparkSpec {
     assert(failed == 0)
     assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 2)
     assert(out.toString.contains("(streaming)"))
-    assert(spark.read.parquet(s"$ckpt/_verdicts_streaming").count() == 2)
+    val persisted = spark.read.parquet(s"$ckpt/_verdicts_streaming")
+    assert(persisted.count() == 2)
+    // artifact carries the run-level failed count — a scripted consumer
+    // must not mistake a failed run for green off the file's existence
+    assert(persisted.select("suite_failed").distinct()
+      .as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("RunSuite --streaming stamps a failing run's artifact with its failed count") {
+    val dir = Files.createTempDirectory("stream_cli_bad").toString
+    val ckpt = Files.createTempDirectory("stream_cli_bad_ckpt").toString
+    Seq((1L, "a", "x", java.sql.Timestamp.valueOf("2024-06-02 12:00:00")),
+        (2L, "a", "x", java.sql.Timestamp.valueOf("2024-06-02 12:00:05")),
+        (3L, "b", "x", java.sql.Timestamp.valueOf("2024-06-02 12:00:06")))
+      .toDF("id", "part", "cat", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // share cap 50000 (50%): partition 'a' holds 2/3 → fails
+    val cfg =
+      """{"checks":[
+        |  {"type":"row_balance","name":"rb","table":"events",
+        |   "partitionBy":"part","maxShareE5":50000}]}""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    val failed = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.runStreaming(spark, dir, ckpt, Some(cfg))
+    }
+    assert(failed == 1)
+    assert(spark.read.parquet(s"$ckpt/_verdicts_streaming")
+      .select("suite_failed").distinct().as[Int].collect().toSeq == Seq(1))
   }
 }
