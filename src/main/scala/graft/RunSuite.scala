@@ -77,6 +77,25 @@ object RunSuite {
       s""","batch":"$batchId","checkpoint":"$ckptDir"""")
   }
 
+  /** Self-discovering incremental pass: no deltaDir/batchId — the engine
+    * diffs the data dir's file listing against the manifest logged under
+    * ckptDir, folds ONLY the new files as this run's batch, and re-derives
+    * verdicts (pipeline.Discovery). Run it from cron against a growing
+    * lakehouse dir; a quiet dir re-derives verdicts from state without
+    * touching the source. */
+  def runIncrementalDiscover(spark: SparkSession, dataDir: String,
+                             ckptDir: String,
+                             configJson: Option[String] = None): Int = {
+    val (verdicts, _, batch) = graft.pipeline.Discovery.discoverAndRun(
+      spark, dataDir, configOf(configJson, ckptDir))
+    val batchNote = batch match {
+      case Some(b) => s""","batch":"${b.id}","new_files":${b.fileCount}"""
+      case None => s""","batch":null,"new_files":0"""
+    }
+    printVerdicts(verdicts.collect(), "suite-incremental-discover",
+      s"""$batchNote,"checkpoint":"$ckptDir"""")
+  }
+
   /** Streaming pass: every state-mergeable check runs as a Structured-
     * Streaming aggregation over a rate-limited file stream of the data dir
     * (one file per trigger), verdicts re-derived from the final bounded
@@ -101,6 +120,7 @@ object RunSuite {
     require(args.length >= 2,
       "usage: RunSuite <dataDir> <checkpointDir> [config.json] | " +
         "RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json] | " +
+        "RunSuite --incremental-discover <dataDir> <checkpointDir> [config.json] | " +
         "RunSuite --streaming <dataDir> <checkpointDir> [config.json]")
     // under spark-submit the master AND tuning conf (shuffle partitions
     // etc.) come from the cluster/--conf untouched; standalone runs (no
@@ -120,6 +140,10 @@ object RunSuite {
         require(args.length >= 4,
           "usage: RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json]")
         runIncremental(spark, args(1), args(2), args(3), readCfg(4))
+      } else if (args(0) == "--incremental-discover") {
+        require(args.length >= 3,
+          "usage: RunSuite --incremental-discover <dataDir> <checkpointDir> [config.json]")
+        runIncrementalDiscover(spark, args(1), args(2), readCfg(3))
       } else if (args(0) == "--streaming") {
         require(args.length >= 3,
           "usage: RunSuite --streaming <dataDir> <checkpointDir> [config.json]")

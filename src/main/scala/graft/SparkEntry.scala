@@ -1336,6 +1336,37 @@ object SparkEntry {
       Incremental.verdictsFromState(c, state)
     }),
 
+    // SELF-DISCOVERED incremental path, oracle-gated: two appends land as
+    // files in a data dir; Discovery manifest-diffs the dir, folds ONLY
+    // the new files per pass, and the state's re-derived verdicts must
+    // equal the single-pass drift over the whole table (same oracle SQL
+    // as q_drift_lang_tvd / q_incr_drift_tvd)
+    "q_incr_discovered" -> ((s, dir) => {
+      val data = java.nio.file.Files.createTempDirectory("disc_q_data").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("disc_q_ckpt").toString
+      val c = ValidationSuite.CategoricalDrift(
+        "discq", "documents", "lang", "source", 10000L)
+      val cfg = ValidationSuite.Config(Seq(c), ckpt)
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(s"$data/documents.parquet")
+      graft.pipeline.Discovery.discoverAndRun(s, data, cfg): Unit
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .write.mode("append").parquet(s"$data/documents.parquet")
+      graft.pipeline.Discovery.discoverAndRun(s, data, cfg): Unit
+      val out = Incremental.verdictsFromState(c,
+          s.read.parquet(Incremental.statePath(s, ckpt, "discq").get))
+        .localCheckpoint() // pin before the temp dirs are reclaimed
+      // reclaim the per-invocation data + state eagerly: repeated
+      // bench/verify runs must not accumulate orphan temp dirs
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(data)); rm(new java.io.File(ckpt))
+      out
+    }),
+
     // incremental referential via Bloom state, oracle-gated: 3 append
     // batches (ref dimension first, then dep splits) folded through
     // updateReferential; with the default 1M-sized filter over testdata
@@ -1572,6 +1603,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_incr_drift_tvd" -> driftLangTvdSql,
+    "q_incr_discovered" -> driftLangTvdSql,
     "q_incr_freshness" -> freshnessSql,
     "q_stream_drift_tvd" -> driftLangTvdSql,
     "q_stream_freshness" -> freshnessSql,

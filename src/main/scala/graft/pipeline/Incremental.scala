@@ -434,6 +434,20 @@ object Incremental {
     * reported as skipped=full-run-only. */
   def run(spark: SparkSession, deltaDir: String, config: Config,
           batchId: String): (DataFrame, Map[String, DataFrame]) = {
+    def deltaOf(t: String): Option[DataFrame] = {
+      val p = s"$deltaDir/$t.parquet"
+      if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+    }
+    runWith(spark, deltaOf, config, batchId)
+  }
+
+  /** `run` with the delta-resolution strategy injected: `deltaOf(table)`
+    * returns the batch's new rows for a table, or None when the batch
+    * carries nothing for it. The dir form above resolves per-table files;
+    * the self-discovery path (`Discovery`) resolves manifest-diffed file
+    * lists inside the main data dir. */
+  def runWith(spark: SparkSession, deltaOf: String => Option[DataFrame],
+              config: Config, batchId: String): (DataFrame, Map[String, DataFrame]) = {
     import spark.implicits._
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -451,10 +465,6 @@ object Incremental {
             s"no persisted state and no delta for ${tableOf(c)} — nothing " +
               s"folded yet; verify the table name/delta layout$note")
       }
-    def deltaOf(t: String): Option[DataFrame] = {
-      val p = s"$deltaDir/$t.parquet"
-      if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
-    }
     config.checks.foreach {
       // referential folds through Bloom state (definite-violation
       // semantics — see updateReferential)
@@ -499,15 +509,15 @@ object Incremental {
         outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
           "no mergeable state — run the full suite for this check")
       case c =>
-        val deltaPath = s"$deltaDir/${tableOf(c)}.parquet"
-        if (Files.exists(Paths.get(deltaPath))) {
-          update(spark, config.checkpointDir, c,
-              spark.read.parquet(deltaPath), batchId) match {
-            case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
-            case None => // already applied: re-derive from current state
-              fromState(c, s" [batch $batchId already applied]")
-          }
-        } else fromState(c, " [no delta for table]")
+        deltaOf(tableOf(c)) match {
+          case Some(delta) =>
+            update(spark, config.checkpointDir, c, delta, batchId) match {
+              case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
+              case None => // already applied: re-derive from current state
+                fromState(c, s" [batch $batchId already applied]")
+            }
+          case None => fromState(c, " [no delta for table]")
+        }
     }
     (outcomes.toSeq.toDF(), frames.toMap)
   }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.checks.Drift
+import graft.pipeline.{Discovery, Incremental}
+import graft.pipeline.ValidationSuite._
+
+/** Delta self-discovery: the engine finds new files itself by manifest
+  * diff, scans ONLY those files, and folding the discovered batches equals
+  * the single-pass batch verdicts; crashed folds replay under the same
+  * batch id; in-place rewrites refuse. */
+class DiscoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRows(ids: Range): DataFrame = ids.map { i =>
+    val p = s"p${i % 4}"
+    val cat = if (i % 4 == 3) s"c${i % 2}" else s"c${i % 5}"
+    val ts = java.sql.Timestamp.valueOf(
+      if (i % 4 == 3) "2024-06-01 00:00:00" else "2024-06-02 12:00:00")
+    (i.toLong, p, cat, ts)
+  }.toDF("id", "part", "cat", "ts")
+
+  private val check = CategoricalDrift("d_cat", "events", "cat", "part", 10000L)
+  private def configFor(ckpt: String) =
+    Config(Seq(check, Freshness("d_fresh", "events", "ts", "part", 3600L)), ckpt)
+
+  private def stateRows(ckpt: String, name: String): Seq[String] =
+    Incremental.verdictsFromState(check,
+        spark.read.parquet(Incremental.statePath(spark, ckpt, name).get))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("discovered appends fold to the single-pass batch verdicts; only new files scanned") {
+    val data = Files.createTempDirectory("disc_data").toString
+    val ckpt = Files.createTempDirectory("disc_ckpt").toString
+    val cfg = configFor(ckpt)
+
+    // batch 0: initial corpus — first discovery folds EVERYTHING
+    mkRows(0 until 800).write.mode("overwrite").parquet(s"$data/events.parquet")
+    val (_, _, b0) = Discovery.discoverAndRun(spark, data, cfg)
+    assert(b0.isDefined && b0.get.files("events").nonEmpty)
+
+    // batch 1: appended part files — discovery must list EXACTLY them
+    val before = Discovery.scan(data)("events").map(_.path).toSet
+    mkRows(800 until 1400).write.mode("append").parquet(s"$data/events.parquet")
+    val appended = Discovery.scan(data)("events").map(_.path).toSet.diff(before)
+    assert(appended.nonEmpty)
+    val discovered = Discovery.discover(data, ckpt).get
+    assert(discovered.files("events").map(_.path).toSet == appended)
+    // scan proof: the delta frame reads ONLY the appended files
+    val delta = Discovery.resolver(spark, data, discovered)("events").get
+    assert(delta.inputFiles.map(f => new java.net.URI(f).getPath).toSet ==
+      appended.map(p => s"$data/$p"))
+    assert(delta.count() == 600)
+
+    val (verdicts1, _, b1) = Discovery.discoverAndRun(spark, data, cfg)
+    assert(b1.map(_.id) == Some(discovered.id))
+    assert(verdicts1.filter(col("kind") === "no_state").count() == 0)
+
+    // folded state == single-pass batch verdicts over the full corpus
+    assert(stateRows(ckpt, "d_cat") ==
+      Drift.categorical(mkRows(0 until 1400), "part", "cat", 10000L)
+        .collect().map(_.mkString("|")).sorted.toSeq)
+
+    // quiet dir: no new batch, verdicts re-derived from state — same
+    // outcomes as the fold that consumed the last batch
+    def key(df: DataFrame) = df.select("name", "kind", "passed", "violations")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val (verdicts2, _, b2) = Discovery.discoverAndRun(spark, data, cfg)
+    assert(b2.isEmpty)
+    assert(key(verdicts2) == key(verdicts1))
+  }
+
+  test("crash window: a logged-but-unfolded batch replays under ITS id before new files") {
+    val data = Files.createTempDirectory("disc_crash_data").toString
+    val ckpt = Files.createTempDirectory("disc_crash_ckpt").toString
+    val cfg = configFor(ckpt)
+    mkRows(0 until 600).write.mode("overwrite").parquet(s"$data/events.parquet")
+    Discovery.discoverAndRun(spark, data, cfg): Unit
+
+    // simulate a crash AFTER the manifest logged batch 1 but BEFORE any
+    // check folded it
+    mkRows(600 until 900).write.mode("append").parquet(s"$data/events.parquet")
+    val b1 = Discovery.discover(data, ckpt).get
+    Discovery.writeBatches(ckpt, Discovery.readBatches(ckpt) :+ b1)
+
+    // more files arrive after the crash — they must become a SEPARATE
+    // batch; b1's rows fold exactly once under b1's id
+    mkRows(900 until 1200).write.mode("append").parquet(s"$data/events.parquet")
+    val (_, _, b2) = Discovery.discoverAndRun(spark, data, cfg)
+    assert(b2.isDefined && b2.get.id != b1.id)
+    val lineage = Files.readString(
+      java.nio.file.Paths.get(s"$ckpt/d_cat.state.lineage.json"))
+    assert(lineage.contains(b1.id) && lineage.contains(b2.get.id))
+    assert(stateRows(ckpt, "d_cat") ==
+      Drift.categorical(mkRows(0 until 1200), "part", "cat", 10000L)
+        .collect().map(_.mkString("|")).sorted.toSeq)
+  }
+
+  test("append-only contract: an in-place rewrite refuses discovery") {
+    val data = Files.createTempDirectory("disc_mut_data").toString
+    val ckpt = Files.createTempDirectory("disc_mut_ckpt").toString
+    mkRows(0 until 400).write.mode("overwrite").parquet(s"$data/events.parquet")
+    Discovery.discoverAndRun(spark, data, configFor(ckpt)): Unit
+    // overwrite rewrites the dir with NEW part names — old files vanish
+    mkRows(0 until 500).write.mode("overwrite").parquet(s"$data/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Discovery.discover(data, ckpt)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("RunSuite --incremental-discover CLI: discovers, folds, reports the batch") {
+    val data = Files.createTempDirectory("disc_cli_data").toString
+    val ckpt = Files.createTempDirectory("disc_cli_ckpt").toString
+    val cfgJson =
+      """{"checks":[
+        |  {"type":"categorical_drift","name":"cat","table":"events",
+        |   "column":"cat","partitionBy":"part","thresholdE5":99999}]}""".stripMargin
+    mkRows(0 until 300).write.mode("overwrite").parquet(s"$data/events.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    val failed = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.runIncrementalDiscover(spark, data, ckpt, Some(cfgJson))
+    }
+    assert(failed == 0)
+    assert(out.toString.contains("\"metric\":\"suite-incremental-discover\""))
+    assert(out.toString.contains("\"batch\":\"disc-"))
+    // quiet second run: batch null, still green
+    val out2 = new java.io.ByteArrayOutputStream()
+    val failed2 = Console.withOut(new java.io.PrintStream(out2)) {
+      RunSuite.runIncrementalDiscover(spark, data, ckpt, Some(cfgJson))
+    }
+    assert(failed2 == 0)
+    assert(out2.toString.contains("\"batch\":null,\"new_files\":0"))
+  }
+}
