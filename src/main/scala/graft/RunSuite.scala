@@ -67,8 +67,10 @@ object RunSuite {
     * size. State-mergeable checks (drift / freshness / balance / top-k
     * families) fold exactly; referential checks fold through Bloom state
     * with definite-violation semantics (Incremental.updateReferential);
-    * exact-uniqueness and schema checks stay on the full-run path and
-    * print as SKIP. */
+    * uniqueness folds through HLL sketch state with one-sided approx
+    * semantics (FAIL definite, PASS within the error band); composite
+    * uniqueness and schema checks stay on the full-run path and print as
+    * SKIP. */
   def runIncremental(spark: SparkSession, deltaDir: String, ckptDir: String,
                      batchId: String, configJson: Option[String] = None): Int = {
     val (verdicts, _) = Incremental.run(spark, deltaDir,

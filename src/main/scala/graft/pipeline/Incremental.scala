@@ -50,16 +50,31 @@ object Incremental {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Checks with a mergeable per-partition COUNT/MAX state. Referential
-    * checks fold separately through Bloom state (`updateReferential` —
-    * definite-violation semantics); exact uniqueness needs full-history
-    * distincts and schema checks are metadata-only — those stay on the
-    * full-run path. */
+  /** Checks with a mergeable state. The drift/freshness/balance families
+    * keep per-partition COUNT/MAX monoids; `Unique` keeps an HLL sketch
+    * (union IS the merge) with one-sided approx semantics — see
+    * `verdictsFromState`'s Unique case. Referential checks fold separately
+    * through Bloom state (`updateReferential` — definite-violation
+    * semantics); exact/composite uniqueness needs full-history distincts
+    * and schema checks are metadata-only — those stay on the full-run
+    * path. */
   def supported(c: Check): Boolean = c match {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
-         _: NullRateDrift | _: RowBalance | _: TopKStability => true
+         _: NullRateDrift | _: RowBalance | _: TopKStability |
+         _: Unique => true
     case _ => false
   }
+
+  /** One-sided approx-uniqueness band: Spark's `hll_sketch_agg` default
+    * lgConfigK=12 has relative standard deviation ≈ 1.04/√4096 ≈ 1.62%,
+    * so 3σ ≈ 4.9% → a 5% band plus a floor of 8 for tiny columns (the
+    * q_profile_approx error-bound discipline). A column whose estimate
+    * falls BELOW n_notnull − band cannot be unique at 3σ confidence —
+    * the incremental FAIL is definite; a PASS tolerates up to ~band
+    * duplicates, with the exact full run as the recall backstop (the
+    * mirror image of the Bloom referential's one-sidedness). */
+  val UniqueHllTolE5 = 5000L
+  val UniqueHllFloor = 8L
 
   private[pipeline] def tableOf(c: Check): String = c match {
     case CategoricalDrift(_, t, _, _, _) => t
@@ -68,6 +83,7 @@ object Incremental {
     case NullRateDrift(_, t, _, _, _)    => t
     case RowBalance(_, t, _, _)          => t
     case TopKStability(_, t, _, _, _, _) => t
+    case Unique(_, t, _, _)              => t
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -86,6 +102,8 @@ object Incremental {
     case RowBalance(_, t, p, _) => Checkpoint.configHash("bal", t, p)
     case TopKStability(_, t, col0, p, _, _) =>
       Checkpoint.configHash("topk", t, col0, p)
+    case Unique(_, t, col0, _) => // strict is a verdict param, not state
+      Checkpoint.configHash("unique_hll", t, col0)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -117,6 +135,15 @@ object Incremental {
           (count(lit(1)) - count(col(v))).as("n_nulls"))
     case RowBalance(_, _, p, _) =>
       batch.groupBy(col(p).as("partition")).agg(count(lit(1)).as("n_rows"))
+    case Unique(_, _, c0, _) =>
+      // one row, no partition key: the DataSketches HLL sketch is the
+      // mergeable distinct state (union IS the monoid merge). String cast
+      // for type-stable hashing across batches — same canonicalization as
+      // the profile's exact distincts.
+      batch.agg(
+        hll_sketch_agg(col(c0).cast(org.apache.spark.sql.types.StringType))
+          .as("sketch"),
+        count(lit(1)).as("n_rows"), count(col(c0)).as("n_notnull"))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -138,6 +165,9 @@ object Incremental {
           .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"))
       case _: RowBalance =>
         both.groupBy("partition").agg(sum("n_rows").as("n_rows"))
+      case _: Unique =>
+        both.agg(hll_union_agg(col("sketch")).as("sketch"),
+          sum("n_rows").as("n_rows"), sum("n_notnull").as("n_notnull"))
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -160,6 +190,18 @@ object Incremental {
       PartitionChecks.rowBalanceFromCounts(state, maxShare)
     case TopKStability(_, _, _, _, k, thr) =>
       Drift.topkStabilityFromCounts(state, k, thr)
+    case Unique(_, t, c0, strict) =>
+      // engine-portable integer band math (oracle mirrors it with `//`):
+      // min_required = n_notnull − max(⌈n_notnull · tol⌉, floor)
+      state.select(
+          lit(s"$t.$c0").as("col"), col("n_rows"), col("n_notnull"),
+          hll_sketch_estimate(col("sketch")).as("approx_distinct"))
+        .withColumn("min_required", greatest(col("n_notnull") -
+          greatest(expr(s"(n_notnull * $UniqueHllTolE5 + 99999) div 100000"),
+            lit(UniqueHllFloor)), lit(0L)))
+        .withColumn("approx_unique", col("approx_distinct") >= col("min_required"))
+        .withColumn("passed", col("approx_unique") &&
+          (if (strict) col("n_rows") === col("n_notnull") else lit(true)))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -187,6 +229,12 @@ object Incremental {
       case TopKStability(_, t, col0, p, k, thr) =>
         ("topk_stability", verdicts.filter(!col("stable")),
           s"$t.$col0 top-$k per $p jaccard_e5>=$thr")
+      case Unique(_, t, col0, strict) =>
+        ("unique_incremental_approx", verdicts.filter(!col("passed")),
+          s"$t.$col0 approx-unique (HLL one-sided: FAIL definite at 3σ, " +
+            s"PASS tolerates <=${UniqueHllTolE5}e-5+$UniqueHllFloor dupes — " +
+            s"exact full run is the backstop)" +
+            (if (strict) " strict" else ""))
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -263,10 +311,14 @@ object Incremental {
     val state = spark.read.parquet(newPath)
 
     // lineage sidecar: state pointer, key, applied batches, rows, and the
-    // partitions THIS batch touched (the "newer than the checkpoint" units)
-    val touched = deltaState.select("partition").distinct().collect()
-      .map(r => "\"" + String.valueOf(r.get(0)).replace("\\", "\\\\")
-        .replace("\"", "\\\"") + "\"")
+    // partitions THIS batch touched (the "newer than the checkpoint"
+    // units). Column-global states (Unique's HLL) have no partition key —
+    // their touched list is empty by construction.
+    val touched =
+      if (!deltaState.columns.contains("partition")) Array.empty[String]
+      else deltaState.select("partition").distinct().collect()
+        .map(r => "\"" + String.valueOf(r.get(0)).replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\"")
     val allBatches = (applied :+ batchId).map(b => "\"" + b + "\"")
     Files.createDirectories(Paths.get(ckptDir))
     val json =

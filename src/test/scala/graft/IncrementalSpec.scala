@@ -143,18 +143,27 @@ class IncrementalSpec extends SparkSpec {
     val config = Config(Seq(
       CategoricalDrift("ev_cat", "events", "cat", "part", 10000L),
       Freshness("ev_fresh", "events", "ts", "part", 3600L),
-      Unique("not_incr", "events", "id")), ckpt)
+      Unique("ev_uid", "events", "id", strict = false),
+      UniqueComposite("not_incr", "events", Seq("id", "part"))), ckpt)
     batches.zipWithIndex.foreach { case (b, i) =>
       b.write.mode("overwrite").parquet(s"$data/events.parquet")
       val (verdicts, frames) = Incremental.run(spark, data, config, s"batch$i")
-      // supported checks run incrementally; the unsupported one emits an
-      // explicit skipped row instead of silently vanishing
+      // supported checks (incl. HLL uniqueness) run incrementally; the
+      // unsupported one emits an explicit skipped row instead of silently
+      // vanishing
       assert(verdicts.select("name").as[String].collect().toSet ==
-        Set("ev_cat", "ev_fresh", "not_incr"))
+        Set("ev_cat", "ev_fresh", "ev_uid", "not_incr"))
       assert(verdicts.filter(col("kind") === "skipped")
         .select("name").as[String].collect().toSeq == Seq("not_incr"))
-      assert(frames.keySet == Set("ev_cat", "ev_fresh"))
+      assert(frames.keySet == Set("ev_cat", "ev_fresh", "ev_uid"))
     }
+    // id is unique across all three batches: the folded HLL verdict passes
+    val uidState = spark.read.parquet(
+      Incremental.statePath(spark, ckpt, "ev_uid").get)
+    val uidV = Incremental.verdictsFromState(
+      Unique("ev_uid", "events", "id", strict = false), uidState).collect()(0)
+    assert(uidV.getAs[Boolean]("passed"))
+    assert(uidV.getAs[Long]("n_rows") == 2000L)
     // final incremental verdicts equal the full single-pass run
     val finalCat = Incremental.verdictsFromState(checkOf("cat"),
       spark.read.parquet(Incremental.statePath(spark, ckpt, "ev_cat").get))
@@ -204,6 +213,38 @@ class IncrementalSpec extends SparkSpec {
     val Some((_, ocSat)) = Incremental.updateReferential(spark, ckpt2, tiny,
       Some(dims((1L to 200L): _*)), Some(facts(5L)), "b0"): @unchecked
     assert(ocSat.detail.contains("BLOOM OVER CAPACITY"))
+  }
+
+  test("unique: HLL fold within union-estimate band; dupes definitely fail; strict gates nulls") {
+    val cU = Unique("u_id", "t", "id", strict = false)
+    val direct = Incremental.stateOf(cU, corpus)
+    val folded = batches.map(b => Incremental.stateOf(cU, b))
+      .reduce((a, b) => Incremental.mergeState(cU, a, b))
+    val dv = Incremental.verdictsFromState(cU, direct).collect()(0)
+    val fv = Incremental.verdictsFromState(cU, folded).collect()(0)
+    // the union merges through a dense gadget whose estimator path differs
+    // by a hair from a direct sparse-mode sketch — bound-compare (1% + 4),
+    // never assert estimate equality
+    val (de, fe) = (dv.getAs[Long]("approx_distinct"),
+      fv.getAs[Long]("approx_distinct"))
+    assert(math.abs(de - fe) <= math.max(4L, math.ceil(0.01 * de).toLong),
+      s"direct=$de folded=$fe")
+    assert(fv.getAs[Boolean]("passed")) // 2000 distinct ids
+    assert(fv.getAs[Long]("n_notnull") == 2000L)
+    // designed dupes: cat holds <=5 values over 2000 rows — the estimate
+    // cannot reach min_required, so the FAIL is definite, not banded
+    val cDup = Unique("u_cat", "t", "cat", strict = false)
+    val dupV = Incremental.verdictsFromState(cDup,
+      batches.map(b => Incremental.stateOf(cDup, b))
+        .reduce((a, b) => Incremental.mergeState(cDup, a, b))).collect()(0)
+    assert(!dupV.getAs[Boolean]("passed"))
+    // strict mode: props has designed nulls — distinct-per-value may pass
+    // the band but the null gate must fail the strict verdict
+    val cStrict = Unique("u_props", "t", "props", strict = true)
+    val sv = Incremental.verdictsFromState(cStrict,
+      Incremental.stateOf(cStrict, corpus)).collect()(0)
+    assert(sv.getAs[Long]("n_rows") > sv.getAs[Long]("n_notnull"))
+    assert(!sv.getAs[Boolean]("passed"))
   }
 
   test("no state + no delta: checks surface as no_state rows, never dropped") {
