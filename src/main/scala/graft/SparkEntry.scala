@@ -1117,6 +1117,16 @@ object SparkEntry {
     "q_winnow_fingerprints" -> ((s, dir) =>
       Dedup.winnow(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // eval-set decontamination: per-doc winnowing-fingerprint overlap
+    // against a blocklist (the deterministic every-20th-doc slice plays
+    // the eval set — its members contaminate at 100000, near-dup family
+    // members partially, unrelated docs at 0)
+    "q_decontam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.decontaminate(docs,
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
+    }),
+
     // dedup clusters: connected components over the MinHash-LSH candidate
     // pairs (hash-to-min label propagation; min id = canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1436,6 +1446,25 @@ object SparkEntry {
         ValidationSuite.Freshness(
           "stream", "events", "ts", "event_type", 86400L))),
 
+    // incremental approx-uniqueness over mergeable HLL sketch state,
+    // oracle-gated on DEFINITE columns: doc_id is unique (estimate must
+    // clear the 3σ band) and lang holds ~tens of values over thousands of
+    // rows (estimate cannot reach min_required) — the banded verdict is
+    // deterministic on both, so DuckDB reproduces it from exact counts.
+    // The estimate itself is engine-specific and deliberately excluded.
+    "q_incr_unique" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def folded(name: String, column: String) = {
+        val c = ValidationSuite.Unique(name, "documents", column, strict = false)
+        val state = (0 until 3).map(i =>
+            Incremental.stateOf(c, docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+          .reduce((a, b) => Incremental.mergeState(c, a, b))
+        Incremental.verdictsFromState(c, state)
+          .select("col", "n_rows", "n_notnull", "min_required", "passed")
+      }
+      folded("u_id", "doc_id").unionAll(folded("u_lang", "lang"))
+    }),
+
     // incremental freshness: per-partition epoch maxima folded across the
     // same 3-way split (max-monoid state), re-derived lag verdicts
     "q_incr_freshness" -> ((s, dir) => {
@@ -1601,9 +1630,40 @@ object SparkEntry {
       |SELECT partition, part_max_epoch, gm - part_max_epoch AS lag_seconds,
       |  coalesce((gm - part_max_epoch) <= 86400, false) AS fresh FROM p, g""".stripMargin
 
+  /** MOSS winnowing fingerprints (k=8, w=4) of any doc relation — shared
+    * by q_winnow_fingerprints and both sides of q_decontam. Mirrors
+    * Dedup.winnow: per-position shingle hash, min over each 4-window,
+    * distinct per doc. */
+  private def winnowSql(src: String): String =
+    s"""SELECT DISTINCT doc_id AS id, minh FROM (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM (
+       |    SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+       |      ('0x' || substr(md5(substr(text, CAST(t.i AS INT) + 1, 8)), 1, 15))::BIGINT
+       |        % ${Dedup.MinhashP} AS h
+       |    FROM $src, unnest(range(length(text) - 7)) AS t(i)
+       |    WHERE length(text) >= 11) _h) _w
+       |WHERE i <= n - 4""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_incr_drift_tvd" -> driftLangTvdSql,
     "q_incr_discovered" -> driftLangTvdSql,
+    // engine-portable band math: min_required = n_notnull − max(⌈n·tol⌉, 8)
+    // via floor division (Spark `div` ↔ DuckDB `//`); `passed` re-derived
+    // from EXACT distincts (the designed columns are far outside the band,
+    // so exact and HLL agree deterministically)
+    "q_incr_unique" ->
+      Seq(("u_id", "doc_id"), ("u_lang", "lang")).map { case (_, c) =>
+        s"""SELECT 'documents.$c' AS col, count(*) AS n_rows,
+           | count($c) AS n_notnull,
+           | greatest(count($c) - greatest((count($c) * 5000 + 99999) // 100000, 8), 0) AS min_required,
+           | count(DISTINCT CAST($c AS VARCHAR)) >=
+           |   greatest(count($c) - greatest((count($c) * 5000 + 99999) // 100000, 8), 0) AS passed
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_incr_freshness" -> freshnessSql,
     "q_stream_drift_tvd" -> driftLangTvdSql,
     "q_stream_freshness" -> freshnessSql,
@@ -2265,21 +2325,23 @@ object SparkEntry {
           |FROM nodes n LEFT JOIN closure c ON c.x = n.id
           |GROUP BY n.id""".stripMargin),
 
-    "q_winnow_fingerprints" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
-         |         substr(text, CAST(t.i AS INT) + 1, 8) AS sh
-         |  FROM documents, unnest(range(length(text) - 7)) AS t(i)
-         |  WHERE length(text) >= 11),
-         |h AS (SELECT doc_id, i,
-         |        ('0x' || substr(md5(sh), 1, 15))::BIGINT % ${Dedup.MinhashP} AS h
-         |      FROM g),
-         |wmin AS (SELECT doc_id, i,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
-         |    count(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM h)
-         |SELECT DISTINCT doc_id AS id, minh FROM wmin WHERE i <= n - 4""".stripMargin,
+    "q_winnow_fingerprints" -> winnowSql("documents"),
+
+    // decontamination = winnow twice + fingerprint-keyed match counts;
+    // the blocklist is the deterministic every-20th-doc slice, so exact
+    // dups hit overlap 100000 and unrelated docs 0
+    "q_decontam" ->
+      s"""WITH cfp AS MATERIALIZED (${winnowSql("documents")}),
+         |bfp AS MATERIALIZED (
+         |  ${winnowSql("(SELECT * FROM documents WHERE doc_id % 20 = 0) _bl")}),
+         |tot AS (SELECT id, count(*) AS n_fp FROM cfp GROUP BY id),
+         |m AS (SELECT c.id, count(*) AS n_matched
+         |      FROM cfp c JOIN (SELECT DISTINCT minh FROM bfp) b USING (minh)
+         |      GROUP BY c.id)
+         |SELECT t.id, t.n_fp, coalesce(m.n_matched, 0) AS n_matched,
+         |  (coalesce(m.n_matched, 0) * 100000) // t.n_fp AS overlap_e5,
+         |  ((coalesce(m.n_matched, 0) * 100000) // t.n_fp) >= 50000 AS contaminated
+         |FROM tot t LEFT JOIN m ON m.id = t.id""".stripMargin,
 
     "q_simhash_sig" -> simhashSigSql,
 

@@ -321,4 +321,36 @@ object Dedup {
       .select("a", "b", "inter", "ua", "ub", "jaccard_e5")
   }
 
+  /** Eval-set DECONTAMINATION: per corpus doc, how much of its winnowing
+    * fingerprint set also appears in a blocklist corpus (eval/benchmark
+    * documents that must not leak into training data). Shares `winnow`'s
+    * guarantee: any substring of length ≥ k+w−1 common with a blocklist
+    * doc produces a shared fingerprint, so verbatim-contaminated spans
+    * cannot hide. Output, one row per corpus doc (length ≥ k+w−1):
+    * (id, n_fp, n_matched, overlap_e5, contaminated) with
+    * overlap_e5 = ⌊n_matched·1e5 / n_fp⌋ gated at `thresholdE5`.
+    *
+    * Scale path: fingerprints are ints, orders of magnitude smaller than
+    * the text; the match is keyed on the fingerprint value; the blocklist
+    * side collapses to DISTINCT fingerprints and is BROADCAST — eval sets
+    * are tiny against a training corpus, so the corpus side never
+    * shuffles. Per-doc counts are map-side combinable. */
+  def decontaminate(corpus: DataFrame, blocklist: DataFrame,
+                    idCol: String, textCol: String,
+                    thresholdE5: Long = 50000L,
+                    k: Int = 8, w: Int = 4): DataFrame = {
+    // consumed twice (totals + match counts): pin the positional-explode
+    // pipeline rather than recompute it per consumer
+    val corpusFp = winnow(corpus, idCol, textCol, k, w).localCheckpoint()
+    val blockFp = winnow(blocklist, idCol, textCol, k, w)
+      .select("minh").distinct()
+    val totals = corpusFp.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val matched = corpusFp.join(broadcast(blockFp), Seq("minh"))
+      .groupBy("id").agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("overlap_e5", expr("(n_matched * 100000) div n_fp"))
+      .withColumn("contaminated", col("overlap_e5") >= lit(thresholdE5))
+  }
+
 }

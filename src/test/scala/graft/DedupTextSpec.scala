@@ -187,6 +187,26 @@ class DedupTextSpec extends SparkSpec {
     assert(graft.dedup.Dedup.winnow(docs, "doc_id", "text").count() == 0)
   }
 
+  test("decontamination: verbatim leak 100%, partial span partial, clean doc 0") {
+    import spark.implicits._
+    val evalDoc = "what is the capital of france the answer is paris obviously"
+    val corpus = Seq(
+      (10L, evalDoc),                                     // verbatim leak
+      (11L, "intro text then " + evalDoc.take(30) + " trailing unrelated words here"),
+      (12L, "completely unrelated training document about spark data engines")
+    ).toDF("doc_id", "text")
+    val blocklist = Seq((900L, evalDoc)).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.decontaminate(
+        corpus, blocklist, "doc_id", "text", thresholdE5 = 50000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("overlap_e5"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(10L) == ((100000L, true)), s"verbatim: ${out(10L)}")
+    val (partial, partialFlag) = out(11L)
+    assert(partial > 0L && partial < 100000L, s"partial span overlap=$partial")
+    assert(!partialFlag || partial >= 50000L)
+    assert(out(12L) == ((0L, false)))
+  }
+
   test("connected components: chains merge to one cluster, min id is canonical") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, and 20-20 isolated via self-pair
