@@ -1446,6 +1446,23 @@ object SparkEntry {
         ValidationSuite.Freshness(
           "stream", "events", "ts", "event_type", 86400L))),
 
+    // APPEND-MODE watermarked twins, oracle-gated: per event-day window,
+    // state evicted behind the watermark; only CLOSED windows (end ≤
+    // max ts − 1 h — Jan 1..29 of the 30-day events range, hours of
+    // boundary margin at every SF) emit, and their verdicts must equal
+    // the batch windowed computation DuckDB reproduces
+    "q_stream_windowed_drift" -> ((s, dir) =>
+      graft.pipeline.StreamingSuite.windowedCheckVerdicts(s, dir,
+        ValidationSuite.CategoricalDrift(
+          "wstream", "events", "props", "event_type", 30000L), "ts",
+        windowDur = "1 day", watermarkDelay = "1 hour")),
+
+    "q_stream_windowed_fresh" -> ((s, dir) =>
+      graft.pipeline.StreamingSuite.windowedCheckVerdicts(s, dir,
+        ValidationSuite.Freshness(
+          "wstream", "events", "ts", "event_type", 3600L), "ts",
+        windowDur = "1 day", watermarkDelay = "1 hour")),
+
     // incremental approx-uniqueness over mergeable HLL sketch state,
     // oracle-gated on DEFINITE columns: doc_id is unique (estimate must
     // clear the 3σ band) and lang holds ~tens of values over thousands of
@@ -1665,6 +1682,47 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"),
     "q_incr_freshness" -> freshnessSql,
+
+    // windowed append-mode twins: closed windows = w_end <= max(ts) − 1 h
+    // (the watermark); per-window TVD mirrors driftLangTvdSql keyed by
+    // w_start; per-window freshness mirrors freshnessSql keyed by w_start
+    "q_stream_windowed_drift" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('day', ts) AS w_start, event_type AS partition,
+        |         props AS cat, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |pt AS (SELECT w_start, partition, sum(n) AS pt FROM counts GROUP BY 1, 2),
+        |g AS (SELECT w_start, cat, sum(n) AS gn FROM counts GROUP BY 1, 2),
+        |t AS (SELECT w_start, sum(n) AS t FROM counts GROUP BY 1),
+        |mx AS (SELECT max(ts) AS m FROM events),
+        |filled AS (
+        |  SELECT p.w_start, p.partition, p.pt, g.cat, g.gn, t.t,
+        |         coalesce(c.n, 0) AS n
+        |  FROM pt p JOIN g ON g.w_start = p.w_start
+        |  JOIN t ON t.w_start = p.w_start
+        |  LEFT JOIN counts c ON c.w_start = p.w_start
+        |    AND c.partition = p.partition AND c.cat = g.cat)
+        |SELECT f.w_start, f.partition, CAST(max(f.pt) AS BIGINT) AS n_rows,
+        |  CAST((sum(abs(f.n * f.t - f.gn * f.pt)) * 100000)
+        |       // (2 * max(f.pt) * max(f.t)) AS BIGINT) AS tvd_e5,
+        |  CAST((sum(abs(f.n * f.t - f.gn * f.pt)) * 100000)
+        |       // (2 * max(f.pt) * max(f.t)) AS BIGINT) >= 30000 AS drifted
+        |FROM filled f, mx
+        |WHERE f.w_start + INTERVAL 1 DAY <= mx.m - INTERVAL 1 HOUR
+        |GROUP BY f.w_start, f.partition""".stripMargin,
+
+    "q_stream_windowed_fresh" ->
+      """WITH p AS (
+        |  SELECT date_trunc('day', ts) AS w_start, event_type AS partition,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS part_max_epoch
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT w_start, max(part_max_epoch) AS gm FROM p GROUP BY 1),
+        |mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT p.w_start, p.partition, p.part_max_epoch,
+        |  g.gm - p.part_max_epoch AS lag_seconds,
+        |  coalesce((g.gm - p.part_max_epoch) <= 3600, false) AS fresh
+        |FROM p JOIN g ON g.w_start = p.w_start, mx
+        |WHERE p.w_start + INTERVAL 1 DAY <= mx.m - INTERVAL 1 HOUR""".stripMargin,
     "q_stream_drift_tvd" -> driftLangTvdSql,
     "q_stream_freshness" -> freshnessSql,
 

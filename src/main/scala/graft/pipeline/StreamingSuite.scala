@@ -71,6 +71,97 @@ object StreamingSuite {
     Incremental.verdictsFromState(c, state)
   }
 
+  /** APPEND-MODE, WATERMARKED twin for unbounded-partition deployments.
+    * The complete-mode path above keeps |partitions|×|categories| state
+    * rows forever — fine while partitions are a bounded vocabulary, wrong
+    * when they are time-derived (daily partitions forever: state grows
+    * linearly with uptime). This variant keys the same mergeable state by
+    * an EVENT-TIME WINDOW, `withWatermark(tsCol, delay)`, append output
+    * mode: a window's rows emit exactly once after the watermark passes
+    * its end, and its state is EVICTED — state is bounded by
+    * (open windows × partitions × categories) regardless of uptime.
+    *
+    * Retention semantics (documented contract): the newest window(s) —
+    * end > max event time − delay — have NOT emitted when the stream is
+    * observed; their verdicts are pending until later data advances the
+    * watermark. Late rows beyond `delay` are dropped by the watermark (the
+    * standard completeness/latency trade; the batch suite remains the
+    * recall backstop). Supported: CategoricalDrift (per-window TVD) and
+    * Freshness (per-window dark-feed lag) — the time-keyed checks. */
+  def windowedState(c: Check, stream: DataFrame, tsCol: String,
+                    windowDur: String, watermarkDelay: String): DataFrame = {
+    val wm = stream.withWatermark(tsCol, watermarkDelay)
+    c match {
+      case CategoricalDrift(_, _, cat, p, _) =>
+        wm.groupBy(window(col(tsCol), windowDur).as("w"),
+            col(p).as("partition"), col(cat).as("cat"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("w_start"), col("partition"),
+            col("cat"), col("n"))
+      case Freshness(_, _, ts, p, _) =>
+        wm.groupBy(window(col(tsCol), windowDur).as("w"),
+            col(p).as("partition"))
+          .agg(max(unix_timestamp(col(ts))).as("part_max_epoch"))
+          .select(col("w.start").as("w_start"), col("partition"),
+            col("part_max_epoch"))
+      case other => throw new IllegalArgumentException(
+        s"check '${other.name}' has no windowed streaming form " +
+          "(CategoricalDrift and Freshness are the time-keyed checks)")
+    }
+  }
+
+  /** Per-window verdicts over emitted (closed-window) state — the same
+    * FromCounts/FromMaxima math keyed by `w_start`: each window is its own
+    * drift/freshness universe (a day's partitions compare against that
+    * day's global, not all history). */
+  def windowedVerdicts(c: Check, state: DataFrame): DataFrame = c match {
+    case CategoricalDrift(_, _, _, _, thr) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val pt = state.groupBy("w_start", "partition").agg(sum("n").as("pt"))
+      val g = state.groupBy("w_start", "cat").agg(sum("n").as("gn"))
+      val t = state.groupBy("w_start").agg(sum("n").as("t"))
+      val full = pt.join(g, "w_start")
+        .join(state, Seq("w_start", "partition", "cat"), "left")
+        .join(t, "w_start")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      full.groupBy("w_start", "partition")
+        .agg(max("pt").as("pt"), max("t").as("t"),
+          sum(abs(col("n").cast(dec) * col("t") - col("gn").cast(dec) * col("pt")))
+            .as("num"))
+        .withColumn("tvd_e5",
+          expr("(num * 100000) div (2 * CAST(pt AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))")
+            .cast("long"))
+        .withColumn("drifted", col("tvd_e5") >= thr)
+        .select(col("w_start"), col("partition"), col("pt").as("n_rows"),
+          col("tvd_e5"), col("drifted"))
+    case Freshness(_, _, _, _, maxLag) =>
+      val g = state.groupBy("w_start").agg(max("part_max_epoch").as("gm"))
+      state.join(g, "w_start")
+        .withColumn("lag_seconds", col("gm") - col("part_max_epoch"))
+        .withColumn("fresh", coalesce(col("lag_seconds") <= maxLag, lit(false)))
+        .select("w_start", "partition", "part_max_epoch", "lag_seconds", "fresh")
+    case other => throw new IllegalArgumentException(
+      s"check '${other.name}' has no windowed streaming form")
+  }
+
+  /** Drive one check's windowed append-mode stream over a bounded dir and
+    * return the verdicts of every CLOSED window (see the retention
+    * contract on `windowedState`). */
+  def windowedCheckVerdicts(spark: SparkSession, dataDir: String, c: Check,
+                            tsCol: String, windowDur: String = "1 day",
+                            watermarkDelay: String = "1 hour",
+                            maxFilesPerTrigger: Int = 1): DataFrame = {
+    val stream = readTable(spark, dataDir, Incremental.tableOf(c),
+      maxFilesPerTrigger)
+    val viewName = s"stream_wstate_${c.name}_${runCounter.incrementAndGet()}"
+    val state = EventStream.runToCompletion(
+        windowedState(c, stream, tsCol, windowDur, watermarkDelay),
+        viewName, "append")
+      .localCheckpoint()
+    spark.catalog.dropTempView(viewName)
+    windowedVerdicts(c, state)
+  }
+
   /** Streaming suite pass over a bounded dir: verdict rows for every
     * state-mergeable check in the config (same shapes as the batch suite;
     * unsupported checks stay on the batch/full path). */

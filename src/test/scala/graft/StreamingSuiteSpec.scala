@@ -55,6 +55,62 @@ class StreamingSuiteSpec extends SparkSpec {
     }
   }
 
+  test("streaming Unique: HLL state streams in complete mode; verdicts match batch booleans") {
+    val dir = Files.createTempDirectory("stream_uniq").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"c${i % 7}", s"p${i % 4}"))
+      .toDF("id", "cat", "part")
+    df.repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cU = Unique("s_uid", "events", "id", strict = false)
+    val uv = StreamingSuite.checkVerdicts(spark, dir, cU).collect()(0)
+    assert(uv.getAs[Boolean]("passed") && uv.getAs[Long]("n_notnull") == 1000L)
+    val cDup = Unique("s_ucat", "events", "cat", strict = false)
+    val dv = StreamingSuite.checkVerdicts(spark, dir, cDup).collect()(0)
+    assert(!dv.getAs[Boolean]("passed")) // 7 values over 1000 rows: definite
+  }
+
+  test("append-mode watermarked windows: closed windows match batch, newest stays pending") {
+    val dir = Files.createTempDirectory("stream_windowed").toString
+    // 3 days of events; within each day partition p3 carries a designed
+    // cat skew so per-window drift fires for p3 and not the others
+    def day(d: Int): DataFrame = (0 until 400).map { i =>
+      val p = s"p${i % 4}"
+      val cat = if (i % 4 == 3) s"c${i % 2}" else s"c${i % 5}"
+      (d * 400L + i, p, cat,
+        java.sql.Timestamp.valueOf(f"2024-06-0${d + 1} 08:00:${i % 60}%02d"))
+    }.toDF("id", "part", "cat", "ts")
+    val df = day(0).unionAll(day(1)).unionAll(day(2))
+    // one file per day, appended in event-time order — the realistic
+    // ingest layout (the file stream processes oldest files first, so the
+    // watermark advances monotonically; an out-of-order backfill would be
+    // dropped as late, which is the documented watermark trade-off)
+    (0 until 3).foreach(d => day(d).repartition(1)
+      .write.mode("append").parquet(s"$dir/events.parquet"))
+    val c = CategoricalDrift("w_cat", "events", "cat", "part", 30000L)
+    val got = StreamingSuite.windowedCheckVerdicts(spark, dir, c, "ts",
+      windowDur = "1 day", watermarkDelay = "1 hour")
+    // retention contract: day 3's window end (06-04 00:00) is beyond the
+    // final watermark (max ts − 1 h) — pending, NOT emitted
+    val emitted = got.select("w_start").distinct()
+      .collect().map(_.getTimestamp(0).toString).sorted.toSeq
+    assert(emitted == Seq("2024-06-01 00:00:00.0", "2024-06-02 00:00:00.0"))
+    // parity: emitted windows equal the batch windowed computation
+    val batchState = df
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("part").as("partition"), col("cat").as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("partition"), col("cat"), col("n"))
+      .filter(col("w_start") < lit(java.sql.Timestamp.valueOf("2024-06-03 00:00:00")))
+    assert(rows(got) == rows(StreamingSuite.windowedVerdicts(c, batchState)))
+    assert(got.filter(col("drifted")).select("partition").distinct()
+      .as[String].collect().toSeq == Seq("p3"))
+    // freshness twin over the same windows
+    val cf = Freshness("w_fresh", "events", "ts", "part", 3600L)
+    val gotF = StreamingSuite.windowedCheckVerdicts(spark, dir, cf, "ts",
+      windowDur = "1 day", watermarkDelay = "1 hour")
+    assert(gotF.select("w_start").distinct().count() == 2)
+    assert(gotF.filter(!col("fresh")).count() == 0) // all parts land hourly
+  }
+
   test("RunSuite --streaming CLI: verdicts printed and persisted") {
     val dir = Files.createTempDirectory("stream_cli").toString
     val ckpt = Files.createTempDirectory("stream_cli_ckpt").toString
