@@ -45,9 +45,44 @@ object IncrementalEvidence {
     measure("/tmp/graft_scaling_corpus_4000000", "warm")
     val (b24, d24) = measure("/tmp/graft_scaling_corpus_24000000", "24m")
     val (b48, d48) = measure("/tmp/graft_scaling_corpus_48000000", "48m")
+
+    // --- delta SELF-DISCOVERY at scale: a 256-file 24M-row corpus behind
+    // a symlinked table dir; run 1 folds everything (the initial state
+    // build), run 2 discovers + folds ONLY an appended 100k-row delta,
+    // run 3 finds nothing new (pure manifest diff + verdict re-derive).
+    // Done-claim: runs 2-3 cost delta/state work, never corpus work — the
+    // manifest diff itself is a driver-side listing of 256 entries.
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dataDir = JFiles.createTempDirectory("disc_ev_data").toString
+    JFiles.createDirectories(JPaths.get(s"$dataDir/corpus.parquet"))
+    new java.io.File("/tmp/graft_scaling_corpus_24000000").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(f =>
+        JFiles.createSymbolicLink(
+          JPaths.get(s"$dataDir/corpus.parquet/${f.getName}"), f.toPath))
+    val ckptD = JFiles.createTempDirectory("disc_ev_ckpt").toString
+    val cfg = Config(Seq(check), ckptD)
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val discInit = timed {
+      require(graft.pipeline.Discovery.discoverAndRun(spark, dataDir, cfg)
+        ._3.nonEmpty)
+    }
+    delta.write.mode("append").parquet(s"$dataDir/corpus.parquet")
+    val discDelta = timed {
+      require(graft.pipeline.Discovery.discoverAndRun(spark, dataDir, cfg)
+        ._3.nonEmpty)
+    }
+    val discNoop = timed {
+      require(graft.pipeline.Discovery.discoverAndRun(spark, dataDir, cfg)
+        ._3.isEmpty)
+    }
+
     println(s"""{"metric":"incremental_scale","delta_rows":100000,""" +
       s""""state_build_24m_sec":$b24,"delta_update_24m_sec":$d24,""" +
-      s""""state_build_48m_sec":$b48,"delta_update_48m_sec":$d48}""")
+      s""""state_build_48m_sec":$b48,"delta_update_48m_sec":$d48,""" +
+      s""""disc_initial_24m_sec":$discInit,"disc_delta_sec":$discDelta,""" +
+      s""""disc_noop_sec":$discNoop}""")
     spark.stop()
   }
 }

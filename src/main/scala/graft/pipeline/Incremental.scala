@@ -255,6 +255,21 @@ object Incremental {
     * otherwise corrupt the sidecar's batches list and defeat idempotence). */
   private val BatchIdRe = "^[A-Za-z0-9._-]+$".r
 
+  /** Has `batchId` already been folded into this check's state? A pure
+    * sidecar read — the fast path that lets a batch REPLAY (crash
+    * recovery, Discovery's last-batch catch-up) skip even resolving the
+    * delta frames (listing + footer reads of every delta file) when the
+    * fold committed. `update`/`updateReferential` re-check independently,
+    * so the idempotence invariant never rests on callers using this. */
+  def alreadyApplied(ckptDir: String, name: String, batchId: String): Boolean = {
+    val side = sidecar(ckptDir, name)
+    Files.exists(side) &&
+      BatchesRe.findFirstMatchIn(Files.readString(side)).map(_.group(1))
+        .toSeq.flatMap(_.split(','))
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .contains(batchId)
+  }
+
   /** Current state parquet dir for a check, resolved through the sidecar
     * (the sidecar is the commit point — orphan state dirs from a crashed
     * update are ignored and eventually overwritten). */
@@ -544,6 +559,9 @@ object Incremental {
                 s"${c.depTable} — nothing folded yet; verify the delta " +
                 s"layout $note")
         }
+        if (alreadyApplied(config.checkpointDir, c.name, batchId)) {
+          sidecarOutcome(s"[batch $batchId already applied]")
+        } else {
         val (refD, depD) = (deltaOf(c.refTable), deltaOf(c.depTable))
         if (refD.isEmpty && depD.isEmpty)
           // nothing to fold — do NOT consume the batch id: a late-arriving
@@ -554,6 +572,7 @@ object Incremental {
           case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
           case None => sidecarOutcome(s"[batch $batchId already applied]")
         }
+        }
       // checks without mergeable state must NOT vanish into a green exit —
       // emit an explicit skipped row (passed, zero violations) so the
       // operator sees which checks still need the full run
@@ -561,7 +580,11 @@ object Incremental {
         outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
           "no mergeable state — run the full suite for this check")
       case c =>
-        deltaOf(tableOf(c)) match {
+        // fast path: a committed batch's replay must not pay the delta
+        // resolution (file listing + footers) just to no-op inside update
+        if (alreadyApplied(config.checkpointDir, c.name, batchId))
+          fromState(c, s" [batch $batchId already applied]")
+        else deltaOf(tableOf(c)) match {
           case Some(delta) =>
             update(spark, config.checkpointDir, c, delta, batchId) match {
               case Some((bad, oc)) => frames(c.name) = bad; outcomes += oc
