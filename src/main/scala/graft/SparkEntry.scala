@@ -806,6 +806,18 @@ object SparkEntry {
           .localCheckpoint())
     }
 
+  /** Corpus winnowing fingerprints — one positional explode per dir;
+    * q_winnow_fingerprints emits it and q_decontam's both sides reuse it
+    * (winnow is per-doc independent, so a blocklist that is a doc subset
+    * is exactly a fingerprint-frame filter). */
+  private val winnowCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowCache.synchronized {
+      winnowCache.getOrElseUpdate(dir,
+        Dedup.winnow(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint())
+    }
+
   /** All-pairs verdict frame (missing counts) — computed once per dir; the
     * exact/partial/eval/nary queries are all filters over it. */
   private val verdictCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -1114,17 +1126,18 @@ object SparkEntry {
 
     // MOSS-style winnowing fingerprints (k=8 shingles, w=4 windows): any
     // shared substring ≥ 11 chars guarantees a shared fingerprint
-    "q_winnow_fingerprints" -> ((s, dir) =>
-      Dedup.winnow(Tables.load(s, dir, "documents"), "doc_id", "text")),
+    "q_winnow_fingerprints" -> ((s, dir) => cachedWinnow(s, dir)),
 
     // eval-set decontamination: per-doc winnowing-fingerprint overlap
     // against a blocklist (the deterministic every-20th-doc slice plays
     // the eval set — its members contaminate at 100000, near-dup family
-    // members partially, unrelated docs at 0)
+    // members partially, unrelated docs at 0). Both sides reuse the
+    // shared corpus fingerprints: the blocklist is a doc subset, and
+    // winnow is per-doc independent, so filtering the fingerprint frame
+    // IS winnowing the filtered docs
     "q_decontam" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.decontaminate(docs,
-        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
+      val fp = cachedWinnow(s, dir)
+      Dedup.decontaminateFp(fp, fp.filter(pmod(col("id"), lit(20)) === 0))
     }),
 
     // dedup clusters: connected components over the MinHash-LSH candidate

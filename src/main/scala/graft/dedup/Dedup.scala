@@ -338,14 +338,22 @@ object Dedup {
   def decontaminate(corpus: DataFrame, blocklist: DataFrame,
                     idCol: String, textCol: String,
                     thresholdE5: Long = 50000L,
-                    k: Int = 8, w: Int = 4): DataFrame = {
-    // consumed twice (totals + match counts): pin the positional-explode
-    // pipeline rather than recompute it per consumer
-    val corpusFp = winnow(corpus, idCol, textCol, k, w).localCheckpoint()
-    val blockFp = winnow(blocklist, idCol, textCol, k, w)
-      .select("minh").distinct()
+                    k: Int = 8, w: Int = 4): DataFrame =
+    decontaminateFp(
+      // consumed twice (totals + match counts): pin the positional-explode
+      // pipeline rather than recompute it per consumer
+      winnow(corpus, idCol, textCol, k, w).localCheckpoint(),
+      winnow(blocklist, idCol, textCol, k, w), thresholdE5)
+
+  /** `decontaminate` over PRECOMPUTED fingerprint frames ((id, minh),
+    * `winnow`-shaped) — the form a pipeline that already winnowed the
+    * corpus for near-dup work should call, so the expensive positional
+    * explode runs once per corpus, not once per consumer. */
+  def decontaminateFp(corpusFp: DataFrame, blockFp: DataFrame,
+                      thresholdE5: Long = 50000L): DataFrame = {
+    val blockMinh = blockFp.select("minh").distinct()
     val totals = corpusFp.groupBy("id").agg(count(lit(1)).as("n_fp"))
-    val matched = corpusFp.join(broadcast(blockFp), Seq("minh"))
+    val matched = corpusFp.join(broadcast(blockMinh), Seq("minh"))
       .groupBy("id").agg(count(lit(1)).as("n_matched"))
     totals.join(matched, Seq("id"), "left")
       .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
