@@ -38,6 +38,11 @@ object IncrementalEvidence {
       val t1 = System.nanoTime()
       require(Incremental.update(spark, ckpt, check, delta, "delta1").nonEmpty)
       val deltaSec = (System.nanoTime() - t1) / 1e9
+      def rmAll(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmAll)
+        f.delete(): Unit
+      }
+      rmAll(new java.io.File(ckpt)) // reclaim per-run state eagerly
       (buildSec, deltaSec)
     }
 
@@ -77,6 +82,16 @@ object IncrementalEvidence {
       require(graft.pipeline.Discovery.discoverAndRun(spark, dataDir, cfg)
         ._3.isEmpty)
     }
+
+    // reclaim the evidence temp dirs (symlink farm + appended delta +
+    // manifest/state) — repeated evidence runs must not accumulate
+    // orphans, same discipline as q_incr_referential/q_incr_discovered
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory && !JFiles.isSymbolicLink(f.toPath))
+        f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dataDir)); rm(new java.io.File(ckptD))
 
     println(s"""{"metric":"incremental_scale","delta_rows":100000,""" +
       s""""state_build_24m_sec":$b24,"delta_update_24m_sec":$d24,""" +

@@ -63,22 +63,39 @@ object Discovery {
 
   /** Per-table data files under `dataDir`: each `<table>.parquet` entry is
     * either a single parquet file (one entry) or a directory whose
-    * non-hidden data files are listed recursively (`_SUCCESS`, `.crc` and
-    * dotfiles excluded — writer bookkeeping, not data). */
-  def scan(dataDir: String): Map[String, Seq[FileEntry]] = {
+    * non-hidden data files are listed recursively. Hidden/bookkeeping
+    * names (`_SUCCESS`, `_temporary`, `.crc`, dotfiles) are excluded at
+    * EVERY level — a writer's in-flight `_temporary` commit tree holds
+    * task files that will land again at the table root after job commit,
+    * so descending into it would double-fold those rows and then poison
+    * the manifest with paths that vanish on commit.
+    *
+    * `settleMillis`: files modified within the last `settleMillis` are
+    * DEFERRED to the next run (not listed). The default 0 trusts
+    * rename-based atomic publication (the Spark/Iceberg commit model,
+    * same assumption Structured Streaming's file source makes). Set a
+    * settle window when the ingest copies files in place (cp/rsync):
+    * without it a discovery racing a partial copy logs the truncated
+    * size, folds partial rows, and every later run sees the grown file
+    * as an in-place rewrite and refuses. */
+  def scan(dataDir: String, settleMillis: Long = 0L): Map[String, Seq[FileEntry]] = {
     val root = new File(dataDir)
     val entries = Option(root.listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".parquet"))
+    def bookkeeping(n: String): Boolean =
+      n.startsWith("_") || n.startsWith(".") || n.endsWith(".crc")
+    val settleCutoff =
+      if (settleMillis <= 0L) Long.MaxValue
+      else System.currentTimeMillis() - settleMillis
     entries.map { e =>
       val table = e.getName.stripSuffix(".parquet")
       def walk(f: File): Seq[File] =
         if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+          Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+            .filter(c => !bookkeeping(c.getName)).flatMap(walk)
         else Seq(f)
-      val files = walk(e).filter { f =>
-        val n = f.getName
-        !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc")
-      }
+      val files = walk(e).filter(f => !bookkeeping(f.getName))
+        .filter(_.lastModified() <= settleCutoff)
       val base = root.toPath.toAbsolutePath
       table -> files.map { f =>
         FileEntry(base.relativize(f.toPath.toAbsolutePath).toString,
@@ -107,9 +124,13 @@ object Discovery {
                 FileEntry(
                   (e \ "p") match { case JString(s) => s
                                     case o => sys.error(s"bad path $o") },
-                  (e \ "s") match { case JInt(i) => i.toLong
+                  // json4s parses every int as JInt(BigInt) and
+                  // BigInt.toLong WRAPS silently out of range — a wrapped
+                  // size would make the append-only comparison spuriously
+                  // pass on a mutated file. Range-check, fail loud.
+                  (e \ "s") match { case JInt(i) if i.isValidLong => i.toLong
                                     case o => sys.error(s"bad size $o") },
-                  (e \ "m") match { case JInt(i) => i.toLong
+                  (e \ "m") match { case JInt(i) if i.isValidLong => i.toLong
                                     case o => sys.error(s"bad mtime $o") })
               }
               case o => sys.error(s"bad file list $o")
@@ -144,10 +165,14 @@ object Discovery {
 
   /** Diff the current listing against the manifest. Returns the new-file
     * batch (None when nothing is new) after enforcing the append-only
-    * contract. */
-  def discover(dataDir: String, ckptDir: String): Option[Batch] = {
-    val cur = scan(dataDir)
-    val logged = readBatches(ckptDir)
+    * contract. Pass `logged` when the caller already read the manifest —
+    * it grows with total file count, and parsing it twice per run doubles
+    * the driver-side discovery cost at a big registry. */
+  def discover(dataDir: String, ckptDir: String,
+               loggedBatches: Option[Seq[Batch]] = None,
+               settleMillis: Long = 0L): Option[Batch] = {
+    val cur = scan(dataDir, settleMillis)
+    val logged = loggedBatches.getOrElse(readBatches(ckptDir))
     val seen: Map[String, Long] = // "table/path" -> size over all batches
       logged.flatMap(_.files.flatMap { case (t, fs) =>
         fs.map(f => s"$t/${f.path}" -> f.size)
@@ -189,11 +214,12 @@ object Discovery {
     * return the suite verdicts (and the discovered batch, None when the
     * dir was quiet). With no new files the verdicts re-derive from
     * existing state — |state|-cheap, no source scan. */
-  def discoverAndRun(spark: SparkSession, dataDir: String, config: Config):
+  def discoverAndRun(spark: SparkSession, dataDir: String, config: Config,
+                     settleMillis: Long = 0L):
       (DataFrame, Map[String, DataFrame], Option[Batch]) = {
     val ckpt = config.checkpointDir
     val logged = readBatches(ckpt)
-    val discovered = discover(dataDir, ckpt)
+    val discovered = discover(dataDir, ckpt, Some(logged), settleMillis)
     discovered match {
       case Some(batch) =>
         // close the crash window first: a half-folded previous batch must

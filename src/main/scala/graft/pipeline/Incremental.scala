@@ -255,19 +255,48 @@ object Incremental {
     * otherwise corrupt the sidecar's batches list and defeat idempotence). */
   private val BatchIdRe = "^[A-Za-z0-9._-]+$".r
 
+  /** The ONE parser of a sidecar's applied-batches list — update,
+    * updateReferential and the alreadyApplied fast path must read the
+    * format identically, or the fast path could disagree with the
+    * authoritative re-check. */
+  private def appliedBatches(sidecarJson: String): Seq[String] =
+    BatchesRe.findFirstMatchIn(sidecarJson).map(_.group(1))
+      .toSeq.flatMap(_.split(','))
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+
+  /** Refuse loudly when a persisted state was built under a DIFFERENT
+    * state-defining config than `expectedKey`. Every runWith entry path —
+    * including the alreadyApplied fast path and the no-delta fromState
+    * derivation, which never reach update()'s own require — must call
+    * this first, or an edited check definition would silently re-derive
+    * wrong-labeled verdicts from incompatible state. */
+  def requireKeyUnchanged(ckptDir: String, name: String,
+                          expectedKey: String): Unit = {
+    val side = sidecar(ckptDir, name)
+    if (Files.exists(side)) {
+      val priorKey = KeyRe.findFirstMatchIn(Files.readString(side))
+        .map(_.group(1)).getOrElse("")
+      require(priorKey == expectedKey,
+        s"check '$name': persisted state was built under a different " +
+          "state-defining config (table/column/partition/binning/sizing " +
+          "changed) — deriving verdicts from it would be unsound; " +
+          "invalidate the state and replay, or run the full suite")
+    }
+  }
+
   /** Has `batchId` already been folded into this check's state? A pure
     * sidecar read — the fast path that lets a batch REPLAY (crash
     * recovery, Discovery's last-batch catch-up) skip even resolving the
     * delta frames (listing + footer reads of every delta file) when the
     * fold committed. `update`/`updateReferential` re-check independently,
-    * so the idempotence invariant never rests on callers using this. */
+    * so the idempotence invariant never rests on callers using this.
+    * Callers must check `requireKeyUnchanged` FIRST — this answers only
+    * "was the id consumed", not "is the state compatible". */
   def alreadyApplied(ckptDir: String, name: String, batchId: String): Boolean = {
     val side = sidecar(ckptDir, name)
     Files.exists(side) &&
-      BatchesRe.findFirstMatchIn(Files.readString(side)).map(_.group(1))
-        .toSeq.flatMap(_.split(','))
-        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .contains(batchId)
+      appliedBatches(Files.readString(side)).contains(batchId)
   }
 
   /** Current state parquet dir for a check, resolved through the sidecar
@@ -308,10 +337,7 @@ object Incremental {
             "state-defining config (table/column/partition/binning changed) — " +
             "incremental merge would be unsound; invalidate the state and " +
             "replay, or run the full suite")
-        val batches = BatchesRe.findFirstMatchIn(j).map(_.group(1))
-          .toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)
-        (Some(spark.read.parquet(p)), Some(p), batches)
+        (Some(spark.read.parquet(p)), Some(p), appliedBatches(j))
       case None => (None, None, Seq.empty[String])
     }
     if (applied.contains(batchId)) return None
@@ -391,6 +417,13 @@ object Incremental {
     * split — its frame and count always agree. */
   private val RefValsRe = """"ref_values":(\d+)""".r
 
+  /** State key of the Bloom referential family — sizing (expectedRef,
+    * fpp) is state-defining here: a filter built under one sizing cannot
+    * honor another's fpp bound. */
+  def referentialStateKey(c: Referential): String =
+    Checkpoint.configHash("ref-bloom", c.refTable, c.refColumn,
+      c.depTable, c.depColumn, c.expectedRef.toString, c.fpp.toString)
+
   def updateReferential(spark: SparkSession, ckptDir: String, c: Referential,
                         refDelta: Option[DataFrame], depDelta: Option[DataFrame],
                         batchId: String): Option[(DataFrame, CheckOutcome)] = {
@@ -400,8 +433,7 @@ object Incremental {
       s"batchId '$batchId' must match ${BatchIdRe.regex}")
     val (expectedRef, fpp) = (c.expectedRef, c.fpp)
     val side = sidecar(ckptDir, c.name)
-    val key = Checkpoint.configHash("ref-bloom", c.refTable, c.refColumn,
-      c.depTable, c.depColumn, expectedRef.toString, fpp.toString)
+    val key = referentialStateKey(c)
     val (bloom, applied, priorViol, priorRefVals, oldBloomFile) =
       if (Files.exists(side)) {
         val j = Files.readString(side)
@@ -413,9 +445,7 @@ object Incremental {
         val in = java.nio.file.Files.newInputStream(
           Paths.get(s"$ckptDir/$file"))
         val b = try BloomFilter.readFrom(in) finally in.close()
-        val batches = BatchesRe.findFirstMatchIn(j).map(_.group(1))
-          .toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty)
+        val batches = appliedBatches(j)
         val viol = ViolRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
         val rv = RefValsRe.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
         (b, batches, viol, rv, Some(file))
@@ -559,6 +589,11 @@ object Incremental {
                 s"${c.depTable} — nothing folded yet; verify the delta " +
                 s"layout $note")
         }
+        // config-safety BEFORE any sidecar-trusting path: the fast path
+        // and the no-delta derivations below must refuse as loudly as
+        // updateReferential does when the state-defining config changed
+        requireKeyUnchanged(config.checkpointDir, c.name,
+          referentialStateKey(c))
         if (alreadyApplied(config.checkpointDir, c.name, batchId)) {
           sidecarOutcome(s"[batch $batchId already applied]")
         } else {
@@ -580,6 +615,10 @@ object Incremental {
         outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
           "no mergeable state — run the full suite for this check")
       case c =>
+        // config-safety BEFORE any sidecar-trusting path (fast path AND
+        // the no-delta fromState derivation, neither of which reaches
+        // update()'s own require)
+        requireKeyUnchanged(config.checkpointDir, c.name, stateKey(c))
         // fast path: a committed batch's replay must not pay the delta
         // resolution (file listing + footers) just to no-op inside update
         if (alreadyApplied(config.checkpointDir, c.name, batchId))

@@ -100,6 +100,43 @@ class DiscoverySpec extends SparkSpec {
         .collect().map(_.mkString("|")).sorted.toSeq)
   }
 
+  test("scan skips bookkeeping DIRECTORIES and honors the settle window") {
+    val data = Files.createTempDirectory("disc_scan_data").toString
+    mkRows(0 until 100).repartition(1)
+      .write.mode("overwrite").parquet(s"$data/events.parquet")
+    // a writer's in-flight commit tree: task files under _temporary must
+    // NOT be discovered (they land again at the root after job commit —
+    // folding them here would double-count and then poison the manifest)
+    val tmpDir = java.nio.file.Paths.get(
+      s"$data/events.parquet/_temporary/0/attempt_1")
+    Files.createDirectories(tmpDir)
+    Files.write(tmpDir.resolve("part-0001.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    val scanned = Discovery.scan(data)("events").map(_.path)
+    assert(scanned.nonEmpty && scanned.forall(!_.contains("_temporary")))
+    // settle window: every file was written milliseconds ago, so a large
+    // settle defers them all; settle 0 trusts rename-based publication
+    assert(Discovery.scan(data, settleMillis = 3600000L)
+      .getOrElse("events", Nil).isEmpty)
+  }
+
+  test("state-key safety: an edited check refuses on the replay fast path too") {
+    val data = Files.createTempDirectory("disc_key_data").toString
+    val ckpt = Files.createTempDirectory("disc_key_ckpt").toString
+    mkRows(0 until 300).write.mode("overwrite").parquet(s"$data/events.parquet")
+    Discovery.discoverAndRun(spark, data, configFor(ckpt)): Unit
+    // state-defining edit (drift column changes) + quiet dir: the run
+    // re-enters via alreadyApplied/fromState, which must refuse as loudly
+    // as update() would — not silently derive wrong-labeled verdicts
+    val edited = Config(Seq(
+      CategoricalDrift("d_cat", "events", "part", "cat", 10000L),
+      Freshness("d_fresh", "events", "ts", "part", 3600L)), ckpt)
+    val e = intercept[IllegalArgumentException] {
+      Discovery.discoverAndRun(spark, data, edited)
+    }
+    assert(e.getMessage.contains("state-defining"))
+  }
+
   test("append-only contract: an in-place rewrite refuses discovery") {
     val data = Files.createTempDirectory("disc_mut_data").toString
     val ckpt = Files.createTempDirectory("disc_mut_ckpt").toString
