@@ -88,8 +88,12 @@ object RunSuite {
   def runIncrementalDiscover(spark: SparkSession, dataDir: String,
                              ckptDir: String,
                              configJson: Option[String] = None): Int = {
+    // SPARK_GRAFT_SETTLE_MS defers files modified within the last N ms —
+    // set it when the ingest copies files in place instead of atomically
+    // renaming them (see Discovery.scan)
+    val settle = sys.env.get("SPARK_GRAFT_SETTLE_MS").map(_.toLong).getOrElse(0L)
     val (verdicts, _, batch) = graft.pipeline.Discovery.discoverAndRun(
-      spark, dataDir, configOf(configJson, ckptDir))
+      spark, dataDir, configOf(configJson, ckptDir), settle)
     val batchNote = batch match {
       case Some(b) => s""","batch":"${b.id}","new_files":${b.fileCount}"""
       case None => s""","batch":null,"new_files":0"""

@@ -1140,6 +1140,15 @@ object SparkEntry {
       Dedup.decontaminateFp(fp, fp.filter(pmod(col("id"), lit(20)) === 0))
     }),
 
+    // span-level decontamination evidence: the char ranges of each corpus
+    // doc that leaked from the blocklist (marked positions within one
+    // guarantee-length merge into maximal spans)
+    "q_decontam_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.contaminatedSpans(docs,
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
+    }),
+
     // dedup clusters: connected components over the MinHash-LSH candidate
     // pairs (hash-to-min label propagation; min id = canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1660,13 +1669,12 @@ object SparkEntry {
       |SELECT partition, part_max_epoch, gm - part_max_epoch AS lag_seconds,
       |  coalesce((gm - part_max_epoch) <= 86400, false) AS fresh FROM p, g""".stripMargin
 
-  /** MOSS winnowing fingerprints (k=8, w=4) of any doc relation — shared
-    * by q_winnow_fingerprints and both sides of q_decontam. Mirrors
-    * Dedup.winnow: per-position shingle hash, min over each 4-window,
-    * distinct per doc. */
-  private def winnowSql(src: String): String =
-    s"""SELECT DISTINCT doc_id AS id, minh FROM (
-       |  SELECT doc_id, i,
+  /** MOSS winnowing (k=8, w=4) of any doc relation, POSITIONAL form
+    * (id, i, minh) — mirrors Dedup.winnowPositions: per-position shingle
+    * hash, min over each 4-window, full windows only. */
+  private def winnowPosSql(src: String): String =
+    s"""SELECT id, i, minh FROM (
+       |  SELECT doc_id AS id, i,
        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh,
        |    count(*) OVER (PARTITION BY doc_id) AS n
@@ -1677,6 +1685,11 @@ object SparkEntry {
        |    FROM $src, unnest(range(length(text) - 7)) AS t(i)
        |    WHERE length(text) >= 11) _h) _w
        |WHERE i <= n - 4""".stripMargin
+
+  /** Distinct per-doc fingerprints — shared by q_winnow_fingerprints and
+    * both sides of q_decontam. */
+  private def winnowSql(src: String): String =
+    s"SELECT DISTINCT id, minh FROM (${winnowPosSql(src)}) _p"
 
   def oracleSql: Map[String, String] = Map(
     "q_incr_drift_tvd" -> driftLangTvdSql,
@@ -2413,6 +2426,24 @@ object SparkEntry {
          |  (coalesce(m.n_matched, 0) * 100000) // t.n_fp AS overlap_e5,
          |  ((coalesce(m.n_matched, 0) * 100000) // t.n_fp) >= 50000 AS contaminated
          |FROM tot t LEFT JOIN m ON m.id = t.id""".stripMargin,
+
+    // island detection over blocklist-marked winnow positions: a gap
+    // > k+w−1 (= 11) starts a new span; span_end = last mark + 11
+    // (exclusive char offset)
+    "q_decontam_spans" ->
+      s"""WITH cpos AS MATERIALIZED (${winnowPosSql("documents")}),
+         |bfp AS MATERIALIZED (SELECT DISTINCT minh FROM (
+         |  ${winnowPosSql("(SELECT * FROM documents WHERE doc_id % 20 = 0) _bl")}) _b),
+         |m AS (SELECT c.id, c.i FROM cpos c JOIN bfp USING (minh)),
+         |isl AS (SELECT id, i,
+         |  CASE WHEN i - lag(i) OVER (PARTITION BY id ORDER BY i) > 11
+         |       THEN 1 ELSE 0 END AS new_island FROM m),
+         |grp AS (SELECT id, i, sum(new_island) OVER (
+         |  PARTITION BY id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl)
+         |SELECT id, min(i) AS span_start, max(i) + 11 AS span_end,
+         |  count(*) AS n_marks
+         |FROM grp GROUP BY id, island""".stripMargin,
 
     "q_simhash_sig" -> simhashSigSql,
 

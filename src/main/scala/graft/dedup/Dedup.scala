@@ -180,7 +180,15 @@ object Dedup {
     * explode + a per-doc sliding window (bounded by doc length, never corpus
     * size). Output: (id, minh) distinct. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
-             k: Int = 8, w: Int = 4): DataFrame = {
+             k: Int = 8, w: Int = 4): DataFrame =
+    winnowPositions(docs, idCol, textCol, k, w).select("id", "minh").distinct()
+
+  /** `winnow` BEFORE the per-doc distinct: (id, i, minh) — the window-min
+    * fingerprint anchored at 0-based shingle position i. Span-level
+    * consumers (`contaminatedSpans`) need the positions; `winnow` is the
+    * distinct projection. */
+  def winnowPositions(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val positional = docs
       .filter(length(col(textCol)) >= k + w - 1) // ≥ one full window
@@ -195,7 +203,7 @@ object Dedup {
       .withColumn("minh", min("h").over(sliding))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
       .filter(col("i") <= col("n") - w) // full windows only
-      .select("id", "minh").distinct()
+      .select("id", "i", "minh")
   }
 
   /** 64-bit SimHash over whitespace tokens: per token take md5, use its
@@ -344,6 +352,41 @@ object Dedup {
       // pipeline rather than recompute it per consumer
       winnow(corpus, idCol, textCol, k, w).localCheckpoint(),
       winnow(blocklist, idCol, textCol, k, w), thresholdE5)
+
+  /** Contaminated SPANS — the char-range evidence behind `decontaminate`'s
+    * ratios: which parts of each corpus doc leaked from the blocklist.
+    * A corpus position whose window-min fingerprint appears anywhere in
+    * the blocklist marks the char range [i, i+k+w−1); marked positions
+    * within one guarantee-length (k+w−1) of each other merge into maximal
+    * spans (they witness one contiguous leaked run). Output, one row per
+    * span: (id, span_start, span_end, n_marks) with span_end EXCLUSIVE in
+    * 0-based char offsets.
+    *
+    * Scale path: identical to `decontaminate` — fingerprint-keyed match
+    * with a broadcast distinct-blocklist side; the island-merging windows
+    * partition by doc and are bounded by doc length, never corpus size. */
+  def contaminatedSpans(corpus: DataFrame, blocklist: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gap = k + w - 1
+    val marked = winnowPositions(corpus, idCol, textCol, k, w)
+      .join(broadcast(
+        winnow(blocklist, idCol, textCol, k, w).select("minh").distinct()),
+        Seq("minh"))
+      .select(col("id"), col("i").cast("long").as("i"))
+    val byDoc = Window.partitionBy("id").orderBy("i")
+    marked
+      .withColumn("new_island",
+        when(col("i") - lag("i", 1).over(byDoc) > gap, 1).otherwise(0))
+      .withColumn("island",
+        sum("new_island").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "island")
+      .agg(min("i").as("span_start"),
+        (max("i") + lit(gap.toLong)).as("span_end"),
+        count(lit(1)).as("n_marks"))
+      .drop("island")
+  }
 
   /** `decontaminate` over PRECOMPUTED fingerprint frames ((id, minh),
     * `winnow`-shaped) — the form a pipeline that already winnowed the

@@ -207,6 +207,29 @@ class DedupTextSpec extends SparkSpec {
     assert(out(12L) == ((0L, false)))
   }
 
+  test("contaminated spans: verbatim doc one whole-doc span, partial localized, clean none") {
+    import spark.implicits._
+    val evalDoc = "what is the capital of france the answer is paris obviously"
+    val doc11 = "intro text then " + evalDoc.take(30) + " trailing unrelated words here"
+    val corpus = Seq(
+      (10L, evalDoc), (11L, doc11),
+      (12L, "completely unrelated training document about spark data engines")
+    ).toDF("doc_id", "text")
+    val blocklist = Seq((900L, evalDoc)).toDF("doc_id", "text")
+    val spans = graft.dedup.Dedup.contaminatedSpans(
+        corpus, blocklist, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    val byId = spans.groupBy(_._1)
+    // verbatim leak: ONE span covering the entire doc (marks at every
+    // position, end = last mark + k+w-1 = doc length)
+    assert(byId(10L).toSeq == Seq((10L, 0L, evalDoc.length.toLong)))
+    // partial leak: localized span(s), never the whole doc
+    assert(byId(11L).nonEmpty &&
+      byId(11L).forall { case (_, s, e) => s > 0L || e < doc11.length.toLong })
+    assert(!byId.contains(12L))
+  }
+
   test("connected components: chains merge to one cluster, min id is canonical") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, and 20-20 isolated via self-pair
