@@ -9,6 +9,7 @@ import graft.corpus.Corpus
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.eval.Evaluation
+import graft.fd.Fd
 import graft.ind.{IndValidator, Pruning}
 import graft.pipeline.{Experiment, Incremental, ValidationSuite}
 import graft.profiling.Profiler
@@ -41,6 +42,15 @@ object SparkEntry {
     * init (vals initialize top-to-bottom — a later definition silently
     * yields 0 and an empty oracle). */
   val NaryOracleLevels = 4
+
+  /** FD-discovery column sets, shared by the queries and their oracles
+    * (defined at the top — object vals initialize top-to-bottom).
+    * p_retailprice is safe even though it is a double: string-cast formatting
+    * differs across engines but stays injective, and only the GROUPING
+    * partition reaches the output, never the strings. */
+  private val fdPartCols = Seq("p_partkey", "p_name", "p_brand", "p_type",
+    "p_size", "p_retailprice")
+  private val fdCorpusCols = Seq("repo", "path", "commit", "lang")
 
   /** Reference-shaped Metanome JSON-lines fixture for q_metanome_ingest
     * (format per pysrc/core/parse_results.py:22-29): one PartialSPIDER
@@ -932,6 +942,21 @@ object SparkEntry {
         (col("cnt") === col("unique_count")).as("is_unique"),
         (col("cnt") === col("unique_count") && col("nulls") === 0).as("is_key"))),
 
+    // functional-dependency discovery (the within-table sibling of IND
+    // discovery): profile-pruned candidates, one batched g3 job for all
+    // surviving ordered pairs of the supplier table
+    "q_fd_exact" -> ((s, dir) =>
+      Fd.discover(Tables.load(s, dir, "part"), fdPartCols)),
+
+    // partial-FD (g3) scores over every ordered pair of the corpus key
+    // columns — unpruned, the approximate-constraint twin of q_ind_partial
+    "q_fd_partial" -> ((s, _) => {
+      val pairs = for {
+        a <- fdCorpusCols; b <- fdCorpusCols if a != b
+      } yield (a, b)
+      Fd.g3All(Corpus.generate(s, 20000L), pairs)
+    }),
+
     // schema validation (north_rule "schema + constraint validation"):
     // the full registry's canonical (tbl, pos, column, type) profile —
     // metadata-only, parquet footers, no scan
@@ -1691,6 +1716,43 @@ object SparkEntry {
   private def winnowSql(src: String): String =
     s"SELECT DISTINCT id, minh FROM (${winnowPosSql(src)}) _p"
 
+  /** FD g3 oracle over every ordered column pair of `src` — mirrors
+    * Fd.g3All (explode → value-pair counts → per-group majority → per-pair
+    * rollup; NULL as the chr(1) sentinel). With `pruned` the output keeps
+    * only pairs where det_unique ≥ dep_unique — identical to the engine's
+    * profile-first pruning because every row contributes to every pair, so
+    * per-pair distinct counts equal the global profile counts. Outer sums
+    * CAST AS BIGINT (DuckDB SUM(BIGINT) is HUGEINT → float in pandas). */
+  private def fdOracleSql(src: String, cols: Seq[String],
+                          pruned: Boolean): String = {
+    val entries = for { a <- cols; b <- cols if a != b } yield
+      s"{'det': '$a', 'dep': '$b', " +
+        s"'dv': coalesce(CAST($a AS VARCHAR), chr(1)), " +
+        s"'bv': coalesce(CAST($b AS VARCHAR), chr(1))}"
+    val prune = if (pruned) " WHERE a.det_unique >= du.dep_unique" else ""
+    s"""fdlong AS MATERIALIZED (
+       |  SELECT r.det AS det, r.dep AS dep, r.dv AS dv, r.bv AS bv
+       |  FROM $src, unnest([${entries.mkString(", ")}]) AS _u(r)),
+       |fdp1 AS MATERIALIZED (SELECT det, dep, dv, bv, count(*) AS n
+       |  FROM fdlong GROUP BY 1, 2, 3, 4),
+       |fddu AS (SELECT det, dep, count(DISTINCT bv) AS dep_unique
+       |  FROM fdp1 GROUP BY 1, 2),
+       |fdp2 AS (SELECT det, dep, dv, CAST(sum(n) AS BIGINT) AS grp_n,
+       |    max(n) AS max_n, count(*) AS n_dep_vals
+       |  FROM fdp1 GROUP BY 1, 2, 3),
+       |fdagg AS (SELECT det, dep, count(*) AS det_unique,
+       |    CAST(sum(grp_n) AS BIGINT) AS n_rows,
+       |    CAST(sum(max_n) AS BIGINT) AS kept,
+       |    CAST(sum(CASE WHEN n_dep_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS violating_groups
+       |  FROM fdp2 GROUP BY 1, 2)
+       |SELECT a.det, a.dep, a.det_unique, du.dep_unique, a.n_rows, a.kept,
+       |  a.violating_groups,
+       |  ((a.n_rows - a.kept) * 100000) // a.n_rows AS g3_e5,
+       |  a.kept = a.n_rows AS exact
+       |FROM fdagg a JOIN fddu du USING (det, dep)$prune""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_incr_drift_tvd" -> driftLangTvdSql,
     "q_incr_discovered" -> driftLangTvdSql,
@@ -1818,6 +1880,13 @@ object SparkEntry {
              |FROM (SELECT CAST($c AS VARCHAR) AS v FROM $t) _s""".stripMargin
         }
       }.mkString("\nUNION ALL\n"),
+
+    "q_fd_exact" ->
+      s"WITH ${fdOracleSql("part", fdPartCols, pruned = true)}",
+
+    "q_fd_partial" ->
+      s"""WITH ${corpusCtesSql(20000L)},
+         |${fdOracleSql("corpus", fdCorpusCols, pruned = false)}""".stripMargin,
 
     // pragma_table_info works on however the harness registers the relation
     // (view or table), so the schema profile is catalog-layout-independent

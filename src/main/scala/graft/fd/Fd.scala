@@ -1,0 +1,123 @@
+package graft.fd
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Functional-dependency discovery — the column-pair profiling sibling of
+  * the reference's IND discovery (pysrc/scripts/validation.py validates
+  * value CONTAINMENT between columns; an FD det→dep validates value
+  * DETERMINATION within a table). Same architecture as the IND path:
+  * profile-derived candidate pruning, then ONE batched validation job for
+  * every surviving pair.
+  *
+  * Partial-FD measure: g3 (Kivinen & Mannila) — the minimum fraction of
+  * rows to delete so the FD holds exactly:
+  *   g3 = 1 − (Σ over det-groups of the majority dep-value count) / N
+  * reported as the 1e5-floored integer `g3_e5` (engine-portable, no float
+  * summation order). `exact` ⇔ g3 = 0 ⇔ every det group carries one dep
+  * value.
+  *
+  * NULL semantics: NULL is a regular value on both sides (encoded as a
+  * U+0001 sentinel after string-cast, distinct from every real value) —
+  * two NULL-det rows belong to one group, a NULL dep value can violate.
+  *
+  * Scale design (100 TB): the exploded long form (one row per row×pair) is
+  * the only data-sized frame, and both its aggregations are
+  * partial-aggregatable:
+  *   - phase 1 groups by (pair, det_val, dep_val) — a hot determinant
+  *     value (skew) collapses map-side to one combiner cell per distinct
+  *     dep value, so the shuffle carries value-pair COUNTS, never rows;
+  *   - phase 2 groups by (pair, det_val) over those counts — its input is
+  *     bounded by Σ|det×dep distinct pairs|, not by N.
+  * Candidate pruning (uniques monotonicity, sound for exact FDs) keeps the
+  * explode factor to the pairs that can still hold, mirroring
+  * ind/Pruning.candidates.
+  */
+object Fd {
+
+  /** NULL sentinel after string cast (U+0001, DuckDB `chr(1)`) — distinct
+    * from every real value; the escape keeps the source plain text. */
+  private val NullSentinel = "\u0001"
+
+  private def enc(c: String) =
+    coalesce(col(c).cast(StringType), lit(NullSentinel))
+
+  /** g3 metrics for the given ordered (det, dep) pairs of ONE table in a
+    * single job. Output per pair:
+    * (det, dep, det_unique, dep_unique, n_rows, kept, violating_groups,
+    *  g3_e5, exact) where `kept` = Σ majority-dep counts, `det_unique` =
+    * distinct determinant values (with the NULL sentinel), `dep_unique`
+    * likewise for the dependent column. */
+  def g3All(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "g3All needs at least one (det, dep) pair")
+    require(pairs.forall { case (a, b) => a != b }, "det must differ from dep")
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("det"), lit(b).as("dep"),
+        enc(a).as("dv"), enc(b).as("bv"))
+    }
+    val valuePairCounts = df
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.det"), col("p.dep"), col("p.dv"), col("p.bv"))
+      .groupBy("det", "dep", "dv", "bv").agg(count(lit(1)).as("n"))
+    // dep_unique rides on a rollup of the SAME phase-1 frame (no extra
+    // scan); it cannot come from phase 2 because one dep value may appear
+    // under many determinant groups
+    val depUnique = valuePairCounts
+      .groupBy("det", "dep")
+      .agg(count_distinct(col("bv")).as("dep_unique"))
+    val perGroup = valuePairCounts
+      .groupBy("det", "dep", "dv")
+      .agg(sum("n").as("grp_n"), max("n").as("max_n"),
+        count(lit(1)).as("n_dep_vals"))
+    perGroup
+      .groupBy("det", "dep")
+      .agg(
+        count(lit(1)).as("det_unique"),
+        sum("grp_n").as("n_rows"),
+        sum("max_n").as("kept"),
+        sum(when(col("n_dep_vals") > 1, 1L).otherwise(0L))
+          .as("violating_groups"))
+      .join(depUnique, Seq("det", "dep"))
+      .withColumn("g3_e5", expr("((n_rows - kept) * 100000) div n_rows"))
+      .withColumn("exact", col("kept") === col("n_rows"))
+      .select("det", "dep", "det_unique", "dep_unique", "n_rows", "kept",
+        "violating_groups", "g3_e5", "exact")
+  }
+
+  /** Exact distinct count per column (NULL as a value), one explode +
+    * two cheap aggs — the FD twin of Profiler's long-form counts (a
+    * multi-column count_distinct agg would Expand the scan k-fold). */
+  def distinctCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col"), enc(c).as("val"))): _*)).as("p"))
+      .select(col("p.col"), col("p.val"))
+      .distinct()
+      .groupBy("col").agg(count(lit(1)).as("unique_count"))
+
+  /** Ordered candidate pairs surviving uniques-monotonicity pruning:
+    * an exact FD det→dep forces |distinct(dep)| ≤ |distinct(det)| (each
+    * determinant value maps to exactly one dependent value, so the
+    * observed dep values are the image of the det values). Sound for
+    * exact FDs; for partial-FD scoring call `g3All` with all pairs. */
+  def candidatePairs(counts: Map[String, Long],
+                     cols: Seq[String]): Seq[(String, String)] =
+    for {
+      a <- cols; b <- cols
+      if a != b && counts(a) >= counts(b)
+    } yield (a, b)
+
+  /** Profile-pruned exact-FD discovery over every ordered column pair of
+    * one table: distinct-count profile (one job, tiny result) → pruned
+    * candidate list → one batched g3 job. Returned pairs all satisfy the
+    * pruning invariant; `exact` marks the FDs that hold. */
+  def discover(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val counts = distinctCounts(df, cols).collect()
+      .map(r => r.getAs[String]("col") -> r.getAs[Long]("unique_count"))
+      .toMap
+    val pairs = candidatePairs(counts, cols)
+    require(pairs.nonEmpty,
+      s"no candidate FD pairs survive pruning over ${cols.mkString(",")}")
+    g3All(df, pairs)
+  }
+}

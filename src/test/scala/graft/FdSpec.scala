@@ -1,0 +1,74 @@
+package graft
+
+import graft.fd.Fd
+
+/** Functional-dependency discovery: g3 semantics on crafted frames with
+  * known exact FDs, partial-FD scores, NULL-as-value grouping, and the
+  * soundness of uniques-monotonicity pruning. */
+class FdSpec extends SparkSpec {
+
+  private def g3Map(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getAs[String]("det"), r.getAs[String]("dep")) ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("kept"),
+        r.getAs[Long]("g3_e5"), r.getAs[Boolean]("exact")))).toMap
+
+  test("exact FD holds, reverse direction scores its true g3") {
+    import spark.implicits._
+    // city -> country exact; country -> city violated (de maps to 2 cities)
+    val df = Seq(
+      ("berlin", "de"), ("berlin", "de"), ("munich", "de"),
+      ("paris", "fr"), ("paris", "fr")
+    ).toDF("city", "country")
+    val out = g3Map(Fd.g3All(df, Seq(("city", "country"), ("country", "city")))
+      .collect())
+    assert(out(("city", "country")) == ((5L, 5L, 0L, true)))
+    // country=de group: 3 rows, majority city (berlin) = 2 → drop 1;
+    // fr group clean → g3 = 1/5 = 20000 e5
+    assert(out(("country", "city")) == ((5L, 4L, 20000L, false)))
+  }
+
+  test("NULL is a value: two NULL determinants form one group") {
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[String], "x"), (Option.empty[String], "y"),
+      (Some("a"), "z")
+    ).toDF("det_col", "dep_col")
+    val out = g3Map(Fd.g3All(df, Seq(("det_col", "dep_col"))).collect())
+    // NULL group has two dep values -> one row must go
+    assert(out(("det_col", "dep_col")) == ((3L, 2L, 33333L, false)))
+    val row = Fd.g3All(df, Seq(("det_col", "dep_col"))).collect()(0)
+    assert(row.getAs[Long]("det_unique") == 2L) // {NULL, a}
+    assert(row.getAs[Long]("violating_groups") == 1L)
+  }
+
+  test("discover prunes by uniques monotonicity without losing exact FDs") {
+    import spark.implicits._
+    // k (4 distinct) -> grp (2 distinct) exact; grp cannot determine k
+    // (2 < 4), so the pruned output must not even contain (grp, k)
+    val df = Seq(
+      ("k1", "g1"), ("k2", "g1"), ("k3", "g2"), ("k4", "g2")
+    ).toDF("k", "grp")
+    val out = Fd.discover(df, Seq("k", "grp")).collect()
+    val pairs = out.map(r =>
+      (r.getAs[String]("det"), r.getAs[String]("dep"))).toSet
+    assert(pairs == Set(("k", "grp"))) // (grp, k) pruned
+    assert(out.forall(_.getAs[Boolean]("exact")))
+    // pruning is sound: the unpruned run finds no exact FD outside the
+    // pruned candidate set
+    val all = Fd.g3All(df, Seq(("k", "grp"), ("grp", "k"))).collect()
+    val exactPairs = all.filter(_.getAs[Boolean]("exact")).map(r =>
+      (r.getAs[String]("det"), r.getAs[String]("dep"))).toSet
+    assert(exactPairs.subsetOf(pairs))
+  }
+
+  test("skewed determinant: hot group's metrics stay exact") {
+    import spark.implicits._
+    // 1000 rows under one hot determinant, 990 of them majority value
+    val hot = (1 to 990).map(_ => ("hot", "m")) ++
+      (1 to 10).map(i => ("hot", s"v$i")) :+ (("cold", "c"))
+    val df = hot.toDF("a", "b")
+    val out = g3Map(Fd.g3All(df.repartition(8), Seq(("a", "b"))).collect())
+    // 1001 rows, kept = 990 (hot majority) + 1 (cold) = 991
+    assert(out(("a", "b")) == ((1001L, 991L, (10L * 100000L) / 1001L, false)))
+  }
+}
