@@ -1174,6 +1174,19 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
     }),
 
+    // cross-repo clone detection on the corpus: 50 planted forks (same
+    // content, rewritten repo) must surface at containment 1e5; boilerplate
+    // fingerprints (df > 64) are dropped before banding
+    "q_clone_pairs" -> ((s, _) => {
+      val base = Corpus.generate(s, 5000L)
+      val forks = Corpus.generate(s, 50L)
+        .withColumn("repo", concat(lit("fork/"), col("repo")))
+      val files = base.unionAll(forks).select(
+        concat_ws("|", col("repo"), col("path"), col("commit")).as("file_id"),
+        col("repo"), col("content"))
+      Dedup.crossGroupClones(files, "file_id", "repo", "content")
+    }),
+
     // dedup clusters: connected components over the MinHash-LSH candidate
     // pairs (hash-to-min label propagation; min id = canonical doc)
     "q_dedup_clusters" -> ((s, dir) =>
@@ -2513,6 +2526,40 @@ object SparkEntry {
          |SELECT id, min(i) AS span_start, max(i) + 11 AS span_end,
          |  count(*) AS n_marks
          |FROM grp GROUP BY id, island""".stripMargin,
+
+    // cross-repo clone detection: winnow fingerprints of corpus ∪ forked
+    // first-50 files; df-filtered banding (rare fingerprints only, so the
+    // pair join is pure all-pairs), cross-repo filter, containment verify
+    // on the FULL fingerprint sets
+    "q_clone_pairs" ->
+      s"""WITH ${corpusCtesSql(5000L)},
+         |files AS MATERIALIZED (
+         |  SELECT repo || '|' || path || '|' || commit AS file_id, repo,
+         |    content FROM corpus
+         |  UNION ALL
+         |  SELECT 'fork/' || repo || '|' || path || '|' || commit,
+         |    'fork/' || repo, content FROM corpus WHERE id < 50),
+         |clfp AS MATERIALIZED (SELECT DISTINCT id, minh FROM (
+         |  ${winnowPosSql("(SELECT file_id AS doc_id, content AS text FROM files) _cf")}) _p),
+         |rare AS (SELECT minh FROM clfp GROUP BY minh HAVING count(*) <= 64),
+         |rfp AS (SELECT f.id, f.minh FROM clfp f JOIN rare USING (minh)),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM rfp x JOIN rfp y ON x.minh = y.minh AND x.id < y.id),
+         |cg AS (SELECT a, b FROM cand
+         |  WHERE split_part(a, '|', 1) <> split_part(b, '|', 1)),
+         |cnt AS (SELECT id, count(*) AS nf FROM clfp GROUP BY id),
+         |sh AS (SELECT c.a, c.b, count(*) AS shared FROM cg c
+         |  JOIN clfp fa ON fa.id = c.a
+         |  JOIN clfp fb ON fb.id = c.b AND fb.minh = fa.minh
+         |  GROUP BY 1, 2)
+         |SELECT s.a, s.b, split_part(s.a, '|', 1) AS grp_a,
+         |  split_part(s.b, '|', 1) AS grp_b, s.shared,
+         |  ca.nf AS n_a, cb.nf AS n_b,
+         |  CAST(floor(s.shared * 100000.0 / least(ca.nf, cb.nf)) AS BIGINT)
+         |    AS containment_e5
+         |FROM sh s JOIN cnt ca ON ca.id = s.a JOIN cnt cb ON cb.id = s.b
+         |WHERE CAST(floor(s.shared * 100000.0 / least(ca.nf, cb.nf)) AS BIGINT)
+         |  >= 80000""".stripMargin,
 
     "q_simhash_sig" -> simhashSigSql,
 

@@ -404,4 +404,63 @@ object Dedup {
       .withColumn("contaminated", col("overlap_e5") >= lit(thresholdE5))
   }
 
+  /** Cross-group near-clone detection (code-clone search across repos, the
+    * SourcererCC/MOSS shape): winnow fingerprints per file, drop
+    * BOILERPLATE fingerprints whose document frequency exceeds `dfCutoff`
+    * (a fingerprint in hundreds of files — a license header, a framework
+    * idiom — cannot discriminate clones and would all-pairs-explode its
+    * bucket), band the surviving rare fingerprints, keep candidate pairs
+    * whose groups differ, and verify each candidate by exact
+    * fingerprint-set containment over the FULL (unfiltered) sets.
+    * Output per surviving pair (a < b):
+    * (a, b, grp_a, grp_b, shared, n_a, n_b, containment_e5) with
+    * containment_e5 = ⌊shared·1e5 / min(n_a, n_b)⌋ ≥ `minContainE5`.
+    *
+    * Recall contract: a pair is found iff it shares ≥ 1 fingerprint of
+    * df ≤ `dfCutoff`. True clones share many fingerprints, most of them
+    * as rare as their source text; pairs sharing ONLY boilerplate are the
+    * designed misses. Scale path: df filter = one groupBy on the narrow
+    * fingerprint frame; banding buckets are ≤ dfCutoff by construction,
+    * so the pair join is all-pairs with bounded buckets (the chain-link
+    * regime of `cappedBandPairs` never triggers); verification touches
+    * only candidate files (semi-join pushdown like `ngramJaccard`). */
+  def crossGroupClones(files: DataFrame, idCol: String, grpCol: String,
+                       textCol: String, dfCutoff: Int = AllPairsMax,
+                       minContainE5: Long = 80000L,
+                       k: Int = 8, w: Int = 4): DataFrame = {
+    val fp = winnow(files, idCol, textCol, k, w).localCheckpoint()
+    val rareMinh = fp.groupBy("minh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCutoff).select("minh")
+    val banded = fp.join(rareMinh, Seq("minh"), "left_semi")
+      .select(col("id"), col("minh").as("band"))
+    val cand = cappedBandPairs(banded, allPairsMax = dfCutoff,
+      label = "crossGroupClones")
+    val grp = files.select(col(idCol).as("id"), col(grpCol).as("grp"))
+      .dropDuplicates("id")
+    val crossGrp = cand
+      .join(grp.select(col("id").as("a"), col("grp").as("grp_a")), Seq("a"))
+      .join(grp.select(col("id").as("b"), col("grp").as("grp_b")), Seq("b"))
+      .filter(col("grp_a") =!= col("grp_b"))
+      .localCheckpoint()
+    // verify on full fingerprint sets of candidate files only
+    val ids = crossGrp.select(col("a").as("id"))
+      .unionAll(crossGrp.select(col("b").as("id"))).dropDuplicates("id")
+    val sets = fp.join(ids, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("minh")).as("fps"),
+        count(lit(1)).as("nf"))
+    crossGrp
+      .join(sets.select(col("id").as("a"), col("fps").as("fpa"),
+        col("nf").as("n_a")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("fps").as("fpb"),
+        col("nf").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("grp_a"), col("grp_b"),
+        size(array_intersect(col("fpa"), col("fpb"))).cast("long")
+          .as("shared"),
+        col("n_a"), col("n_b"))
+      .withColumn("containment_e5",
+        floor(col("shared") * 100000.0 / least(col("n_a"), col("n_b")))
+          .cast("long"))
+      .filter(col("containment_e5") >= lit(minContainE5))
+  }
+
 }

@@ -230,6 +230,45 @@ class DedupTextSpec extends SparkSpec {
     assert(!byId.contains(12L))
   }
 
+  test("cross-group clones: fork found, same-group and boilerplate-only pairs excluded") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val boiler = "standard license header apache two point zero all rights reserved"
+    val files = Seq(
+      ("r1|a.txt", "r1", body),                         // original
+      ("r2|a.txt", "r2", body),                         // cross-repo fork
+      ("r1|b.txt", "r1", body),                         // same-repo copy — excluded
+      ("r3|c.txt", "r3", boiler + " unique trailing part one here now"),
+      ("r4|d.txt", "r4", boiler + " other ending entirely different text")
+    ).toDF("file_id", "repo", "content")
+    // dfCutoff=2: the boilerplate prefix fingerprints appear in 2 files each
+    // (r3, r4) so they SURVIVE df<=2... use cutoff 1 to force the designed
+    // miss: only fingerprints unique to one file band, so r3/r4 (sharing
+    // only the boilerplate prefix) produce no candidate
+    val out = graft.dedup.Dedup.crossGroupClones(
+        files, "file_id", "repo", "content",
+        dfCutoff = 2, minContainE5 = 80000L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("containment_e5")))
+    // body appears in 3 files -> its fingerprints have df=3 > 2 = dropped;
+    // that kills the fork pair too. So re-run with cutoff 3:
+    val out3 = graft.dedup.Dedup.crossGroupClones(
+        files, "file_id", "repo", "content",
+        dfCutoff = 3, minContainE5 = 80000L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("containment_e5")))
+    val pairs3 = out3.map(t => (t._1, t._2)).toSet
+    assert(pairs3.contains(("r1|a.txt", "r2|a.txt"))) // cross-repo fork found
+    assert(pairs3.contains(("r1|b.txt", "r2|a.txt"))) // copy in ANOTHER repo too
+    assert(!pairs3.exists { case (a, b) => a.startsWith("r1") && b.startsWith("r1") })
+    out3.filter(t => t._1 == "r1|a.txt" && t._2 == "r2|a.txt")
+      .foreach(t => assert(t._3 == 100000L)) // verbatim fork = full containment
+    // r3/r4 share ONLY the boilerplate prefix; with df cutoff 2 their shared
+    // fingerprints survive banding, so the pair is a candidate — but exact
+    // containment verification over the full sets keeps it only if ≥ 80%
+    assert(!out.map(t => (t._1, t._2)).contains(("r3|c.txt", "r4|d.txt")))
+  }
+
   test("connected components: chains merge to one cluster, min id is canonical") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, and 20-20 isolated via self-pair
