@@ -1008,6 +1008,20 @@ object SparkEntry {
       graft.checks.PartitionChecks.rowBalance(
         Tables.load(s, dir, "events"), "event_type", maxShareE5 = 20000L)),
 
+    // sort-key clustering (the file-skipping property): events by day on
+    // ts are disjoint envelopes (clustered), lineitem by returnflag on
+    // price fully overlap (designed failure) — both regimes at every SF
+    "q_clustering" -> ((s, dir) =>
+      graft.checks.Clustering.rangeOverlap(Tables.load(s, dir, "events"),
+          to_date(col("ts")).cast("string"),
+          // ts is TIMESTAMP_NTZ; the session-UTC cast matches epoch_us
+          unix_micros(col("ts").cast("timestamp")))
+        .withColumn("dim", lit("events_day_ts"))
+        .unionAll(graft.checks.Clustering.rangeOverlap(
+            Tables.load(s, dir, "lineitem"), col("l_returnflag"),
+            floor(col("l_extendedprice") * 100))
+          .withColumn("dim", lit("lineitem_flag_price")))),
+
     // format checks: c_name matches its designed shape (empty violations);
     // the props pattern demands a TWO-digit k so one-digit rows fire
     "q_pattern_checks" -> ((s, dir) =>
@@ -1051,6 +1065,13 @@ object SparkEntry {
     "q_ind_exact" -> ((s, dir) =>
       cachedVerdicts(s, dir)
         .filter(col("missing") === 0).select("dep", "ref")),
+
+    // schema-matching similarity matrix: Jaccard + containments for every
+    // unordered column pair off the shared distinct long form (the same
+    // two-shuffle co-occurrence the IND verdicts ride)
+    "q_col_similarity" -> ((s, dir) =>
+      graft.ind.IndValidator.columnSimilarity(
+        cachedDistinctLong(s, dir), minJaccardE5 = 5000L)),
 
     // S6 interop: ingest a Metanome/PartialSPIDER JSON-lines result set
     // (the reference's external-tool output format) and score it against
@@ -1990,6 +2011,32 @@ object SparkEntry {
         |    AS stable
         |FROM j""".stripMargin,
 
+    // envelope overlap via pairwise scalar subquery (P is tiny at test SF;
+    // the engine's sweep form must agree exactly). epoch_us ↔ unix_micros
+    // and floor(price*100) are IEEE-exact in both engines.
+    "q_clustering" ->
+      """WITH re AS (SELECT strftime(ts, '%Y-%m-%d') AS partition,
+        |    CAST(count(*) AS BIGINT) AS n_rows, min(epoch_us(ts)) AS min_v,
+        |    max(epoch_us(ts)) AS max_v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |rl AS (SELECT l_returnflag AS partition,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS min_v,
+        |    max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS max_v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |oe AS (SELECT a.*, CAST((SELECT count(*) FROM re b
+        |    WHERE b.min_v <= a.max_v AND b.max_v >= a.min_v) - 1 AS BIGINT)
+        |    AS overlap FROM re a),
+        |ol AS (SELECT a.*, CAST((SELECT count(*) FROM rl b
+        |    WHERE b.min_v <= a.max_v AND b.max_v >= a.min_v) - 1 AS BIGINT)
+        |    AS overlap FROM rl a)
+        |SELECT partition, n_rows, min_v, max_v, overlap,
+        |  overlap <= 0 AS clustered, 'events_day_ts' AS dim FROM oe
+        |UNION ALL
+        |SELECT partition, n_rows, min_v, max_v, overlap,
+        |  overlap <= 0 AS clustered, 'lineitem_flag_price' AS dim FROM ol"""
+        .stripMargin,
+
     "q_partition_balance" ->
       """WITH c AS (SELECT event_type AS partition, count(*) AS n_rows
         |  FROM events GROUP BY 1),
@@ -2060,6 +2107,21 @@ object SparkEntry {
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),
+
+    "q_col_similarity" ->
+      (indCoreSql +
+        """, sim AS (
+          |  SELECT a.col AS a, b.col AS b, a.u AS a_unique, b.u AS b_unique,
+          |    coalesce(co.n, 0) AS inter
+          |  FROM cnt a JOIN cnt b ON a.col < b.col
+          |  LEFT JOIN co ON co.dep = a.col AND co.ref = b.col)
+          |SELECT a, b, a_unique, b_unique, inter,
+          |  (inter * 100000) // (a_unique + b_unique - inter) AS jaccard_e5,
+          |  (inter * 100000) // a_unique AS cont_a_e5,
+          |  (inter * 100000) // b_unique AS cont_b_e5,
+          |  (inter * 100000) // (a_unique + b_unique - inter) >= 5000
+          |    AS related
+          |FROM sim""".stripMargin),
 
     "q_metanome_ingest" ->
       (indCoreSql +

@@ -1,0 +1,99 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort-key clustering quality — the Iceberg/Parquet file-skipping
+  * property. A scan with a predicate on the sort key can prune a
+  * partition iff the predicate range misses the partition's [min, max]
+  * envelope; when the per-partition envelopes overlap, every point query
+  * must open every overlapping partition and pruning is dead. This check
+  * measures exactly that: for each partition, how many OTHER partitions'
+  * key ranges intersect its own ([Zhu+ SIGMOD'17 "range-partitioning
+  * quality" / Iceberg metadata `lower_bound`/`upper_bound` pruning]).
+  *
+  * Scale: the interval-overlap count is computed by an endpoint sweep
+  * (two running-count windows over the 2·|partitions|-row endpoint frame),
+  * NOT a pairwise self-join — O(P log P) for P partitions instead of
+  * O(P²). The windows are single-partition, but over METADATA-scale rows
+  * (one per partition envelope, ~10⁵-10⁶ at 100 TB), never data rows —
+  * the same class as the suite's other per-partition verdict frames.
+  */
+object Clustering {
+
+  /** Per-partition envelope of `value`: (partition, n_rows, min_v, max_v).
+    * `value` must cast to long (pre-scale decimals/timestamps yourself —
+    * e.g. `unix_micros(ts)`, `floor(price*100)`). Null values carry no
+    * range information and are excluded from n_rows; the commutative
+    * (sum, min, max) shape makes this the mergeable state an incremental
+    * fold can maintain per batch. */
+  def partitionRanges(df: DataFrame, partition: Column, value: Column): DataFrame =
+    df.select(partition.cast("string").as("partition"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"),
+        max("v").as("max_v"))
+
+  /** Overlap verdicts from a (partition, n_rows, min_v, max_v) envelope
+    * frame: overlap(p) = #{q ≠ p : min_q ≤ max_p ∧ max_q ≥ min_p},
+    * `clustered` ⇔ overlap ≤ maxOverlap. Touching ranges (max_q = min_p)
+    * count as overlap — an equality predicate on the shared boundary value
+    * really does open both partitions.
+    *
+    * Sweep form: overlap(p) = #{q : min_q ≤ max_p} − #{q : max_q < min_p}
+    * − 1 (self). Both counts come from running sums over ONE union of the
+    * 2P endpoint rows: min-endpoints order BEFORE probes at ties for the
+    * first (≤ is inclusive), probes BEFORE max-endpoints at ties for the
+    * second (< is strict). Each row carries its envelope, so the per-
+    * partition groupBy needs no join back — null-named partitions (a
+    * valid Iceberg partition value) survive as a groupBy key where an
+    * equi-join would silently drop them. */
+  def overlapFromRanges(ranges: DataFrame, maxOverlap: Long): DataFrame = {
+    val ends = ranges.select(col("partition"), col("n_rows"), col("min_v"),
+        col("max_v"), col("min_v").as("v"), lit(1).as("is_min"),
+        lit(0).as("is_max"))
+      .unionAll(ranges.select(col("partition"), col("n_rows"), col("min_v"),
+        col("max_v"), col("max_v").as("v"), lit(0).as("is_min"),
+        lit(1).as("is_max")))
+    // default RANGE frame: peers (equal order-key tuple) are only rows of
+    // the same endpoint type, which contribute the right amount at ties
+    val wCover = Window.orderBy(col("v"), col("is_min").desc)
+    val wBelow = Window.orderBy(col("v"), col("is_max").asc)
+    ends
+      .withColumn("cover_run", sum("is_min").over(wCover))
+      .withColumn("below_run", sum("is_max").over(wBelow))
+      .groupBy("partition")
+      .agg(first("n_rows").as("n_rows"), first("min_v").as("min_v"),
+        first("max_v").as("max_v"),
+        // the probe row for "mins ≤ my max" is this partition's MAX
+        // endpoint; for "maxes < my min" it is its MIN endpoint
+        max(when(col("is_max") === 1, col("cover_run"))).as("cover"),
+        max(when(col("is_min") === 1, col("below_run"))).as("below"))
+      .withColumn("overlap", col("cover") - col("below") - 1)
+      .withColumn("clustered", col("overlap") <= maxOverlap)
+      .select("partition", "n_rows", "min_v", "max_v", "overlap", "clustered")
+  }
+
+  /** One-call form: per-partition verdict rows for how well `value` is
+    * clustered by `partition`. */
+  def rangeOverlap(df: DataFrame, partition: Column, value: Column,
+                   maxOverlap: Long = 0L): DataFrame =
+    overlapFromRanges(partitionRanges(df, partition, value), maxOverlap)
+
+  /** Long-valued total order for a declarative column expression string:
+    * timestamps measure in epoch micros (they cannot cast straight to
+    * long under ANSI), everything else casts to long. Shared by the suite
+    * dispatch and the incremental state builder so batch and fold see the
+    * SAME value space. */
+  def valueExpr(df: DataFrame, column: String): Column = {
+    val raw = expr(column)
+    df.select(raw).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(raw.cast("timestamp"))
+      case _ => raw.cast("long")
+    }
+  }
+}

@@ -78,6 +78,35 @@ object IndValidator {
       .select("dep", "ref", "dep_unique", "ref_unique", "missing", "passed")
   }
 
+  /** Value-overlap similarity for every UNORDERED column pair — the
+    * schema-matching companion to the IND verdicts (Jaccard + both
+    * containments from the SAME two-shuffle co-occurrence counts, so an
+    * all-pairs similarity matrix costs no more than the IND pass it
+    * usually rides along with). Integer 1e5-floored ratios keep the frame
+    * oracle-exact. Output: (a, b, a_unique, b_unique, inter, jaccard_e5,
+    * cont_a_e5, cont_b_e5, related ⇔ jaccard_e5 ≥ minJaccardE5); columns
+    * with no non-null values carry no set identity and are absent, like
+    * everywhere else in the IND machinery. */
+  def columnSimilarity(distinctLong: DataFrame,
+                       minJaccardE5: Long): DataFrame = {
+    val u = Profiler.exactDistinctCounts(distinctLong)
+    val co = coOccurrence(distinctLong)
+    val pairs = u.select(col("col").as("a"), col("unique_count").as("a_unique"))
+      .crossJoin(u.select(col("col").as("b"), col("unique_count").as("b_unique")))
+      .filter(col("a") < col("b"))
+    pairs
+      .join(co.select(col("dep").as("a"), col("ref").as("b"), col("co")),
+        Seq("a", "b"), "left")
+      .withColumn("inter", coalesce(col("co"), lit(0L)))
+      .withColumn("jaccard_e5",
+        expr("(inter * 100000) div (a_unique + b_unique - inter)"))
+      .withColumn("cont_a_e5", expr("(inter * 100000) div a_unique"))
+      .withColumn("cont_b_e5", expr("(inter * 100000) div b_unique"))
+      .withColumn("related", col("jaccard_e5") >= minJaccardE5)
+      .select("a", "b", "a_unique", "b_unique", "inter", "jaccard_e5",
+        "cont_a_e5", "cont_b_e5", "related")
+  }
+
   /** Targeted single-pair partial-IND check with violation rows — the
     * referential-check form (north_star): returns the distinct dep values
     * NOT contained in ref. Bloom-filter pre-prune (stat.bloomFilter on the

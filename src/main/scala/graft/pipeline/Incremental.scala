@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.checks.{Drift, PartitionChecks}
+import graft.checks.{Clustering, Drift, PartitionChecks}
 import graft.pipeline.ValidationSuite._
 
 /** Incremental partition-scoped revalidation — the append-only operational
@@ -61,7 +61,7 @@ object Incremental {
   def supported(c: Check): Boolean = c match {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
          _: NullRateDrift | _: RowBalance | _: TopKStability |
-         _: Unique => true
+         _: Unique | _: ClusteringCheck => true
     case _ => false
   }
 
@@ -84,6 +84,7 @@ object Incremental {
     case RowBalance(_, t, _, _)          => t
     case TopKStability(_, t, _, _, _, _) => t
     case Unique(_, t, _, _)              => t
+    case ClusteringCheck(_, t, _, _, _)  => t
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -104,6 +105,8 @@ object Incremental {
       Checkpoint.configHash("topk", t, col0, p)
     case Unique(_, t, col0, _) => // strict is a verdict param, not state
       Checkpoint.configHash("unique_hll", t, col0)
+    case ClusteringCheck(_, t, p, col0, _) => // maxOverlap is a verdict param
+      Checkpoint.configHash("clu", t, p, col0)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -144,6 +147,11 @@ object Incremental {
         hll_sketch_agg(col(c0).cast(org.apache.spark.sql.types.StringType))
           .as("sketch"),
         count(lit(1)).as("n_rows"), count(col(c0)).as("n_notnull"))
+    case ClusteringCheck(_, _, p, c0, _) =>
+      // per-partition (count, min, max) envelope — each a commutative
+      // monoid, so folding deltas equals the batch envelope exactly
+      Clustering.partitionRanges(batch, expr(p),
+        Clustering.valueExpr(batch, c0))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -168,6 +176,9 @@ object Incremental {
       case _: Unique =>
         both.agg(hll_union_agg(col("sketch")).as("sketch"),
           sum("n_rows").as("n_rows"), sum("n_notnull").as("n_notnull"))
+      case _: ClusteringCheck =>
+        both.groupBy("partition").agg(sum("n_rows").as("n_rows"),
+          min("min_v").as("min_v"), max("max_v").as("max_v"))
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -202,6 +213,8 @@ object Incremental {
         .withColumn("approx_unique", col("approx_distinct") >= col("min_required"))
         .withColumn("passed", col("approx_unique") &&
           (if (strict) col("n_rows") === col("n_notnull") else lit(true)))
+    case ClusteringCheck(_, _, _, _, maxOverlap) =>
+      Clustering.overlapFromRanges(state, maxOverlap)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -229,6 +242,9 @@ object Incremental {
       case TopKStability(_, t, col0, p, k, thr) =>
         ("topk_stability", verdicts.filter(!col("stable")),
           s"$t.$col0 top-$k per $p jaccard_e5>=$thr")
+      case ClusteringCheck(_, t, p, col0, maxOverlap) =>
+        ("clustering", verdicts.filter(!col("clustered")),
+          s"$t.$col0 envelopes by $p maxOverlap=$maxOverlap")
       case Unique(_, t, col0, strict) =>
         ("unique_incremental_approx", verdicts.filter(!col("passed")),
           s"$t.$col0 approx-unique (HLL one-sided: FAIL definite at 3σ, " +

@@ -8,7 +8,7 @@ import graft.streaming.EventStream
 import graft.pipeline.ValidationSuite._
 
 /** Always-on streaming twin of the validation suite: each state-mergeable
-  * check (the same six families the incremental mode covers) runs as a
+  * check (the same families the incremental mode covers) runs as a
   * Structured-Streaming aggregation over a rate-limited file stream of its
   * table, maintaining ONLY the per-partition mergeable state (counts /
   * maxima — |partitions|×|categories| rows, bounded by the key space, so

@@ -144,6 +144,9 @@ object SuiteConfig {
     case "row_balance" =>
       RowBalance(str(j, "name"), str(j, "table"), str(j, "partitionBy"),
         lng(j, "maxShareE5", 100000L))
+    case "clustering" =>
+      ClusteringCheck(str(j, "name"), str(j, "table"), str(j, "partitionBy"),
+        str(j, "column"), lng(j, "maxOverlap", 0L))
     case other =>
       throw new IllegalArgumentException(s"unknown check type '$other'")
   }

@@ -97,6 +97,16 @@ object ValidationSuite {
     * flags keys needing salting/AQE before they melt one reducer. */
   case class RowBalance(name: String, table: String, partitionBy: String,
                         maxShareE5: Long) extends Check
+  /** sort-key clustering (checks.Clustering): each `partitionBy`
+    * partition's [min, max] envelope of `column` may intersect at most
+    * `maxOverlap` other partitions — the Iceberg file-skipping property
+    * that decides whether a sort-key predicate can prune partitions at
+    * all. Both `partitionBy` and `column` are SQL expressions (so
+    * `to_date(ts)` partitions work declaratively); timestamp-typed values
+    * are measured in epoch micros, everything else casts to long. */
+  case class ClusteringCheck(name: String, table: String, partitionBy: String,
+                             column: String, maxOverlap: Long = 0L)
+    extends Check
   /** run-over-run metric shift (checks.History): the table's per-column
     * mini-profile (counts, null rates, HLL distincts) vs the PREVIOUS
     * run's snapshot persisted under the checkpoint dir — catches the
@@ -440,6 +450,17 @@ object ValidationSuite {
           rm(new java.io.File(s"$dir/${m.group(1)}"))
         }
 
+      case ClusteringCheck(name, table, part, column, maxOverlap) =>
+        val src = Tables.load(spark, sfDir, table)
+        val verdicts = Checkpoint.stage(spark, dir, name, hash = hash)(
+          graft.checks.Clustering.rangeOverlap(src, expr(part),
+            graft.checks.Clustering.valueExpr(src, column), maxOverlap)).df
+        val bad = verdicts.filter(!col("clustered"))
+        val n = bad.count()
+        violationFrames(name) = bad
+        outcomes += CheckOutcome(name, "clustering", n == 0, n,
+          s"$table.$column envelopes by $part maxOverlap=$maxOverlap")
+
       case CrossContainment(name, table, column, part, maxMissing) =>
         val verdicts = Checkpoint.stage(spark, dir, name, hash = hash)(
           graft.checks.PartitionChecks.crossPartitionContainment(
@@ -499,6 +520,9 @@ object ValidationSuite {
       k = 3, minJaccardE5 = 20000L),
     // event types are designed near-uniform (~20% each); 25% headroom
     RowBalance("balance_events_by_type", "events", "event_type", 25000L),
+    // per-day ts envelopes are disjoint by construction at every SF —
+    // the layout a date-predicate scan can actually prune against
+    ClusteringCheck("cluster_events_by_day", "events", "to_date(ts)", "ts"),
     PatternMatch("fmt_customer_name", "customer", "c_name",
       "^Customer#[0-9]{9}$"),
     NullRateDrift("nnd_event_props", "events", "props", "event_type", 1000L),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.Clustering
+
+/** Sort-key clustering / envelope-overlap check (the file-skipping
+  * property). */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranges(rows: (String, Long, Long, Long)*) =
+    rows.toDF("partition", "n_rows", "min_v", "max_v")
+
+  private def overlaps(rows: (String, Long, Long, Long)*): Map[String, Long] =
+    Clustering.overlapFromRanges(ranges(rows: _*), maxOverlap = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+
+  test("disjoint envelopes have zero overlap; full overlap counts all others") {
+    assert(overlaps(("a", 5L, 0L, 9L), ("b", 5L, 10L, 19L),
+      ("c", 5L, 20L, 29L)) == Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+    assert(overlaps(("a", 5L, 0L, 100L), ("b", 5L, 0L, 100L),
+      ("c", 5L, 0L, 100L)) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("touching ranges count as overlap (boundary equality opens both)") {
+    // max(a) == min(b): a point query at 10 must open both partitions
+    assert(overlaps(("a", 5L, 0L, 10L), ("b", 5L, 10L, 20L))
+      == Map("a" -> 1L, "b" -> 1L))
+    // strictly adjacent integers do NOT overlap
+    assert(overlaps(("a", 5L, 0L, 9L), ("b", 5L, 10L, 20L))
+      == Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("nested and partial overlap, single-point envelopes, self excluded") {
+    // b nested inside a; c overlaps a's right edge only
+    assert(overlaps(("a", 9L, 0L, 50L), ("b", 3L, 10L, 20L),
+      ("c", 3L, 40L, 60L)) == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // degenerate single-value envelope never counts itself
+    assert(overlaps(("solo", 1L, 7L, 7L)) == Map("solo" -> 0L))
+    assert(overlaps(("p", 1L, 7L, 7L), ("q", 1L, 7L, 7L))
+      == Map("p" -> 1L, "q" -> 1L))
+  }
+
+  test("null partition name survives the sweep (valid Iceberg partition)") {
+    val r = ranges(("a", 5L, 0L, 9L)).unionAll(
+      Seq((5L, 5L, 14L)).toDF("n_rows", "min_v", "max_v")
+        .select(lit(null).cast("string").as("partition"), col("n_rows"),
+          col("min_v"), col("max_v")))
+    val out = Clustering.overlapFromRanges(r, maxOverlap = 0L).collect()
+    assert(out.length == 2)
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(4) == 1L && !nullRow.getBoolean(5)) // overlaps a
+  }
+
+  test("end-to-end rangeOverlap: verdict gate and null-value exclusion") {
+    val df = Seq(
+      ("p1", Some(1L)), ("p1", Some(5L)), ("p1", None),
+      ("p2", Some(6L)), ("p2", Some(9L)),
+      ("p3", Some(4L)), ("p3", Some(8L))).toDF("part", "v")
+    val out = Clustering.rangeOverlap(df, col("part"), col("v"),
+        maxOverlap = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getBoolean(5)))).toMap
+    // p1 [1,5] overlaps p3; p2 [6,9] overlaps p3; p3 [4,8] overlaps both.
+    // Null v excluded from p1's count. maxOverlap=1 fails only p3.
+    assert(out("p1") == ((2L, 1L, true)))
+    assert(out("p2") == ((2L, 1L, true)))
+    assert(out("p3") == ((2L, 2L, false)))
+  }
+}

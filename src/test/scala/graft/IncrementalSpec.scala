@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.checks.{Drift, PartitionChecks}
+import graft.checks.{Clustering, Drift, PartitionChecks}
 import graft.pipeline.{Incremental, ValidationSuite}
 import graft.pipeline.ValidationSuite._
 
@@ -41,6 +41,7 @@ class IncrementalSpec extends SparkSpec {
     case "nrd"   => NullRateDrift("c_nrd", "t", "props", "part", 5000L)
     case "bal"   => RowBalance("c_bal", "t", "part", 26000L)
     case "topk"  => TopKStability("c_topk", "t", "cat", "part", 3, 50000L)
+    case "clu"   => ClusteringCheck("c_clu", "t", "part", "v", 0L)
   }
 
   private def batchVerdicts(c: Check): DataFrame = c match {
@@ -50,13 +51,15 @@ class IncrementalSpec extends SparkSpec {
     case NullRateDrift(_, _, v, p, thr) => Drift.nullRateDrift(corpus, p, v, thr)
     case RowBalance(_, _, p, ms) => PartitionChecks.rowBalance(corpus, p, ms)
     case TopKStability(_, _, cat, p, k, thr) => Drift.topkStability(corpus, p, cat, k, thr)
+    case ClusteringCheck(_, _, p, c0, mo) =>
+      Clustering.rangeOverlap(corpus, expr(p), Clustering.valueExpr(corpus, c0), mo)
     case other => fail(s"no batch twin for $other")
   }
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
-  for (kind <- Seq("cat", "ks", "fresh", "nrd", "bal", "topk"))
+  for (kind <- Seq("cat", "ks", "fresh", "nrd", "bal", "topk", "clu"))
     test(s"$kind: 3-batch incremental fold equals the single-pass batch verdicts") {
       val c = checkOf(kind)
       val dir = Files.createTempDirectory(s"incr_$kind").toString
@@ -77,6 +80,13 @@ class IncrementalSpec extends SparkSpec {
             byTvd.getAs[Boolean]("drifted"))
         case "fresh" => assert(last.filter(!col("fresh"))
           .select("partition").as[String].collect().toSet == Set("p3"))
+        case "clu" =>
+          // p3's [50,99] envelope is disjoint from p0-p2's [0,49]; the
+          // latter three mutually overlap and fail at maxOverlap=0
+          assert(last.filter(col("clustered"))
+            .select("partition").as[String].collect().toSet == Set("p3"))
+          assert(last.filter(!col("clustered"))
+            .select("overlap").as[Long].collect().toSeq == Seq(2L, 2L, 2L))
         case _ => ()
       }
     }

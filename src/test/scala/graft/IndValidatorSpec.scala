@@ -40,6 +40,29 @@ class IndValidatorSpec extends SparkSpec {
     assert(!passed.contains(("t.b", "t.c")))
   }
 
+  test("columnSimilarity: unordered pairs, exact jaccard/containment, zero-overlap kept") {
+    val sim = IndValidator.columnSimilarity(longForm, minJaccardE5 = 50000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("inter"), r.getAs[Long]("jaccard_e5"),
+          r.getAs[Long]("cont_a_e5"), r.getAs[Long]("cont_b_e5"),
+          r.getAs[Boolean]("related")))).toMap
+    // one row per UNORDERED pair, a < b lexically
+    assert(sim.keySet == Set(("t.a", "t.b"), ("t.a", "t.c"), ("t.b", "t.c")))
+    // a={1,2} ⊂ b={1,2,3}: |∩|=2, J=2/3, cont_a=1, cont_b=2/3
+    assert(sim(("t.a", "t.b")) == ((2L, 66666L, 100000L, 66666L, true)))
+    // a={1,2} vs c={1,9}: |∩|=1, J=1/3
+    assert(sim(("t.a", "t.c")) == ((1L, 33333L, 50000L, 50000L, false)))
+    assert(sim(("t.b", "t.c")) == ((1L, 25000L, 33333L, 50000L, false)))
+  }
+
+  test("columnSimilarity: disjoint columns appear with zero intersection") {
+    val lf = Seq(("t.x", "1"), ("t.y", "2")).toDF("col", "val")
+    val row = IndValidator.columnSimilarity(lf, 1L).collect()(0)
+    assert((row.getString(0), row.getString(1)) == (("t.x", "t.y")))
+    assert(row.getAs[Long]("inter") == 0L &&
+      row.getAs[Long]("jaccard_e5") == 0L && !row.getAs[Boolean]("related"))
+  }
+
   test("pairs sharing no values still get missing = dep distinct count") {
     val lf = Seq(("t.x", "q"), ("t.y", "r"), ("t.y", "s")).toDF("col", "val")
     val m = IndValidator.verdicts(lf, 0L)

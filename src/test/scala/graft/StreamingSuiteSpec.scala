@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.checks.{Drift, PartitionChecks}
+import graft.checks.{Clustering, Drift, PartitionChecks}
 import graft.pipeline.{StreamingSuite, ValidationSuite}
 import graft.pipeline.ValidationSuite._
 
@@ -18,7 +18,7 @@ class StreamingSuiteSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
-  test("multi-file rate-limited stream: verdict parity with batch for all six kinds") {
+  test("multi-file rate-limited stream: verdict parity with batch for the mergeable kinds") {
     // 4-part multi-file table → 4 triggers at maxFilesPerTrigger=1: the
     // complete-mode state must still equal the batch aggregate
     val dir = Files.createTempDirectory("stream_suite").toString
@@ -47,7 +47,10 @@ class StreamingSuiteSpec extends SparkSpec {
       RowBalance("s_bal", "events", "part", 40000L) ->
         PartitionChecks.rowBalance(batch, "part", 40000L),
       TopKStability("s_topk", "events", "cat", "part", 3, 30000L) ->
-        Drift.topkStability(batch, "part", "cat", 3, 30000L))
+        Drift.topkStability(batch, "part", "cat", 3, 30000L),
+      ClusteringCheck("s_clu", "events", "part", "v", 0L) ->
+        Clustering.rangeOverlap(batch, col("part"),
+          Clustering.valueExpr(batch, "v"), 0L))
     cases.foreach { case (c, batchVerdicts) =>
       val streamed = StreamingSuite.checkVerdicts(spark, dir, c,
         maxFilesPerTrigger = 1)

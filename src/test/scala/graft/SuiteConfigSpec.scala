@@ -36,13 +36,17 @@ class SuiteConfigSpec extends SparkSpec {
       |      "partitionBy": "event_type", "maxShareE5": 25000 },
       |    { "type": "distinct_per_key", "name": "cov", "table": "documents",
       |      "keyColumn": "lang", "valueColumn": "text",
-      |      "minDistinct": 2 }
+      |      "minDistinct": 2 },
+      |    { "type": "clustering", "name": "clu", "table": "events",
+      |      "partitionBy": "to_date(ts)", "column": "ts" }
       |  ] }""".stripMargin
 
   test("fromJson: every check type parses with defaults applied") {
     val cfg = SuiteConfig.fromJson(json, "/tmp/ckpt")
     assert(cfg.hotKeys == Map("documents.lang" -> 8))
-    assert(cfg.checks.length == 11)
+    assert(cfg.checks.length == 12)
+    assert(cfg.checks(11) ==
+      ClusteringCheck("clu", "events", "to_date(ts)", "ts", 0L))
     assert(cfg.checks.head == Unique("pk", "orders", "o_orderkey"))
     assert(cfg.checks(1) ==
       Referential("fk", "lineitem", "l_orderkey", "orders", "o_orderkey"))
@@ -111,7 +115,7 @@ class SuiteConfigSpec extends SparkSpec {
     }
     if (failed != 0) info(out.toString)
     assert(failed == 0)
-    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 11)
+    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 12)
     // hot-key flag honored: the salted path announces itself in the detail
     assert(out.toString.contains("salted x8"))
   }

@@ -187,4 +187,24 @@ class ValidationSuiteSpec extends SparkSpec {
     // violation frames carry the per-partition verdict rows that failed
     assert(viols.contains("ppk") && viols.contains("xc"))
   }
+
+  test("clustering check: disjoint day envelopes pass, overlapping price envelopes fail") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_clu").toString
+    val cfg = Config(Seq(
+      // per-day ts envelopes are disjoint → prunable layout
+      ClusteringCheck("clu_ok", "events", "to_date(ts)", "ts"),
+      // every returnflag partition spans the full price range → overlap 2
+      ClusteringCheck("clu_bad", "lineitem", "l_returnflag",
+        "floor(l_extendedprice * 100)")
+    ), dir)
+    val (v, viols) = ValidationSuite.run(spark, "/root/testdata/sf0.001", cfg)
+    val byName = v.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("clu_ok").getAs[String]("kind") == "clustering")
+    assert(byName("clu_ok").getAs[Boolean]("passed"))
+    assert(!byName("clu_bad").getAs[Boolean]("passed"))
+    assert(byName("clu_bad").getAs[Long]("violations") == 3L) // A, N, R
+    // the violation frame is the failing per-partition verdict rows
+    assert(viols("clu_bad").collect()
+      .forall(r => r.getAs[Long]("overlap") == 2L))
+  }
 }
