@@ -1073,6 +1073,20 @@ object SparkEntry {
       graft.ind.IndValidator.columnSimilarity(
         cachedDistinctLong(s, dir), minJaccardE5 = 5000L)),
 
+    // snapshot row diff against a designed rewrite of orders: keys %97
+    // vanish (removed), %89 get a price bump (changed), %101 come back
+    // under shifted keys (added) — every verdict kind fires at every SF
+    "q_snapshot_diff" -> ((s, dir) => {
+      val old = Tables.load(s, dir, "orders")
+      val neu = old.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(old.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.checks.SnapshotDiff.rowDiff(old, neu, Seq("o_orderkey"))
+    }),
+
     // S6 interop: ingest a Metanome/PartialSPIDER JSON-lines result set
     // (the reference's external-tool output format) and score it against
     // THIS engine's exact-IND baseline — the reference's evaluation use
@@ -2107,6 +2121,34 @@ object SparkEntry {
 
     "q_ind_exact" ->
       (indCoreSql + "SELECT dep, ref FROM verdict WHERE missing = 0"),
+
+    // value compare via IS DISTINCT FROM on the raw tuples (the engine
+    // compares 128-bit digests of a canonical JSON encoding — verdicts
+    // agree unless xxhash64 collides twice, < 1e-18)
+    "q_snapshot_diff" ->
+      """WITH neu AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (o.o_custkey, o.o_orderstatus, o.o_totalprice,
+        |               o.o_orderdate, o.o_orderpriority) IS DISTINCT FROM
+        |              (n.o_custkey, n.o_orderstatus, n.o_totalprice,
+        |               n.o_orderdate, n.o_orderpriority)
+        |         THEN 'changed' ELSE 'unchanged' END AS change
+        |  FROM orders o FULL OUTER JOIN neu n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change FROM j WHERE change <> 'unchanged'"""
+        .stripMargin,
 
     "q_col_similarity" ->
       (indCoreSql +

@@ -1,0 +1,64 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot row diff — the "what actually changed between
+  * yesterday's table and today's" primitive a validation gate runs before
+  * trusting an in-place rewrite (the data-diff shape; complements
+  * ProfileShift, which sees only aggregate drift, with row-level
+  * attribution).
+  *
+  * Scale: each side is reduced to (keys, 128-bit content digest) BEFORE
+  * the full-outer join, so the shuffle moves key + 16 bytes per row
+  * instead of full payloads — the hash-then-shuffle discipline (never
+  * shuffle raw contents at 100 TB). Two independently-seeded xxhash64
+  * halves keep cross-row collision odds < 1e-18 at 10^10 rows, same
+  * rationale as the IND co-occurrence keys.
+  */
+object SnapshotDiff {
+
+  /** Rows added, removed, or changed from `old` to `neu`, keyed by
+    * `keyCols` (caller contract: the key is unique per snapshot — with
+    * duplicate keys the join multiplies and the verdict is meaningless;
+    * run the uniqueness check first). Content equality covers every
+    * non-key column via a canonical JSON encoding (`ignoreNullFields`
+    * off, so NULL and absent are distinct and a null→'null'-string flip
+    * is detected). Output: (keyCols..., change ∈ added|removed|changed);
+    * unchanged rows are filtered — the violation-row shape. */
+  def rowDiff(old: DataFrame, neu: DataFrame,
+              keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rowDiff needs at least one key column")
+    require(old.columns.toSet == neu.columns.toSet,
+      s"snapshot schemas differ: ${old.columns.toSet} vs ${neu.columns.toSet}" +
+        " — diff after aligning schemas (a schema change is a SchemaMatch" +
+        " finding, not a row diff)")
+    // deterministic column order from the NEW side so both digests hash
+    // the same field sequence
+    val valCols = neu.columns.toSeq.filterNot(keyCols.contains)
+    def digest(df: DataFrame, h1: String, h2: String) = {
+      val j =
+        if (valCols.isEmpty) lit("{}")
+        else to_json(struct(valCols.map(col): _*),
+          Map("ignoreNullFields" -> "false"))
+      df.select(keyCols.map(col) :+ j.as("_j"): _*)
+        .select(keyCols.map(col) :+ xxhash64(col("_j")).as(h1) :+
+          xxhash64(lit("graft-seed-2"), col("_j")).as(h2): _*)
+    }
+    digest(old, "_oh1", "_oh2")
+      .join(digest(neu, "_nh1", "_nh2"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("_oh1").isNull, lit("added"))
+          .when(col("_nh1").isNull, lit("removed"))
+          .when(col("_oh1") =!= col("_nh1") ||
+            col("_oh2") =!= col("_nh2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
+  /** One-row-per-kind summary of a diff — the gate form: fail an ingest
+    * when removed/changed exceed a budget. */
+  def summary(diff: DataFrame): DataFrame =
+    diff.groupBy("change").agg(count(lit(1)).as("n_rows"))
+}

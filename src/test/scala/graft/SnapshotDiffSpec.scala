@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.SnapshotDiff
+
+/** Snapshot row diff: verdict kinds, null-vs-string discrimination,
+  * schema-mismatch refusal. */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changes(old: org.apache.spark.sql.DataFrame,
+                      neu: org.apache.spark.sql.DataFrame) =
+    SnapshotDiff.rowDiff(old, neu, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change"))
+      .toMap
+
+  test("added, removed, changed, unchanged-filtered") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n")
+    val neu = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40)).toDF("k", "v", "n")
+    assert(changes(old, neu) ==
+      Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("null vs the string 'null' vs empty string are all distinct") {
+    val old = Seq((1L, Option("null")), (2L, Option("")), (3L, Option("x")))
+      .toDF("k", "v")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("x"))).toDF("k", "v")
+    assert(changes(old, neu) == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("key-only schema: only membership changes are detectable") {
+    val old = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    val neu = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    assert(changes(old, neu) == Map(1L -> "removed", 3L -> "added"))
+  }
+
+  test("schema mismatch refuses instead of diffing garbage") {
+    val old = Seq((1L, "a")).toDF("k", "v")
+    val neu = Seq((1L, "a")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException](
+      SnapshotDiff.rowDiff(old, neu, Seq("k")))
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
+  test("summary aggregates per kind") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val neu = Seq((2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    val s = SnapshotDiff.summary(SnapshotDiff.rowDiff(old, neu, Seq("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("added" -> 2L, "removed" -> 1L, "changed" -> 2L))
+  }
+}
