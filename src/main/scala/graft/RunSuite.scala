@@ -85,13 +85,26 @@ object RunSuite {
     * verdicts (pipeline.Discovery). Run it from cron against a growing
     * lakehouse dir; a quiet dir re-derives verdicts from state without
     * touching the source. */
+  /** Settle window from the raw env value: whole non-negative
+    * milliseconds only, failing with the variable's name — a bare
+    * `.toLong` on '5s' would die with an uncontextualized
+    * NumberFormatException before the run starts. */
+  private[graft] def parseSettleMs(raw: Option[String]): Long =
+    raw.fold(0L) { v =>
+      val n = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SETTLE_MS must be a whole number of milliseconds, " +
+          s"got '$v'"))
+      require(n >= 0L, s"SPARK_GRAFT_SETTLE_MS must be >= 0, got $n")
+      n
+    }
+
   def runIncrementalDiscover(spark: SparkSession, dataDir: String,
                              ckptDir: String,
                              configJson: Option[String] = None): Int = {
     // SPARK_GRAFT_SETTLE_MS defers files modified within the last N ms —
     // set it when the ingest copies files in place instead of atomically
     // renaming them (see Discovery.scan)
-    val settle = sys.env.get("SPARK_GRAFT_SETTLE_MS").map(_.toLong).getOrElse(0L)
+    val settle = parseSettleMs(sys.env.get("SPARK_GRAFT_SETTLE_MS"))
     val (verdicts, _, batch) = graft.pipeline.Discovery.discoverAndRun(
       spark, dataDir, configOf(configJson, ckptDir), settle)
     val batchNote = batch match {

@@ -944,7 +944,7 @@ object SparkEntry {
 
     // functional-dependency discovery (the within-table sibling of IND
     // discovery): profile-pruned candidates, one batched g3 job for all
-    // surviving ordered pairs of the supplier table
+    // surviving ordered pairs of the part table
     "q_fd_exact" -> ((s, dir) =>
       Fd.discover(Tables.load(s, dir, "part"), fdPartCols)),
 

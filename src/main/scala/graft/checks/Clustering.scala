@@ -83,16 +83,19 @@ object Clustering {
     overlapFromRanges(partitionRanges(df, partition, value), maxOverlap)
 
   /** Long-valued total order for a declarative column expression string:
-    * timestamps measure in epoch micros (they cannot cast straight to
-    * long under ANSI), everything else casts to long. Shared by the suite
-    * dispatch and the incremental state builder so batch and fold see the
-    * SAME value space. */
+    * timestamps measure in epoch micros, dates in epoch days (neither
+    * casts straight to long under ANSI), everything else casts to long.
+    * Shared by the suite dispatch and the incremental state builder so
+    * batch and fold see the SAME value space. */
   def valueExpr(df: DataFrame, column: String): Column = {
     val raw = expr(column)
     df.select(raw).schema.head.dataType match {
       case _: org.apache.spark.sql.types.TimestampType |
            _: org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(raw.cast("timestamp"))
+      // unix_date returns INT — cast so envelope state stays long-typed
+      case _: org.apache.spark.sql.types.DateType =>
+        unix_date(raw).cast("long")
       case _ => raw.cast("long")
     }
   }

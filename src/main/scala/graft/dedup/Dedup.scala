@@ -437,10 +437,14 @@ object Dedup {
       label = "crossGroupClones")
     val grp = files.select(col(idCol).as("id"), col(grpCol).as("grp"))
       .dropDuplicates("id")
+    // a NULL group is unknown provenance, not a group of its own: such a
+    // file is cross-group with everything (including other null-group
+    // files) — a null-unsafe =!= would silently drop those pairs
     val crossGrp = cand
       .join(grp.select(col("id").as("a"), col("grp").as("grp_a")), Seq("a"))
       .join(grp.select(col("id").as("b"), col("grp").as("grp_b")), Seq("b"))
-      .filter(col("grp_a") =!= col("grp_b"))
+      .filter(col("grp_a").isNull || col("grp_b").isNull ||
+        col("grp_a") =!= col("grp_b"))
       .localCheckpoint()
     // verify on full fingerprint sets of candidate files only
     val ids = crossGrp.select(col("a").as("id"))

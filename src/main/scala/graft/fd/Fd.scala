@@ -115,6 +115,11 @@ object Fd {
     val counts = distinctCounts(df, cols).collect()
       .map(r => r.getAs[String]("col") -> r.getAs[Long]("unique_count"))
       .toMap
+    // an empty table profiles to an empty map; candidatePairs would then
+    // throw a bare key-not-found instead of this diagnostic
+    require(counts.nonEmpty,
+      s"FD discovery over an empty table — no values to profile for " +
+        s"columns ${cols.mkString(",")}")
     val pairs = candidatePairs(counts, cols)
     require(pairs.nonEmpty,
       s"no candidate FD pairs survive pruning over ${cols.mkString(",")}")

@@ -68,4 +68,24 @@ class ClusteringSpec extends SparkSpec {
     assert(out("p2") == ((2L, 1L, true)))
     assert(out("p3") == ((2L, 2L, false)))
   }
+
+  test("date-typed sort key orders as epoch days (the Iceberg date-pruning layout)") {
+    val df = Seq(
+      ("p1", "2024-01-01"), ("p1", "2024-01-10"),
+      ("p2", "2024-01-11"), ("p2", "2024-01-20"),
+      ("p3", "2024-01-05"), ("p3", "2024-01-15"))
+      .toDF("part", "d")
+      .select(col("part"), col("d").cast("date").as("d"))
+    assert(df.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val out = Clustering.rangeOverlap(df, col("part"),
+        Clustering.valueExpr(df, "d"), maxOverlap = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // p1 [jan1,jan10] and p2 [jan11,jan20] are disjoint; p3 spans both
+    assert(out == Map("p1" -> 1L, "p2" -> 1L, "p3" -> 2L))
+    // the long order is epoch days: 2024-01-01 = 19723
+    val v = df.filter(col("part") === "p1")
+      .select(min(Clustering.valueExpr(df, "d"))).head.getLong(0)
+    assert(v == 19723L)
+  }
 }

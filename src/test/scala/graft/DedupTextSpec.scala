@@ -269,6 +269,26 @@ class DedupTextSpec extends SparkSpec {
     assert(!out.map(t => (t._1, t._2)).contains(("r3|c.txt", "r4|d.txt")))
   }
 
+  test("cross-group clones: NULL group is unknown provenance — cross with everything") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val files = Seq(
+      ("u|x.txt", Option.empty[String], body), // unknown repo
+      ("r2|a.txt", Option("r2"), body),        // known-repo clone of it
+      ("v|y.txt", Option.empty[String], body)  // second unknown clone
+    ).toDF("file_id", "repo", "content")
+    val pairs = graft.dedup.Dedup.crossGroupClones(
+        files, "file_id", "repo", "content",
+        dfCutoff = 3, minContainE5 = 80000L)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+    // null-vs-known reported both ways it appears, and null-vs-null too:
+    // a null-unsafe group filter would silently drop ALL of these
+    assert(pairs.contains(("r2|a.txt", "u|x.txt")) ||
+      pairs.contains(("u|x.txt", "r2|a.txt")))
+    assert(pairs.contains(("u|x.txt", "v|y.txt")) ||
+      pairs.contains(("v|y.txt", "u|x.txt")))
+  }
+
   test("connected components: chains merge to one cluster, min id is canonical") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, and 20-20 isolated via self-pair

@@ -173,4 +173,15 @@ class DiscoverySpec extends SparkSpec {
     assert(failed2 == 0)
     assert(out2.toString.contains("\"batch\":null,\"new_files\":0"))
   }
+
+  test("settle-window env parse: whole non-negative ms, named failure") {
+    assert(RunSuite.parseSettleMs(None) == 0L)
+    assert(RunSuite.parseSettleMs(Some("1500")) == 1500L)
+    val bad = intercept[IllegalArgumentException](
+      RunSuite.parseSettleMs(Some("5s")))
+    assert(bad.getMessage.contains("SPARK_GRAFT_SETTLE_MS"))
+    val neg = intercept[IllegalArgumentException](
+      RunSuite.parseSettleMs(Some("-1")))
+    assert(neg.getMessage.contains("SPARK_GRAFT_SETTLE_MS"))
+  }
 }

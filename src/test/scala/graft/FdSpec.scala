@@ -71,4 +71,12 @@ class FdSpec extends SparkSpec {
     // 1001 rows, kept = 990 (hot majority) + 1 (cold) = 991
     assert(out(("a", "b")) == ((1001L, 991L, (10L * 100000L) / 1001L, false)))
   }
+
+  test("empty table fails with the diagnostic, not a key-not-found") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      Fd.discover(empty, Seq("a", "b")))
+    assert(e.getMessage.contains("empty table"))
+  }
 }
