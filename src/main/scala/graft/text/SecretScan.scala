@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Secret / credential scan over a text corpus — the redaction gate a
+  * source-code training pipeline runs before anything ships (leaked cloud
+  * keys, private-key blocks, emails, IPs, and the catch-all: high-entropy
+  * tokens). Mirrors the reference's violation-row discipline (every hit is
+  * a row, not just a count — cf. `/root/reference/pysrc/scripts/
+  * evaluation.py`'s per-IND rows): output is one row per distinct
+  * (document, detector, secret).
+  *
+  * Scale design: the fixed-pattern detectors are ONE codegen'd scan per
+  * document (explode-of-structs unpivot over the per-pattern match arrays —
+  * no per-pattern rescans, no UDFs, no shuffle until the distinct). The
+  * entropy gate shuffles only candidate tokens (≤ `CandMaxLen` chars each),
+  * never document payloads — at 100 TB the candidates are a sliver of the
+  * corpus and the char-explode is bounded at 64× the candidate count.
+  *
+  * Entropy is exact integer math: Shannon entropy over a token's char
+  * frequencies satisfies n·H = T(n) − Σ T(cᵢ) with T(k) = k·log₂k, so both
+  * engines evaluate the SAME precomputed integer table `entropyTableE6`
+  * (floor(T(k)·1e6), k ≤ 64) and the verdict needs no cross-engine float
+  * reproduction — the same trick as the fixed-point ANN oracles.
+  */
+object SecretScan {
+
+  /** Fixed-pattern detectors, restricted to the Java-regex ∩ RE2 subset so
+    * the DuckDB oracle runs them verbatim. */
+  val patterns: Seq[(String, String)] = Seq(
+    "aws_key" -> "AKIA[0-9A-Z]{16}",
+    "private_key" -> "-----BEGIN [A-Z]+ PRIVATE KEY-----",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Candidate-token bounds for the entropy gate. */
+  val CandMinLen = 24
+  val CandMaxLen = 64
+
+  /** Entropy-gated candidate classes: (detector, pattern, min micro-bits
+    * per char). Entropy thresholds are PER CHARSET — the secret-scanner
+    * discipline: a hex token maxes out at 4 bits/char so 3.0 separates
+    * keys from filler, while the base64/identifier class needs 4.5 bits
+    * because long English words already carry ~3.3 (measured:
+    * 'internationalizationconfig' = 3.26 — a single global threshold
+    * cannot split it from 32-char random hex at 3.39). */
+  val entropyClasses: Seq[(String, String, Long)] = Seq(
+    ("high_entropy_hex", s"[0-9a-f]{$CandMinLen,$CandMaxLen}", 3000000L),
+    ("high_entropy_b64",
+      s"[A-Za-z0-9+/=_-]{$CandMinLen,$CandMaxLen}", 4500000L))
+
+  /** floor(k·log₂k · 1e6) for k = 0..CandMaxLen; index k. Computed once
+    * here and spliced into BOTH the engine expression and the oracle SQL,
+    * so the two sides compare identical integers. */
+  val entropyTableE6: Array[Long] = (0 to CandMaxLen).map { k =>
+    if (k < 2) 0L
+    else math.floor(k * math.log(k) / math.log(2.0) * 1e6).toLong
+  }.toArray
+
+  private def keyed(idCols: Seq[String]): Seq[Column] = idCols.map(col)
+
+  /** Distinct (idCols..., detector, secret) for the fixed-pattern
+    * detectors. One source scan: per-pattern match arrays are packed into
+    * an array of structs and exploded (the Tables.scala unpivot idiom). */
+  def regexHits(df: DataFrame, idCols: Seq[String],
+                textCol: String): DataFrame = {
+    val packed = array(patterns.map { case (det, re) =>
+      struct(lit(det).as("detector"),
+        regexp_extract_all(col(textCol), lit(re), lit(0)).as("hits"))
+    }: _*)
+    df.select(keyed(idCols) :+ explode(packed).as("p"): _*)
+      .select(keyed(idCols) :+ col("p.detector") :+
+        explode(col("p.hits")).as("secret"): _*)
+      .dropDuplicates(idCols :+ "detector" :+ "secret")
+  }
+
+  /** Distinct candidate tokens whose within-token entropy clears their
+    * class's gate: (idCols..., detector, secret, nh_e6) where nh_e6 =
+    * token_length · entropy · 1e6 via the shared integer table. One source
+    * scan (same unpivot as regexHits); a token matching several classes is
+    * judged independently under each. */
+  def entropyHits(df: DataFrame, idCols: Seq[String],
+                  textCol: String): DataFrame = {
+    val t = lit(entropyTableE6) // element_at is 1-indexed: t(k) at k+1
+    val packed = array(entropyClasses.map { case (det, re, minBits) =>
+      struct(lit(det).as("detector"), lit(minBits).as("min_bits_e6"),
+        regexp_extract_all(col(textCol), lit(re), lit(0)).as("hits"))
+    }: _*)
+    val cand = df
+      .select(keyed(idCols) :+ explode(packed).as("p"): _*)
+      .select(keyed(idCols) :+ col("p.detector") :+ col("p.min_bits_e6") :+
+        explode(col("p.hits")).as("secret"): _*)
+      .dropDuplicates(idCols :+ "detector" :+ "secret")
+    val tokKey = idCols :+ "detector" :+ "secret"
+    cand
+      .select(keyed(tokKey) :+ col("min_bits_e6") :+
+        explode(split(col("secret"), "")).as("ch"): _*)
+      .groupBy(keyed(tokKey) :+ col("min_bits_e6") :+ col("ch"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(keyed(tokKey) :+ col("min_bits_e6"): _*)
+      .agg(sum(element_at(t, col("c").cast("int") + 1)).as("sum_t"))
+      .withColumn("nh_e6",
+        element_at(t, length(col("secret")) + 1) - col("sum_t"))
+      .filter(col("nh_e6") >=
+        length(col("secret")).cast("long") * col("min_bits_e6"))
+      .select(keyed(tokKey) :+ col("nh_e6"): _*)
+  }
+
+  /** Full scan: fixed patterns plus the per-charset entropy catch-alls.
+    * Violation-row shape (idCols..., detector, secret). */
+  def scan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame =
+    regexHits(df, idCols, textCol).unionByName(
+      entropyHits(df, idCols, textCol)
+        .select(keyed(idCols) :+ col("detector") :+ col("secret"): _*))
+}
