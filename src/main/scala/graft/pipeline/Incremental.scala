@@ -61,9 +61,19 @@ object Incremental {
   def supported(c: Check): Boolean = c match {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
          _: NullRateDrift | _: RowBalance | _: TopKStability |
-         _: Unique | _: ClusteringCheck => true
+         _: Unique | _: ClusteringCheck | _: SecretLeaks => true
     case _ => false
   }
+
+  /** Checks whose state aggregation also runs as ONE Structured-Streaming
+    * aggregation (StreamingSuite). SecretLeaks is mergeable but its scan
+    * chains several stateful ops (explode-dedup-agg-agg), which complete
+    * output mode cannot express — it folds incrementally and stays on the
+    * batch path when streaming. */
+  def streamable(c: Check): Boolean = supported(c) && (c match {
+    case _: SecretLeaks => false
+    case _ => true
+  })
 
   /** One-sided approx-uniqueness band: Spark's `hll_sketch_agg` default
     * lgConfigK=12 has relative standard deviation ≈ 1.04/√4096 ≈ 1.62%,
@@ -85,6 +95,7 @@ object Incremental {
     case TopKStability(_, t, _, _, _, _) => t
     case Unique(_, t, _, _)              => t
     case ClusteringCheck(_, t, _, _, _)  => t
+    case SecretLeaks(_, t, _, _, _)      => t
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -107,6 +118,8 @@ object Incremental {
       Checkpoint.configHash("unique_hll", t, col0)
     case ClusteringCheck(_, t, p, col0, _) => // maxOverlap is a verdict param
       Checkpoint.configHash("clu", t, p, col0)
+    case SecretLeaks(_, t, ids, col0, _) => // maxHits is a verdict param
+      Checkpoint.configHash("secrets" +: t +: col0 +: ids: _*)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -152,6 +165,13 @@ object Incremental {
       // monoid, so folding deltas equals the batch envelope exactly
       Clustering.partitionRanges(batch, expr(p),
         Clustering.valueExpr(batch, c0))
+    case SecretLeaks(_, _, ids, c0, _) =>
+      // the distinct hit rows themselves (set union IS the monoid): a hit
+      // is row-local, so per-delta scans find exactly the batch's hits.
+      // State is violation-sized, not key-space-sized — bounded by actual
+      // leaks, which the check exists to keep near zero; a corpus leaking
+      // at data scale fails the gate long before state size matters.
+      graft.text.SecretScan.scan(batch, ids, c0)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -179,6 +199,8 @@ object Incremental {
       case _: ClusteringCheck =>
         both.groupBy("partition").agg(sum("n_rows").as("n_rows"),
           min("min_v").as("min_v"), max("max_v").as("max_v"))
+      case _: SecretLeaks =>
+        both.dropDuplicates() // set union over full hit rows
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -215,13 +237,15 @@ object Incremental {
           (if (strict) col("n_rows") === col("n_notnull") else lit(true)))
     case ClusteringCheck(_, _, _, _, maxOverlap) =>
       Clustering.overlapFromRanges(state, maxOverlap)
+    case _: SecretLeaks =>
+      state // every state row IS a hit; the budget gate lives in outcomeOf
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
 
   /** Bad-row filter + outcome, mirroring ValidationSuite's per-kind logic.
     * `tag` marks which always-on path produced the verdict. */
-  private[pipeline] def outcomeOf(c: Check, verdicts: DataFrame,
+  private[graft] def outcomeOf(c: Check, verdicts: DataFrame,
                                   tag: String = " (incremental)"): (DataFrame, CheckOutcome) = {
     val (kind, bad, detail) = c match {
       case CategoricalDrift(_, t, col0, p, thr) =>
@@ -251,11 +275,20 @@ object Incremental {
             s"PASS tolerates <=${UniqueHllTolE5}e-5+$UniqueHllFloor dupes — " +
             s"exact full run is the backstop)" +
             (if (strict) " strict" else ""))
+      case SecretLeaks(_, t, _, col0, maxHits) =>
+        ("secret_leaks", verdicts,
+          s"$t.$col0 secret-shaped hits budget=$maxHits")
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
+    // every kind above fails on ANY bad row except SecretLeaks, whose
+    // budget tolerates up to maxHits accepted leaks
+    val budget = c match {
+      case SecretLeaks(_, _, _, _, maxHits) => maxHits
+      case _ => 0L
+    }
     val n = bad.count()
-    (bad, CheckOutcome(c.name, kind, n == 0, n, detail + tag))
+    (bad, CheckOutcome(c.name, kind, n <= budget, n, detail + tag))
   }
 
   private val BatchesRe = """"batches":\[([^\]]*)\]""".r

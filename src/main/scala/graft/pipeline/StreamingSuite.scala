@@ -171,12 +171,15 @@ object StreamingSuite {
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
     config.checks.foreach {
-      // non-mergeable checks must NOT vanish into a green exit — emit an
+      // non-streamable checks must NOT vanish into a green exit — emit an
       // explicit skipped row so the operator sees what still needs the
-      // full batch run
-      case c if !Incremental.supported(c) =>
+      // full batch (or incremental) run
+      case c if !Incremental.streamable(c) =>
         outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
-          "no mergeable state — run the full suite for this check")
+          if (Incremental.supported(c))
+            "state is mergeable but not streamable as one aggregation — " +
+              "run --incremental or the full suite for this check"
+          else "no mergeable state — run the full suite for this check")
       case c =>
         val (bad, oc) = Incremental.outcomeOf(c,
           checkVerdicts(spark, dataDir, c, maxFilesPerTrigger), " (streaming)")

@@ -127,6 +127,9 @@ object SuiteConfig {
         str(j, "regex"), lng(j, "maxViolations", 0L))
     case "unique_composite" =>
       UniqueComposite(str(j, "name"), str(j, "table"), strings(j, "columns"))
+    case "secret_leaks" =>
+      SecretLeaks(str(j, "name"), str(j, "table"), strings(j, "idColumns"),
+        str(j, "column"), lng(j, "maxHits", 0L))
     case "profile_shift" =>
       ProfileShift(str(j, "name"), str(j, "table"), strings(j, "columns"),
         lng(j, "cntShrinkTolE5", 1000L), lng(j, "nullTolE5", 1000L),

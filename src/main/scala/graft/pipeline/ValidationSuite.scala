@@ -117,6 +117,12 @@ object ValidationSuite {
                           cntShrinkTolE5: Long = 1000L,
                           nullTolE5: Long = 1000L,
                           distinctTolE5: Long = 5000L) extends Check
+  /** content hygiene: no credential-shaped strings in `column` — the
+    * text.SecretScan detectors (fixed regexes + per-charset entropy gates);
+    * at most `maxHits` distinct (idColumns..., detector, secret) hits.
+    * The violation frame IS the redaction worklist. */
+  case class SecretLeaks(name: String, table: String, idColumns: Seq[String],
+                         column: String, maxHits: Long = 0L) extends Check
 
   /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
     * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
@@ -345,6 +351,19 @@ object ValidationSuite {
               Tables.load(spark, sfDir, table), table, column, regex))).df
         }
 
+      case SecretLeaks(name, table, idCols, column, maxHits) =>
+        requireSoundCap(maxHits)
+        val viol = Checkpoint.stage(spark, dir, name, hash = hash)(
+          capped(graft.text.SecretScan.scan(
+            Tables.load(spark, sfDir, table), idCols, column))).df
+        val n = viol.count()
+        val sampled = cap > 0 && n >= cap
+        violationFrames(name) = viol
+        outcomes += CheckOutcome(name, "secret_leaks",
+          if (sampled) false else n <= maxHits, n,
+          s"$table.$column secret-shaped hits=$n budget=$maxHits" +
+            (if (sampled) s" (sampled, true count >= $cap)" else ""))
+
       case UniqueComposite(name, table, columns) =>
         val stats = Checkpoint.stage(spark, dir, name, hash = hash)(
           ColumnChecks.compositeUniqueStats(
@@ -531,7 +550,10 @@ object ValidationSuite {
     // run-over-run metric shift: first suite run on a checkpoint dir
     // establishes the baseline; later runs compare against it
     ProfileShift("shift_orders", "orders",
-      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+    // content hygiene: the document corpus must carry no credential-shaped
+    // strings (testdata is clean word text — any hit is a real leak)
+    SecretLeaks("secrets_documents", "documents", Seq("doc_id"), "text")
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

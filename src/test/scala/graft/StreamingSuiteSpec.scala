@@ -163,4 +163,14 @@ class StreamingSuiteSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ckpt/_verdicts_streaming")
       .select("suite_failed").distinct().as[Int].collect().toSeq == Seq(1))
   }
+
+  test("SecretLeaks is mergeable but not streamable: explicit skip row, not silence") {
+    val (verdicts, _) = StreamingSuite.run(spark, "/unused",
+      Config(Seq(SecretLeaks("s_sec", "documents", Seq("doc_id"), "text")),
+        Files.createTempDirectory("stream_sec").toString))
+    val r = verdicts.collect()
+    assert(r.length == 1 && r(0).getAs[String]("kind") == "skipped" &&
+      r(0).getAs[Boolean]("passed"))
+    assert(r(0).getAs[String]("detail").contains("--incremental"))
+  }
 }

@@ -38,15 +38,19 @@ class SuiteConfigSpec extends SparkSpec {
       |      "keyColumn": "lang", "valueColumn": "text",
       |      "minDistinct": 2 },
       |    { "type": "clustering", "name": "clu", "table": "events",
-      |      "partitionBy": "to_date(ts)", "column": "ts" }
+      |      "partitionBy": "to_date(ts)", "column": "ts" },
+      |    { "type": "secret_leaks", "name": "sec", "table": "documents",
+      |      "idColumns": ["doc_id"], "column": "text" }
       |  ] }""".stripMargin
 
   test("fromJson: every check type parses with defaults applied") {
     val cfg = SuiteConfig.fromJson(json, "/tmp/ckpt")
     assert(cfg.hotKeys == Map("documents.lang" -> 8))
-    assert(cfg.checks.length == 12)
+    assert(cfg.checks.length == 13)
     assert(cfg.checks(11) ==
       ClusteringCheck("clu", "events", "to_date(ts)", "ts", 0L))
+    assert(cfg.checks(12) ==
+      SecretLeaks("sec", "documents", Seq("doc_id"), "text", 0L))
     assert(cfg.checks.head == Unique("pk", "orders", "o_orderkey"))
     assert(cfg.checks(1) ==
       Referential("fk", "lineitem", "l_orderkey", "orders", "o_orderkey"))
@@ -115,7 +119,7 @@ class SuiteConfigSpec extends SparkSpec {
     }
     if (failed != 0) info(out.toString)
     assert(failed == 0)
-    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 12)
+    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 13)
     // hot-key flag honored: the salted path announces itself in the detail
     assert(out.toString.contains("salted x8"))
   }
