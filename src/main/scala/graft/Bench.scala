@@ -16,9 +16,11 @@ object Bench {
     "q_accepted_values", "q_range_checks", "q_freshness", "q_topk_stability",
     "q_partition_balance", "q_pattern_checks", "q_composite_unique",
     "q_nullrate_drift", "q_distinct_per_key", "q_suggested_checks",
-    // round 5: FD discovery + sort-key clustering + the secret scan join
-    // the validation pass (composition change noted in BASELINE.md)
-    "q_fd_exact", "q_fd_partial", "q_clustering", "q_secret_scan")
+    // round 5: FD discovery + sort-key clustering + the secret and
+    // license scans join the validation pass (composition change noted
+    // in BASELINE.md)
+    "q_fd_exact", "q_fd_partial", "q_clustering", "q_secret_scan",
+    "q_license_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

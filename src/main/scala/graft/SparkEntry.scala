@@ -1116,6 +1116,30 @@ object SparkEntry {
       graft.text.SecretScan.scan(docs, Seq("doc_id"), "text")
     }),
 
+    // license detection with DESIGNED planted headers: SPDX tags rotating
+    // over three ids, plus three phrase families — docs carrying both tag
+    // and phrase prove the SPDX-beats-phrase precedence at scale
+    "q_license_scan" -> ((s, dir) => {
+      val d = col("doc_id")
+      def plant(m: Int,
+                piece: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(d % m === 0, piece).otherwise(lit(""))
+      val spdxId = element_at(
+        lit(Array("Apache-2.0", "MIT", "GPL-3.0-only")),
+        (d % 3).cast("int") + 1)
+      val docs = Tables.load(s, dir, "documents").select(d,
+        concat(col("text"),
+          plant(13, concat(lit(" SPDX-License-Identifier: "), spdxId)),
+          plant(17,
+            lit(" Licensed under the Apache License, Version 2.0 (the License)")),
+          plant(21,
+            lit(" Permission is hereby granted, free of charge, to any person obtaining")),
+          plant(25,
+            lit(" Redistribution and use in source and binary forms, with or without modification"))
+        ).as("text"))
+      graft.text.LicenseScan.classify(docs, Seq("doc_id"), "text")
+    }),
+
     // S6 interop: ingest a Metanome/PartialSPIDER JSON-lines result set
     // (the reference's external-tool output format) and score it against
     // THIS engine's exact-IND baseline — the reference's evaluation use
@@ -2237,6 +2261,45 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, detector, secret FROM ent
          |WHERE nh_e6 >= length(secret) * min_bits_e6""".stripMargin
+    },
+
+    // licenses: phrase regexes and precedence order spliced from
+    // LicenseScan so engine and oracle share the detector definitions
+    "q_license_scan" -> {
+      val spdxRe = graft.text.LicenseScan.SpdxPattern
+      val phr = graft.text.LicenseScan.phrases.zipWithIndex.map {
+        case ((id, re), i) =>
+          s"""SELECT doc_id, '$id' AS license, 'phrase' AS via,
+             |    ${i + 1} AS priority
+             |  FROM docs2 WHERE regexp_matches(text, '$re')""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH docs2 AS MATERIALIZED (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' SPDX-License-Identifier: ' ||
+         |         list_extract(['Apache-2.0', 'MIT', 'GPL-3.0-only'],
+         |           CAST(doc_id % 3 AS INT) + 1) ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0
+         |         THEN ' Licensed under the Apache License, Version 2.0 (the License)'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 21 = 0
+         |         THEN ' Permission is hereby granted, free of charge, to any person obtaining'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 25 = 0
+         |         THEN ' Redistribution and use in source and binary forms, with or without modification'
+         |         ELSE '' END
+         |    AS text
+         |  FROM documents),
+         |spdx AS (
+         |  SELECT doc_id, lower(regexp_extract(text, '$spdxRe', 1)) AS license,
+         |    'spdx' AS via, 0 AS priority
+         |  FROM docs2 WHERE regexp_extract(text, '$spdxRe', 1) <> ''),
+         |m AS (
+         |  SELECT * FROM spdx
+         |  UNION ALL
+         |  $phr)
+         |SELECT doc_id, min_by(license, priority) AS license,
+         |  min_by(via, priority) AS via
+         |FROM m GROUP BY doc_id""".stripMargin
     },
 
     "q_col_similarity" ->

@@ -61,7 +61,8 @@ object Incremental {
   def supported(c: Check): Boolean = c match {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
          _: NullRateDrift | _: RowBalance | _: TopKStability |
-         _: Unique | _: ClusteringCheck | _: SecretLeaks => true
+         _: Unique | _: ClusteringCheck | _: SecretLeaks |
+         _: LicenseAllowed => true
     case _ => false
   }
 
@@ -71,7 +72,9 @@ object Incremental {
     * output mode cannot express — it folds incrementally and stays on the
     * batch path when streaming. */
   def streamable(c: Check): Boolean = supported(c) && (c match {
-    case _: SecretLeaks => false
+    // both scans chain several stateful ops (explode/dedup/argmin + agg),
+    // which complete output mode cannot express as one aggregation
+    case _: SecretLeaks | _: LicenseAllowed => false
     case _ => true
   })
 
@@ -96,6 +99,7 @@ object Incremental {
     case Unique(_, t, _, _)              => t
     case ClusteringCheck(_, t, _, _, _)  => t
     case SecretLeaks(_, t, _, _, _)      => t
+    case LicenseAllowed(_, t, _, _, _, _) => t
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -120,6 +124,9 @@ object Incremental {
       Checkpoint.configHash("clu", t, p, col0)
     case SecretLeaks(_, t, ids, col0, _) => // maxHits is a verdict param
       Checkpoint.configHash("secrets" +: t +: col0 +: ids: _*)
+    case LicenseAllowed(_, t, ids, col0, _, _) =>
+      // allowed + budget are verdict params over the per-license counts
+      Checkpoint.configHash("license" +: t +: col0 +: ids: _*)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -172,6 +179,12 @@ object Incremental {
       // leaks, which the check exists to keep near zero; a corpus leaking
       // at data scale fails the gate long before state size matters.
       graft.text.SecretScan.scan(batch, ids, c0)
+    case LicenseAllowed(_, _, ids, c0, _, _) =>
+      // per-license doc counts: classification is row-local (SPDX/phrase
+      // argmin within one document), so delta counts sum to the batch
+      // counts — a |licenses|-row count monoid, never doc-sized state
+      graft.text.LicenseScan.classify(batch, ids, c0)
+        .groupBy("license").agg(count(lit(1)).as("n"))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -201,6 +214,8 @@ object Incremental {
           min("min_v").as("min_v"), max("max_v").as("max_v"))
       case _: SecretLeaks =>
         both.dropDuplicates() // set union over full hit rows
+      case _: LicenseAllowed =>
+        both.groupBy("license").agg(sum("n").as("n"))
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -239,6 +254,8 @@ object Incremental {
       Clustering.overlapFromRanges(state, maxOverlap)
     case _: SecretLeaks =>
       state // every state row IS a hit; the budget gate lives in outcomeOf
+    case LicenseAllowed(_, _, _, _, allowed, _) =>
+      state.withColumn("allowed", col("license").isin(allowed: _*))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -278,6 +295,9 @@ object Incremental {
       case SecretLeaks(_, t, _, col0, maxHits) =>
         ("secret_leaks", verdicts,
           s"$t.$col0 secret-shaped hits budget=$maxHits")
+      case LicenseAllowed(_, t, _, col0, allowed, maxV) =>
+        ("license_allowed", verdicts.filter(!col("allowed")),
+          s"$t.$col0 licenses ⊆ {${allowed.mkString(",")}} budget=$maxV")
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -285,9 +305,16 @@ object Incremental {
     // budget tolerates up to maxHits accepted leaks
     val budget = c match {
       case SecretLeaks(_, _, _, _, maxHits) => maxHits
+      case LicenseAllowed(_, _, _, _, _, maxV) => maxV
       case _ => 0L
     }
-    val n = bad.count()
+    // LicenseAllowed's bad rows are per-LICENSE counts; its violation
+    // number is the DOCUMENT count (sum of n), matching the batch suite
+    val n = c match {
+      case _: LicenseAllowed =>
+        bad.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      case _ => bad.count()
+    }
     (bad, CheckOutcome(c.name, kind, n <= budget, n, detail + tag))
   }
 

@@ -130,6 +130,9 @@ object SuiteConfig {
     case "secret_leaks" =>
       SecretLeaks(str(j, "name"), str(j, "table"), strings(j, "idColumns"),
         str(j, "column"), lng(j, "maxHits", 0L))
+    case "license_allowed" =>
+      LicenseAllowed(str(j, "name"), str(j, "table"), strings(j, "idColumns"),
+        str(j, "column"), strings(j, "allowed"), lng(j, "maxViolations", 0L))
     case "profile_shift" =>
       ProfileShift(str(j, "name"), str(j, "table"), strings(j, "columns"),
         lng(j, "cntShrinkTolE5", 1000L), lng(j, "nullTolE5", 1000L),

@@ -123,6 +123,14 @@ object ValidationSuite {
     * The violation frame IS the redaction worklist. */
   case class SecretLeaks(name: String, table: String, idColumns: Seq[String],
                          column: String, maxHits: Long = 0L) extends Check
+  /** license compliance: every document whose `column` carries a detected
+    * license (text.LicenseScan — SPDX tag beats phrase heuristics) must
+    * classify into `allowed`; ≤ maxViolations documents outside. Undetected
+    * documents are NOT violations (enforce presence separately if needed). */
+  case class LicenseAllowed(name: String, table: String,
+                            idColumns: Seq[String], column: String,
+                            allowed: Seq[String],
+                            maxViolations: Long = 0L) extends Check
 
   /** `hotKeys`: "table.column" → salt count for keys too hot for a plain
     * groupBy-distinct (low-cardinality keys like corpus `lang` concentrate
@@ -364,6 +372,21 @@ object ValidationSuite {
           s"$table.$column secret-shaped hits=$n budget=$maxHits" +
             (if (sampled) s" (sampled, true count >= $cap)" else ""))
 
+      case LicenseAllowed(name, table, idCols, column, allowed, maxV) =>
+        requireSoundCap(maxV)
+        val viol = Checkpoint.stage(spark, dir, name, hash = hash)(
+          capped(graft.text.LicenseScan.classify(
+              Tables.load(spark, sfDir, table), idCols, column)
+            .filter(!col("license").isin(allowed: _*)))).df
+        val n = viol.count()
+        val sampled = cap > 0 && n >= cap
+        violationFrames(name) = viol
+        outcomes += CheckOutcome(name, "license_allowed",
+          if (sampled) false else n <= maxV, n,
+          s"$table.$column licenses ⊆ {${allowed.mkString(",")}} " +
+            s"violations=$n budget=$maxV" +
+            (if (sampled) s" (sampled, true count >= $cap)" else ""))
+
       case UniqueComposite(name, table, columns) =>
         val stats = Checkpoint.stage(spark, dir, name, hash = hash)(
           ColumnChecks.compositeUniqueStats(
@@ -553,7 +576,11 @@ object ValidationSuite {
       Seq("o_orderkey", "o_custkey", "o_orderstatus")),
     // content hygiene: the document corpus must carry no credential-shaped
     // strings (testdata is clean word text — any hit is a real leak)
-    SecretLeaks("secrets_documents", "documents", Seq("doc_id"), "text")
+    SecretLeaks("secrets_documents", "documents", Seq("doc_id"), "text"),
+    // license compliance: any detected license must be permissive
+    // (testdata carries none — a copyleft header appearing is a violation)
+    LicenseAllowed("licenses_documents", "documents", Seq("doc_id"), "text",
+      allowed = Seq("apache-2.0", "mit", "bsd-3-clause", "mpl-2.0"))
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

@@ -1,0 +1,45 @@
+package graft
+
+import graft.text.LicenseScan
+
+/** License detection: SPDX precedence, phrase fallback, unknown-tag
+  * passthrough. */
+class LicenseScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def classify(rows: (Long, String)*): Map[Long, (String, String)] =
+    LicenseScan.classify(rows.toDF("doc_id", "text"), Seq("doc_id"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("license"), r.getAs[String]("via")))).toMap
+
+  test("SPDX tag beats a contradicting phrase; phrases resolve by list order") {
+    val m = classify(
+      (1L, "// SPDX-License-Identifier: MIT\n" +
+        "Licensed under the Apache License, Version 2.0"),
+      (2L, "Permission is hereby granted, free of charge, to any person"),
+      (3L, "This file is part of the GNU General Public License world " +
+        "and also Mozilla Public License adjacent"),
+      (4L, "no license text here at all"))
+    assert(m(1L) == (("mit", "spdx")))
+    assert(m(2L) == (("mit", "phrase")))
+    assert(m(3L) == (("gpl-3.0", "phrase"))) // gpl precedes mpl in the list
+    assert(!m.contains(4L))
+  }
+
+  test("unknown SPDX id passes through lower-cased — declared is declared") {
+    val m = classify((1L, "# SPDX-License-Identifier: BSD-4-Clause-UC rest"))
+    assert(m(1L) == (("bsd-4-clause-uc", "spdx")))
+  }
+
+  test("matches emits one row per detector with stable priorities") {
+    val rows = LicenseScan.matches(
+        Seq((1L, "SPDX-License-Identifier: Apache-2.0 and " +
+          "Licensed under the Apache License, Version 2.0 and " +
+          "Permission is hereby granted, free of charge")).toDF("doc_id", "text"),
+        Seq("doc_id"), "text")
+      .collect().map(r => (r.getAs[String]("license"), r.getAs[String]("via"),
+        r.getAs[Int]("priority"))).toSet
+    assert(rows == Set(("apache-2.0", "spdx", 0), ("apache-2.0", "phrase", 1),
+      ("mit", "phrase", 2)))
+  }
+}

@@ -40,17 +40,22 @@ class SuiteConfigSpec extends SparkSpec {
       |    { "type": "clustering", "name": "clu", "table": "events",
       |      "partitionBy": "to_date(ts)", "column": "ts" },
       |    { "type": "secret_leaks", "name": "sec", "table": "documents",
-      |      "idColumns": ["doc_id"], "column": "text" }
+      |      "idColumns": ["doc_id"], "column": "text" },
+      |    { "type": "license_allowed", "name": "lic", "table": "documents",
+      |      "idColumns": ["doc_id"], "column": "text",
+      |      "allowed": ["apache-2.0", "mit"] }
       |  ] }""".stripMargin
 
   test("fromJson: every check type parses with defaults applied") {
     val cfg = SuiteConfig.fromJson(json, "/tmp/ckpt")
     assert(cfg.hotKeys == Map("documents.lang" -> 8))
-    assert(cfg.checks.length == 13)
+    assert(cfg.checks.length == 14)
     assert(cfg.checks(11) ==
       ClusteringCheck("clu", "events", "to_date(ts)", "ts", 0L))
     assert(cfg.checks(12) ==
       SecretLeaks("sec", "documents", Seq("doc_id"), "text", 0L))
+    assert(cfg.checks(13) == LicenseAllowed("lic", "documents",
+      Seq("doc_id"), "text", Seq("apache-2.0", "mit"), 0L))
     assert(cfg.checks.head == Unique("pk", "orders", "o_orderkey"))
     assert(cfg.checks(1) ==
       Referential("fk", "lineitem", "l_orderkey", "orders", "o_orderkey"))
@@ -119,7 +124,7 @@ class SuiteConfigSpec extends SparkSpec {
     }
     if (failed != 0) info(out.toString)
     assert(failed == 0)
-    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 13)
+    assert(out.toString.linesIterator.count(_.startsWith("PASS ")) == 14)
     // hot-key flag honored: the salted path announces itself in the detail
     assert(out.toString.contains("salted x8"))
   }

@@ -59,6 +59,30 @@ class ValidationSuiteSpec extends SparkSpec {
     assert(v2.collect()(0).getAs[Boolean]("passed"))
   }
 
+  test("license_allowed: copyleft header is a violation, permissive is not, undetected ignored") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("lic_data").toString
+    Seq(
+      (1L, "ok Licensed under the Apache License, Version 2.0 here"),
+      (2L, "bad This embeds the GNU General Public License text"),
+      (3L, "no license in this one at all"))
+      .toDF("id", "txt").write.parquet(s"$data/files.parquet")
+    val allowed = Seq("apache-2.0", "mit")
+    val ck1 = Files.createTempDirectory("lic_ck1").toString
+    val (v1, viol) = ValidationSuite.run(spark, data, Config(Seq(
+      LicenseAllowed("lic", "files", Seq("id"), "txt", allowed)), ck1))
+    val r1 = v1.collect()(0)
+    assert(!r1.getAs[Boolean]("passed") && r1.getAs[Long]("violations") == 1L)
+    val bad = viol("lic").collect()
+    assert(bad.length == 1 && bad(0).getAs[Long]("id") == 2L &&
+      bad(0).getAs[String]("license") == "gpl-3.0")
+    val ck2 = Files.createTempDirectory("lic_ck2").toString
+    val (v2, _) = ValidationSuite.run(spark, data, Config(Seq(
+      LicenseAllowed("lic", "files", Seq("id"), "txt", allowed,
+        maxViolations = 1L)), ck2))
+    assert(v2.collect()(0).getAs[Boolean]("passed"))
+  }
+
   test("a failing check reports violation count") {
     val dir = Files.createTempDirectory("suite3").toString
     val cfg = Config(Seq(
