@@ -198,6 +198,21 @@ object ValidationSuite {
         if (sampled) false else n <= budget, n,
         detail + (if (sampled) s" (sampled, offender values >= $cap)" else ""))
     }
+    /** Shared verdict for checks whose violation frame is one ROW per
+      * violation (referential, secret/license scans): row count vs budget
+      * under the same cap-soundness discipline — a filled cap proves true
+      * violations ≥ cap > budget, an unfilled frame is exact. */
+    def countedRowVerdict(name: String, kind: String, budget: Long,
+                          detail: Long => String)(stageDf: => DataFrame): Unit = {
+      requireSoundCap(budget) // fail-fast BEFORE the stage scans the table
+      val viol = stageDf
+      val n = viol.count()
+      val sampled = cap > 0 && n >= cap
+      violationFrames(name) = viol
+      outcomes += CheckOutcome(name, kind,
+        if (sampled) false else n <= budget, n,
+        detail(n) + (if (sampled) s" (sampled, true count >= $cap)" else ""))
+    }
 
     // stage-resume soundness: each checkpoint stage is keyed by a hash of
     // everything that defines its content — the full check definition, the
@@ -248,18 +263,13 @@ object ValidationSuite {
           s"cnt=$cnt unique=$u nulls=$nulls")
 
       case Referential(name, dt, dc, rt, rc, maxMissing, expectedRef, fpp) =>
-        requireSoundCap(maxMissing)
-        val viol = Checkpoint.stage(spark, dir, name, Seq("profile"), hash)(
-          capped(IndValidator.violations(
-            Tables.load(spark, sfDir, dt), dc,
-            Tables.load(spark, sfDir, rt), rc, expectedRef, fpp))).df
-        val n = viol.count()
-        val sampled = cap > 0 && n >= cap
-        violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "referential",
-          if (sampled) false else n <= maxMissing, n,
-          s"$dt.$dc ⊆ $rt.$rc missing=$n budget=$maxMissing" +
-            (if (sampled) s" (sampled, true count >= $cap)" else ""))
+        countedRowVerdict(name, "referential", maxMissing,
+          n => s"$dt.$dc ⊆ $rt.$rc missing=$n budget=$maxMissing") {
+          Checkpoint.stage(spark, dir, name, Seq("profile"), hash)(
+            capped(IndValidator.violations(
+              Tables.load(spark, sfDir, dt), dc,
+              Tables.load(spark, sfDir, rt), rc, expectedRef, fpp))).df
+        }
 
       case CategoricalDrift(name, table, column, part, thr) =>
         val drift = Checkpoint.stage(spark, dir, name, hash = hash)(
@@ -360,32 +370,22 @@ object ValidationSuite {
         }
 
       case SecretLeaks(name, table, idCols, column, maxHits) =>
-        requireSoundCap(maxHits)
-        val viol = Checkpoint.stage(spark, dir, name, hash = hash)(
-          capped(graft.text.SecretScan.scan(
-            Tables.load(spark, sfDir, table), idCols, column))).df
-        val n = viol.count()
-        val sampled = cap > 0 && n >= cap
-        violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "secret_leaks",
-          if (sampled) false else n <= maxHits, n,
-          s"$table.$column secret-shaped hits=$n budget=$maxHits" +
-            (if (sampled) s" (sampled, true count >= $cap)" else ""))
+        countedRowVerdict(name, "secret_leaks", maxHits,
+          n => s"$table.$column secret-shaped hits=$n budget=$maxHits") {
+          Checkpoint.stage(spark, dir, name, hash = hash)(
+            capped(graft.text.SecretScan.scan(
+              Tables.load(spark, sfDir, table), idCols, column))).df
+        }
 
       case LicenseAllowed(name, table, idCols, column, allowed, maxV) =>
-        requireSoundCap(maxV)
-        val viol = Checkpoint.stage(spark, dir, name, hash = hash)(
-          capped(graft.text.LicenseScan.classify(
-              Tables.load(spark, sfDir, table), idCols, column)
-            .filter(!col("license").isin(allowed: _*)))).df
-        val n = viol.count()
-        val sampled = cap > 0 && n >= cap
-        violationFrames(name) = viol
-        outcomes += CheckOutcome(name, "license_allowed",
-          if (sampled) false else n <= maxV, n,
-          s"$table.$column licenses ⊆ {${allowed.mkString(",")}} " +
-            s"violations=$n budget=$maxV" +
-            (if (sampled) s" (sampled, true count >= $cap)" else ""))
+        countedRowVerdict(name, "license_allowed", maxV,
+          n => s"$table.$column licenses ⊆ {${allowed.mkString(",")}} " +
+            s"violations=$n budget=$maxV") {
+          Checkpoint.stage(spark, dir, name, hash = hash)(
+            capped(graft.text.LicenseScan.classify(
+                Tables.load(spark, sfDir, table), idCols, column)
+              .filter(!col("license").isin(allowed: _*)))).df
+        }
 
       case UniqueComposite(name, table, columns) =>
         val stats = Checkpoint.stage(spark, dir, name, hash = hash)(
@@ -576,11 +576,12 @@ object ValidationSuite {
       Seq("o_orderkey", "o_custkey", "o_orderstatus")),
     // content hygiene: the document corpus must carry no credential-shaped
     // strings (testdata is clean word text — any hit is a real leak)
-    SecretLeaks("secrets_documents", "documents", Seq("doc_id"), "text"),
+    SecretLeaks("secrets_documents", "documents", Seq("source", "doc_id"),
+      "text"),
     // license compliance: any detected license must be permissive
     // (testdata carries none — a copyleft header appearing is a violation)
-    LicenseAllowed("licenses_documents", "documents", Seq("doc_id"), "text",
-      allowed = Seq("apache-2.0", "mit", "bsd-3-clause", "mpl-2.0"))
+    LicenseAllowed("licenses_documents", "documents", Seq("source", "doc_id"),
+      "text", allowed = Seq("apache-2.0", "mit", "bsd-3-clause", "mpl-2.0"))
   ), checkpointDir,
     // documents.lang is the flagged-hot key (a handful of values covering
     // the whole table — corpus `lang` at scale): exact per-key distinct

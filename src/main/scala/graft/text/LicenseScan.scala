@@ -26,7 +26,9 @@ object LicenseScan {
     "bsd-3-clause" -> "Redistribution and use in source and binary forms",
     "mpl-2.0" -> "Mozilla Public License")
 
-  val SpdxPattern = "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)"
+  // flexible whitespace after the colon: 'Identifier:GPL-3.0-only' and
+  // tab-separated tags are still declared licenses
+  val SpdxPattern = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
 
   private def keyed(idCols: Seq[String]): Seq[Column] = idCols.map(col)
 
@@ -37,20 +39,20 @@ object LicenseScan {
     * row per (doc, detector). */
   def matches(df: DataFrame, idCols: Seq[String],
               textCol: String): DataFrame = {
-    val spdx = df
-      .select(keyed(idCols) :+
-        lower(regexp_extract(col(textCol), SpdxPattern, 1)).as("license"): _*)
-      .filter(col("license") =!= "")
-      .withColumn("via", lit("spdx")).withColumn("priority", lit(0))
-    val packed = array(phrases.zipWithIndex.map { case ((id, re), i) =>
-      struct(lit(id).as("license"), lit(i + 1).as("priority"),
-        col(textCol).rlike(re).as("hit"))
-    }: _*)
-    val phr = df.select(keyed(idCols) :+ explode(packed).as("p"): _*)
+    // ONE source scan: the SPDX extract rides the same struct array as
+    // the phrase detectors (its hit flag = non-empty extract)
+    val spdxLic = lower(regexp_extract(col(textCol), SpdxPattern, 1))
+    val packed = array(
+      struct(spdxLic.as("license"), lit("spdx").as("via"),
+        lit(0).as("priority"), (spdxLic =!= "").as("hit")) +:
+      phrases.zipWithIndex.map { case ((id, re), i) =>
+        struct(lit(id).as("license"), lit("phrase").as("via"),
+          lit(i + 1).as("priority"), col(textCol).rlike(re).as("hit"))
+      }: _*)
+    df.select(keyed(idCols) :+ explode(packed).as("p"): _*)
       .filter(col("p.hit"))
       .select(keyed(idCols) :+ col("p.license").as("license") :+
-        lit("phrase").as("via") :+ col("p.priority").as("priority"): _*)
-    spdx.unionByName(phr)
+        col("p.via").as("via") :+ col("p.priority").as("priority"): _*)
   }
 
   /** One license per matched document: the minimum-priority hit (SPDX tag

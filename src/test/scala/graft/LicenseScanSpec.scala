@@ -31,6 +31,14 @@ class LicenseScanSpec extends SparkSpec {
     assert(m(1L) == (("bsd-4-clause-uc", "spdx")))
   }
 
+  test("SPDX tag with no space or a tab after the colon is still detected") {
+    val m = classify(
+      (1L, "// SPDX-License-Identifier:GPL-3.0-only"),
+      (2L, "// SPDX-License-Identifier:\tMIT"))
+    assert(m(1L) == (("gpl-3.0-only", "spdx")))
+    assert(m(2L) == (("mit", "spdx")))
+  }
+
   test("matches emits one row per detector with stable priorities") {
     val rows = LicenseScan.matches(
         Seq((1L, "SPDX-License-Identifier: Apache-2.0 and " +
