@@ -115,6 +115,26 @@ object RunSuite {
       s"""$batchNote,"checkpoint":"$ckptDir"""")
   }
 
+  /** Snapshot gate: diff one table between two snapshot dirs (the
+    * in-place-rewrite audit — what Discovery's append-only contract
+    * refuses to fold, this mode inspects). Added rows are the append
+    * expectation and never gate; removed + changed rows beyond
+    * `maxChanged` fail. Prints the per-kind summary as the JSON line. */
+  def runDiff(spark: SparkSession, oldDir: String, newDir: String,
+              table: String, keyCols: Seq[String],
+              maxChanged: Long = 0L): Int = {
+    val diff = graft.checks.SnapshotDiff.rowDiff(
+      Tables.load(spark, oldDir, table), Tables.load(spark, newDir, table),
+      keyCols)
+    val sum = graft.checks.SnapshotDiff.summary(diff).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val bad = sum("removed") + sum("changed")
+    println(s"""{"metric":"snapshot-diff","table":"$table",""" +
+      s""""added":${sum("added")},"removed":${sum("removed")},""" +
+      s""""changed":${sum("changed")},"budget":$maxChanged}""")
+    if (bad > maxChanged) 1 else 0
+  }
+
   /** Streaming pass: every state-mergeable check runs as a Structured-
     * Streaming aggregation over a rate-limited file stream of the data dir
     * (one file per trigger), verdicts re-derived from the final bounded
@@ -140,7 +160,8 @@ object RunSuite {
       "usage: RunSuite <dataDir> <checkpointDir> [config.json] | " +
         "RunSuite --incremental <deltaDir> <checkpointDir> <batchId> [config.json] | " +
         "RunSuite --incremental-discover <dataDir> <checkpointDir> [config.json] | " +
-        "RunSuite --streaming <dataDir> <checkpointDir> [config.json]")
+        "RunSuite --streaming <dataDir> <checkpointDir> [config.json] | " +
+        "RunSuite --diff <oldDir> <newDir> <table> <keyCols,csv> [maxChanged]")
     // under spark-submit the master AND tuning conf (shuffle partitions
     // etc.) come from the cluster/--conf untouched; standalone runs (no
     // spark.master property) fall back to local[*] with a local-sized
@@ -167,6 +188,13 @@ object RunSuite {
         require(args.length >= 3,
           "usage: RunSuite --streaming <dataDir> <checkpointDir> [config.json]")
         runStreaming(spark, args(1), args(2), readCfg(3))
+      } else if (args(0) == "--diff") {
+        require(args.length >= 5,
+          "usage: RunSuite --diff <oldDir> <newDir> <table> <keyCols,csv> " +
+            "[maxChanged]")
+        runDiff(spark, args(1), args(2), args(3),
+          args(4).split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          args.lift(5).map(_.toLong).getOrElse(0L))
       } else run(spark, args(0), args(1), readCfg(2))
     spark.stop()
     if (failed > 0) sys.exit(1)

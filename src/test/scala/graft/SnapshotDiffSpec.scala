@@ -51,4 +51,27 @@ class SnapshotDiffSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s == Map("added" -> 2L, "removed" -> 1L, "changed" -> 2L))
   }
+
+  test("RunSuite --diff gate: appends pass, a silent rewrite fails the budget") {
+    val oldDir = java.nio.file.Files.createTempDirectory("diff_old").toString
+    val newDir = java.nio.file.Files.createTempDirectory("diff_new").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(s"$oldDir/t.parquet")
+    // append-only evolution: old rows intact, one added
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.parquet(s"$newDir/t.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = Console.withOut(new java.io.PrintStream(out)) {
+      RunSuite.runDiff(spark, oldDir, newDir, "t", Seq("k"))
+    }
+    assert(ok == 0 && out.toString.contains("\"added\":1,\"removed\":0"))
+    // in-place rewrite: a changed row busts the zero budget...
+    val newDir2 = java.nio.file.Files.createTempDirectory("diff_new2").toString
+    Seq((1L, "a"), (2L, "REWRITTEN")).toDF("k", "v")
+      .write.parquet(s"$newDir2/t.parquet")
+    assert(RunSuite.runDiff(spark, oldDir, newDir2, "t", Seq("k")) == 1)
+    // ...but passes when the budget admits it
+    assert(RunSuite.runDiff(spark, oldDir, newDir2, "t", Seq("k"),
+      maxChanged = 1L) == 0)
+  }
 }
