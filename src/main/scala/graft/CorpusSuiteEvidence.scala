@@ -49,5 +49,23 @@ object CorpusSuiteEvidence {
     println(s"STREAM_24M_SEC $streamSec PARITY ${streamed == batch} " +
       s"PARTITION_VERDICTS ${streamed.size}")
     require(streamed == batch, "streaming drift diverged from batch at 24M")
+
+    // content-hygiene evidence: the secret scan (4 regex detectors + 2
+    // entropy classes, one unpivot scan) and license classification over
+    // every corpus content — clean synthetic text, so the verdicts prove
+    // throughput, not hits
+    val corpus = spark.read.parquet(s"$dataDir/corpus.parquet")
+    val n = corpus.count()
+    val ids = Seq("repo", "path", "commit")
+    val t2 = System.nanoTime()
+    val hits = graft.text.SecretScan.scan(corpus, ids, "content").count()
+    val secSec = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val lics = graft.text.LicenseScan.classify(corpus, ids, "content").count()
+    val licSec = (System.nanoTime() - t3) / 1e9
+    println(f"SECRET_SCAN_24M_SEC $secSec%.1f HITS $hits " +
+      f"ROWS_PER_SEC ${(n / secSec).toLong}")
+    println(f"LICENSE_SCAN_24M_SEC $licSec%.1f CLASSIFIED $lics " +
+      f"ROWS_PER_SEC ${(n / licSec).toLong}")
   }
 }

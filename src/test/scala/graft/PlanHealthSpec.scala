@@ -126,4 +126,21 @@ class PlanHealthSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
   }
+
+  test("license matches: all 6 detectors (SPDX + 5 phrases) ride ONE parquet scan") {
+    val df = graft.text.LicenseScan.matches(
+      Tables.load(spark, sf, "documents"), Seq("doc_id"), "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("secret candidates: all detector families ride ONE parquet scan pre-gate") {
+    // scan() localCheckpoints the candidate frame, so prove the property
+    // on the frame feeding it: the regex unpivot over every family is a
+    // single source read (the entropy branch then reuses the checkpoint)
+    val df = graft.text.SecretScan.regexHits(
+      Tables.load(spark, sf, "documents"), Seq("doc_id"), "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
 }
