@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling evidence for the content-hygiene scans (north rule: ≥ 0.8
+  * throughput efficiency from N to 4N parallelism). Run twice —
+  * `runMain graft.ScanScaling <dataDir> 2` and `... 8` — and divide the
+  * reported rows/s: the scans are shuffle-free until the (empty on clean
+  * data) candidate frames, so they are the engine's most embarrassingly
+  * parallel pass and should scale near-linearly.
+  *
+  * An untimed warm-up over the sf0.001 documents fixture runs first so
+  * JIT/codegen compilation is excluded from the measured pass (a round-4
+  * review lesson: never report cold-JIT throughput). */
+object ScanScaling {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/corpus_suite_data")
+    val cores = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .appName("graft-scan-scaling")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ids = Seq("repo", "path", "commit")
+
+    // warm-up: same query shapes, tiny input, untimed
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.text.SecretScan.scan(docs, Seq("doc_id"), "text").count()
+    graft.text.LicenseScan.classify(docs, Seq("doc_id"), "text").count()
+
+    val corpus = spark.read.parquet(s"$dataDir/corpus.parquet")
+    val n = corpus.count()
+    val t0 = System.nanoTime()
+    val hits = graft.text.SecretScan.scan(corpus, ids, "content").count()
+    val secSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val lics = graft.text.LicenseScan.classify(corpus, ids, "content").count()
+    val licSec = (System.nanoTime() - t1) / 1e9
+    println(s"""{"metric":"scan-scaling","cores":$cores,"rows":$n,""" +
+      s""""secret_sec":$secSec,"secret_rows_per_sec":${(n / secSec).toLong},""" +
+      s""""license_sec":$licSec,"license_rows_per_sec":${(n / licSec).toLong},""" +
+      s""""hits":$hits,"classified":$lics}""")
+    spark.stop()
+  }
+}

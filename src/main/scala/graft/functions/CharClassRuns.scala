@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass extraction of `[charset]{min,max}` tokens — the exact
+  * output of `regexp_extract_all(s, "[cs]{min,max}", 0)` for a pure
+  * character-class pattern, without the regex engine.
+  *
+  * Why: the secret scan's two entropy-candidate classes are its dominant
+  * cost — they are the only detectors with no literal anchor to guard on
+  * (SecretScan.literalGuards), so every document pays two full
+  * `java.util.regex` scans (measured: ~45 s of the 57 s 24M-row scan).
+  * A character-class-only pattern needs none of the regex machinery: one
+  * byte pass per class finds maximal runs, and greedy `{min,max}`
+  * chunking of a run of length L is deterministic — take `min(max, left)`
+  * chars while `left ≥ min`, drop the remainder. That is byte-for-byte
+  * what the Java AND RE2/DuckDB engines produce for this pattern shape,
+  * so the DuckDB oracle keeps running the regex while the engine runs
+  * this (CharClassRunsSpec pins the equivalence property on random
+  * strings, multibyte chars included).
+  *
+  * Both charsets are pure ASCII, so the pass works on UTF-8 BYTES: any
+  * byte ≥ 0x80 belongs to a multibyte char and is never a member, so runs
+  * break exactly where char-level runs break and every emitted slice sits
+  * on char boundaries.
+  *
+  * The generated code is a single static call (the loop lives in
+  * [[CharClassRuns.extract]]) — same shape as Spark's own string
+  * expressions, keeps the operator inside whole-stage codegen. */
+case class CharClassRunsExpr(child: Expression, classId: Int,
+                             minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharClassRuns.extract(s.asInstanceOf[UTF8String], classId, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharClassRuns.extract($c, $classId, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharClassRuns {
+  val HexId = 0
+  val B64Id = 1
+
+  /** membership tables; index = unsigned byte. Bytes ≥ 0x80 stay false. */
+  private val tables: Array[Array[Boolean]] = {
+    val hex = new Array[Boolean](256)
+    for (c <- '0' to '9') hex(c) = true
+    for (c <- 'a' to 'f') hex(c) = true
+    val b64 = new Array[Boolean](256)
+    for (c <- '0' to '9') b64(c) = true
+    for (c <- 'a' to 'z') b64(c) = true
+    for (c <- 'A' to 'Z') b64(c) = true
+    for (c <- "+/=_-") b64(c) = true
+    Array(hex, b64)
+  }
+
+  /** The regex charsets these tables mirror, keyed by class id — the
+    * single source both the oracle splice and the equivalence spec use. */
+  def charsetRegex(classId: Int): String = classId match {
+    case HexId => "[0-9a-f]"
+    case B64Id => "[A-Za-z0-9+/=_-]"
+  }
+
+  /** Called from generated code — must stay public, JVM-static via the
+    * object. Output order = regex match order (left to right). */
+  def extract(s: UTF8String, classId: Int, minLen: Int, maxLen: Int): ArrayData = {
+    val member = tables(classId)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var out: java.util.ArrayList[UTF8String] = null
+    var i = 0
+    while (i < n) {
+      if (!member(bytes(i) & 0xFF)) i += 1
+      else {
+        var j = i + 1
+        while (j < n && member(bytes(j) & 0xFF)) j += 1
+        var pos = i
+        while (j - pos >= minLen) {
+          val t = math.min(maxLen, j - pos)
+          if (out == null) out = new java.util.ArrayList[UTF8String](4)
+          out.add(UTF8String.fromBytes(bytes, pos, t))
+          pos += t
+        }
+        i = j
+      }
+    }
+    if (out == null) Empty
+    else new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  private val Empty: ArrayData = new GenericArrayData(new Array[AnyRef](0))
+
+  /** `[charset]{min,max}` tokens of `c`, left to right — exact
+    * `regexp_extract_all` equivalent for the two scan charsets. */
+  def runs(c: Column, classId: Int, minLen: Int, maxLen: Int): Column =
+    GraftExpressionBridge.column(CharClassRunsExpr(
+      GraftExpressionBridge.expression(c), classId, minLen, maxLen))
+}

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CharClassRuns
+
 /** Secret / credential scan over a text corpus — the redaction gate a
   * source-code training pipeline runs before anything ships (leaked cloud
   * keys, private-key blocks, emails, IPs, and the catch-all: high-entropy
@@ -104,6 +106,17 @@ object SecretScan {
     "email" -> "@",
     "ipv4" -> ".")
 
+  /** The entropy classes are pure-character-class patterns with no literal
+    * to guard on, so they pay the full-document scan — the dominant cost of
+    * the whole secret scan (measured 45 s of 57 s at 24M rows). The engine
+    * runs them through the native single-byte-pass [[CharClassRuns]]
+    * extractor instead of `java.util.regex`; the REGEX in `entropyClasses`
+    * stays the definition of record (the DuckDB oracle runs it verbatim,
+    * CharClassRunsSpec pins the byte-for-byte equivalence). */
+  private val runClassIds: Map[String, Int] = Map(
+    "high_entropy_hex" -> CharClassRuns.HexId,
+    "high_entropy_b64" -> CharClassRuns.B64Id)
+
   /** One unpivot scan producing distinct candidate rows (idCols...,
     * detector, min_bits_e6, hits-array exploded to secret) for the given
     * detector families; fixed patterns carry a null min_bits_e6. */
@@ -111,7 +124,9 @@ object SecretScan {
                          fams: Seq[(String, String, Option[Long])]): DataFrame = {
     val noHits = typedLit(Array.empty[String])
     val packed = array(fams.map { case (det, re, minBits) =>
-      val extract = regexp_extract_all(col(textCol), lit(re), lit(0))
+      val extract = runClassIds.get(det)
+        .map(id => CharClassRuns.runs(col(textCol), id, CandMinLen, CandMaxLen))
+        .getOrElse(regexp_extract_all(col(textCol), lit(re), lit(0)))
       val hits = literalGuards.get(det)
         .fold(extract)(g =>
           when(col(textCol).contains(g), extract).otherwise(noHits))

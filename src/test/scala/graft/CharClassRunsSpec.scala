@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CharClassRuns
+import graft.text.SecretScan
+
+/** CharClassRuns must be byte-for-byte regexp_extract_all for its two
+  * pure-character-class patterns — the property that lets the engine run
+  * the native pass while the DuckDB oracle keeps the regex. */
+class CharClassRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val classes = Seq(
+    CharClassRuns.HexId -> "[0-9a-f]",
+    CharClassRuns.B64Id -> "[A-Za-z0-9+/=_-]")
+
+  private def compare(texts: Seq[String], minLen: Int, maxLen: Int): Unit = {
+    val df = texts.toDF("t")
+    for ((id, cs) <- classes) {
+      val re = s"$cs{$minLen,$maxLen}"
+      val got = df.select(col("t"),
+          CharClassRuns.runs(col("t"), id, minLen, maxLen).as("runs"),
+          regexp_extract_all(col("t"), lit(re), lit(0)).as("rx"))
+        .collect()
+      for (r <- got)
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"class $id diverged from $re on '${r.getString(0)}'")
+    }
+  }
+
+  test("random mixed strings: native runs == regexp_extract_all (both classes)") {
+    val rnd = new scala.util.Random(42)
+    // alphabet mixes members, near-members, separators, and multibyte chars
+    val alphabet = "0123456789abcdefghijKLMNOP+/=_- .,;:!@#\néλ中"
+    val texts = Seq.tabulate(400) { _ =>
+      val n = rnd.nextInt(120)
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    compare(texts, SecretScan.CandMinLen, SecretScan.CandMaxLen)
+  }
+
+  test("greedy chunking at run lengths around min/max boundaries") {
+    // hex runs of every interesting length: below min, at min, at max,
+    // max+1 (leftover below min is dropped), max+min (two tokens),
+    // 2*max and beyond
+    val lens = Seq(0, 1, 23, 24, 25, 63, 64, 65, 87, 88, 89, 128, 129, 200)
+    val texts = lens.map("x" * 3 + "0123456789abcdef" * 13 take _) ++
+      lens.map(l => s"g${"a" * l}G${"f" * l}.")
+    compare(texts, 24, 64)
+    compare(texts, 2, 5) // small bounds exercise dense chunking
+  }
+
+  test("empty string, no members, all members, and null propagate like the regex") {
+    compare(Seq("", "GHIJK !?", "0" * 64), 24, 64)
+    val df = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+    val r = df.select(
+      CharClassRuns.runs(col("t"), CharClassRuns.HexId, 24, 64).as("runs"),
+      regexp_extract_all(col("t"), lit("[0-9a-f]{24,64}"), lit(0)).as("rx"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SecretScan's entropy-class regexes are exactly the charsets the native pass mirrors") {
+    val byDet = SecretScan.entropyClasses.map { case (d, re, _) => d -> re }.toMap
+    val bounds = s"{${SecretScan.CandMinLen},${SecretScan.CandMaxLen}}"
+    assert(byDet("high_entropy_hex") ==
+      CharClassRuns.charsetRegex(CharClassRuns.HexId) + bounds)
+    assert(byDet("high_entropy_b64") ==
+      CharClassRuns.charsetRegex(CharClassRuns.B64Id) + bounds)
+  }
+}
