@@ -32,6 +32,34 @@ object LicenseScan {
 
   private def keyed(idCols: Seq[String]): Seq[Column] = idCols.map(col)
 
+  /** The phrase a regex matches verbatim, when the regex is a pure literal
+    * modulo `\.` escapes — every current phrase is (they quote license
+    * header sentences; only the dots needed escaping). A literal phrase
+    * runs as `contains` (UTF8String substring search) instead of `rlike`,
+    * skipping the regex engine on the full corpus; any future
+    * non-literal phrase silently falls back to `rlike`. Spec-pinned:
+    * LicenseScanSpec asserts contains ≡ rlike row-for-row on the fixture
+    * corpus, and that every shipped phrase actually takes the literal
+    * path. */
+  private[graft] def literalOf(re: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    var literal = true
+    while (literal && i < re.length) {
+      re.charAt(i) match {
+        case '\\' if i + 1 < re.length && re.charAt(i + 1) == '.' =>
+          sb.append('.'); i += 2
+        case c if "\\[](){}.*+?^$|".indexOf(c) >= 0 => literal = false
+        case c => sb.append(c); i += 1
+      }
+    }
+    if (literal) Some(sb.toString) else None
+  }
+
+  private def phraseHit(textCol: String, re: String): Column =
+    literalOf(re).map(col(textCol).contains(_))
+      .getOrElse(col(textCol).rlike(re))
+
   /** Every detector hit: (idCols..., license, via ∈ spdx|phrase,
     * priority). The SPDX tag is priority 0 (first tag in the file wins,
     * id lower-cased verbatim — unknown ids pass through, they are still
@@ -40,14 +68,18 @@ object LicenseScan {
   def matches(df: DataFrame, idCols: Seq[String],
               textCol: String): DataFrame = {
     // ONE source scan: the SPDX extract rides the same struct array as
-    // the phrase detectors (its hit flag = non-empty extract)
-    val spdxLic = lower(regexp_extract(col(textCol), SpdxPattern, 1))
+    // the phrase detectors (its hit flag = non-empty extract). The tag's
+    // literal prefix guards the regex — the extract can only be non-empty
+    // when the literal occurs, so the guard never changes results, it
+    // just skips the regex on the (overwhelming) untagged documents.
+    val spdxLic = lower(when(col(textCol).contains("SPDX-License-Identifier:"),
+      regexp_extract(col(textCol), SpdxPattern, 1)).otherwise(""))
     val packed = array(
       struct(spdxLic.as("license"), lit("spdx").as("via"),
         lit(0).as("priority"), (spdxLic =!= "").as("hit")) +:
       phrases.zipWithIndex.map { case ((id, re), i) =>
         struct(lit(id).as("license"), lit("phrase").as("via"),
-          lit(i + 1).as("priority"), col(textCol).rlike(re).as("hit"))
+          lit(i + 1).as("priority"), phraseHit(textCol, re).as("hit"))
       }: _*)
     df.select(keyed(idCols) :+ explode(packed).as("p"): _*)
       .filter(col("p.hit"))

@@ -50,4 +50,30 @@ class LicenseScanSpec extends SparkSpec {
     assert(rows == Set(("apache-2.0", "spdx", 0), ("apache-2.0", "phrase", 1),
       ("mit", "phrase", 2)))
   }
+
+  test("every shipped phrase takes the literal contains path, and the literal is rlike-equivalent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    for ((id, re) <- LicenseScan.phrases) {
+      val litStr = LicenseScan.literalOf(re)
+      assert(litStr.isDefined, s"phrase $id no longer literal — perf path lost")
+      // a doc holding the literal matches both ways; an off-by-one-dot
+      // doc ('2x0' where the regex says 2\.0) matches neither
+      val probe = Seq(s"xx ${litStr.get} yy", s"xx ${litStr.get.replace(".", "x")} yy")
+        .toDF("t")
+      val got = probe.select(col("t").contains(litStr.get).as("c"),
+        col("t").rlike(re).as("r")).collect()
+      assert(got.forall(r => r.getBoolean(0) == r.getBoolean(1)),
+        s"contains/rlike diverge for $id")
+    }
+  }
+
+  test("literalOf unescapes dots and refuses real metacharacters") {
+    assert(LicenseScan.literalOf("Version 2\\.0") == Some("Version 2.0"))
+    assert(LicenseScan.literalOf("plain words") == Some("plain words"))
+    assert(LicenseScan.literalOf("a[bc]d").isEmpty)
+    assert(LicenseScan.literalOf("a.b").isEmpty)     // unescaped dot = any char
+    assert(LicenseScan.literalOf("a\\d").isEmpty)    // non-dot escape
+    assert(LicenseScan.literalOf("x{2,3}").isEmpty)
+    assert(LicenseScan.literalOf("trail\\").isEmpty)
+  }
 }
