@@ -77,6 +77,10 @@ object CharClassRuns {
   /** Called from generated code — must stay public, JVM-static via the
     * object. Output order = regex match order (left to right). */
   def extract(s: UTF8String, classId: Int, minLen: Int, maxLen: Int): ArrayData = {
+    // minLen 0 would chunk forever (regex {0,n} matches empty at every
+    // position — a pattern shape this extractor deliberately refuses)
+    require(minLen >= 1 && maxLen >= minLen,
+      s"CharClassRuns needs 1 <= minLen <= maxLen, got {$minLen,$maxLen}")
     val member = tables(classId)
     val bytes = s.getBytes
     val n = bytes.length

@@ -67,6 +67,12 @@ class LicenseScanSpec extends SparkSpec {
     }
   }
 
+  test("the SPDX guard literal is the pattern's own prefix") {
+    // matches() guards the regexp_extract with contains of this literal;
+    // if the pattern's anchor ever changes, this pins the guard to follow
+    assert(LicenseScan.SpdxPattern.startsWith("SPDX-License-Identifier:"))
+  }
+
   test("literalOf unescapes dots and refuses real metacharacters") {
     assert(LicenseScan.literalOf("Version 2\\.0") == Some("Version 2.0"))
     assert(LicenseScan.literalOf("plain words") == Some("plain words"))
