@@ -129,7 +129,9 @@ object RunSuite {
     val sum = graft.checks.SnapshotDiff.summary(diff).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
     val bad = sum("removed") + sum("changed")
-    println(s"""{"metric":"snapshot-diff","table":"$table",""" +
+    // table is operator-supplied — escape it or the gate line stops
+    // being JSON (round-4's unescaped-batch-id lesson)
+    println(s"""{"metric":"snapshot-diff","table":"${graft.pipeline.Checkpoint.esc(table)}",""" +
       s""""added":${sum("added")},"removed":${sum("removed")},""" +
       s""""changed":${sum("changed")},"budget":$maxChanged}""")
     if (bad > maxChanged) 1 else 0

@@ -53,7 +53,7 @@ object Scaling {
     Tables.all.map(t => Tables.load(spark, sfDir, t).count()).sum +
       spark.read.parquet(corpusPath).count()
 
-  private def session(n: Int): SparkSession = {
+  private[graft] def session(n: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$n]")
       .appName(s"graft-scaling-$n")

@@ -3,44 +3,70 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scaling evidence for the content-hygiene scans (north rule: ≥ 0.8
-  * throughput efficiency from N to 4N parallelism). Run twice —
-  * `runMain graft.ScanScaling <dataDir> 2` and `... 8` — and divide the
-  * reported rows/s: the scans are shuffle-free until the (empty on clean
-  * data) candidate frames, so they are the engine's most embarrassingly
-  * parallel pass and should scale near-linearly.
+  * throughput efficiency from N to 4N parallelism). Measures BOTH
+  * parallelism levels in one invocation (same Scaling.scala discipline:
+  * untimed JIT warm-up, best-of-`SPARK_GRAFT_SCALING_PASSES` measured
+  * passes so a host-contention burst on one single-pass process can't
+  * swing the reported ratio across the 0.8 line) and prints one JSON
+  * line with per-family and combined efficiency.
   *
-  * An untimed warm-up over the sf0.001 documents fixture runs first so
-  * JIT/codegen compilation is excluded from the measured pass (a round-4
-  * review lesson: never report cold-JIT throughput). */
+  * The scans are shuffle-free until the (empty on clean data) candidate
+  * frames, so they are the engine's most embarrassingly parallel pass —
+  * but also the first to hit the parquet-decode floor at high
+  * parallelism (see BASELINE.md). */
 object ScanScaling {
-  def main(args: Array[String]): Unit = {
-    val dataDir = args.headOption.getOrElse("/tmp/corpus_suite_data")
-    val cores = args.lift(1).map(_.toInt).getOrElse(8)
-    val spark = SparkSession.builder().master(s"local[$cores]")
-      .appName("graft-scan-scaling")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val ids = Seq("repo", "path", "commit")
 
-    // warm-up: same query shapes, tiny input, untimed
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    graft.text.SecretScan.scan(docs, Seq("doc_id"), "text").count()
-    graft.text.LicenseScan.classify(docs, Seq("doc_id"), "text").count()
-
-    val corpus = spark.read.parquet(s"$dataDir/corpus.parquet")
-    val n = corpus.count()
+  private def scanOnce(spark: SparkSession, path: String,
+                       ids: Seq[String]): (Double, Double, Long, Long) = {
+    val corpus = spark.read.parquet(path)
     val t0 = System.nanoTime()
     val hits = graft.text.SecretScan.scan(corpus, ids, "content").count()
     val secSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val lics = graft.text.LicenseScan.classify(corpus, ids, "content").count()
     val licSec = (System.nanoTime() - t1) / 1e9
-    println(s"""{"metric":"scan-scaling","cores":$cores,"rows":$n,""" +
-      s""""secret_sec":$secSec,"secret_rows_per_sec":${(n / secSec).toLong},""" +
-      s""""license_sec":$licSec,"license_rows_per_sec":${(n / licSec).toLong},""" +
+    (secSec, licSec, hits, lics)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/tmp/corpus_suite_data")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8")
+      .split(",").toSeq.map(_.trim.toInt).distinct.sorted
+    require(levels.size >= 2,
+      s"SPARK_GRAFT_LEVELS needs >=2 distinct core counts, got $levels")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "2").toInt
+    val ids = Seq("repo", "path", "commit")
+
+    val results = Seq(levels.min, levels.max).map { n =>
+      val spark = Scaling.session(n)
+      val rows = spark.read.parquet(s"$dataDir/corpus.parquet").count()
+      // untimed warm-up: same query shapes on the tiny sf documents
+      // fixture, so JIT/codegen compilation never lands in a measured pass
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.text.SecretScan.scan(docs, Seq("doc_id"), "text").count()
+      graft.text.LicenseScan.classify(docs, Seq("doc_id"), "text").count()
+      val runs = (1 to passes).map(_ =>
+        scanOnce(spark, s"$dataDir/corpus.parquet", ids))
+      spark.stop()
+      val sec = runs.map(_._1).min
+      val lic = runs.map(_._2).min
+      (n, rows, sec, lic, runs.head._3, runs.head._4)
+    }
+    val (n1, rows, sec1, lic1, hits, lics) = results(0)
+    val (n2, _, sec2, lic2, _, _) = results(1)
+    val scale = n2.toDouble / n1
+    def eff(a: Double, b: Double): Double =
+      math.round(a / b / scale * 10000) / 10000.0
+    println(s"""{"metric":"scan-scaling","rows":$rows,"levels":[$n1,$n2],""" +
+      s""""passes":$passes,""" +
+      s""""secret_p${n1}_sec":$sec1,"secret_p${n2}_sec":$sec2,""" +
+      s""""license_p${n1}_sec":$lic1,"license_p${n2}_sec":$lic2,""" +
+      s""""secret_rows_per_sec_p$n2":${(rows / sec2).toLong},""" +
+      s""""license_rows_per_sec_p$n2":${(rows / lic2).toLong},""" +
+      s""""efficiency_secret":${eff(sec1, sec2)},""" +
+      s""""efficiency_license":${eff(lic1, lic2)},""" +
+      s""""efficiency_combined":${eff(sec1 + lic1, sec2 + lic2)},""" +
       s""""hits":$hits,"classified":$lics}""")
-    spark.stop()
   }
 }

@@ -36,6 +36,13 @@ case class CharClassRunsExpr(child: Expression, classId: Int,
                              minLen: Int, maxLen: Int)
     extends UnaryExpression {
 
+  // validated ONCE at plan time (Catalyst re-runs this on every copy, still
+  // O(plan)); extract() itself stays branch-free on the per-row hot path.
+  // minLen 0 would chunk forever — regex {0,n} matches empty at every
+  // position, a pattern shape this extractor deliberately refuses.
+  require(minLen >= 1 && maxLen >= minLen,
+    s"CharClassRuns needs 1 <= minLen <= maxLen, got {$minLen,$maxLen}")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(s: Any): Any =
@@ -76,11 +83,9 @@ object CharClassRuns {
 
   /** Called from generated code — must stay public, JVM-static via the
     * object. Output order = regex match order (left to right). */
+  /** Precondition (validated at plan time by CharClassRunsExpr, NOT here —
+    * this is the per-row hot path): 1 ≤ minLen ≤ maxLen. */
   def extract(s: UTF8String, classId: Int, minLen: Int, maxLen: Int): ArrayData = {
-    // minLen 0 would chunk forever (regex {0,n} matches empty at every
-    // position — a pattern shape this extractor deliberately refuses)
-    require(minLen >= 1 && maxLen >= minLen,
-      s"CharClassRuns needs 1 <= minLen <= maxLen, got {$minLen,$maxLen}")
     val member = tables(classId)
     val bytes = s.getBytes
     val n = bytes.length

@@ -18,7 +18,7 @@ object Checkpoint {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
   /** md5 hex of a stage's defining configuration — what `stage` stores in

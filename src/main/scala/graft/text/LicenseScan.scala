@@ -26,9 +26,14 @@ object LicenseScan {
     "bsd-3-clause" -> "Redistribution and use in source and binary forms",
     "mpl-2.0" -> "Mozilla Public License")
 
+  /** The tag's literal anchor — the contains-guard in `matches` AND the
+    * pattern's prefix, by construction: editing the anchor cannot strand
+    * the guard. */
+  val SpdxGuard = "SPDX-License-Identifier:"
+
   // flexible whitespace after the colon: 'Identifier:GPL-3.0-only' and
   // tab-separated tags are still declared licenses
-  val SpdxPattern = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+  val SpdxPattern = SpdxGuard + "[ \\t]*([A-Za-z0-9.+-]+)"
 
   private def keyed(idCols: Seq[String]): Seq[Column] = idCols.map(col)
 
@@ -72,7 +77,7 @@ object LicenseScan {
     // literal prefix guards the regex — the extract can only be non-empty
     // when the literal occurs, so the guard never changes results, it
     // just skips the regex on the (overwhelming) untagged documents.
-    val spdxLic = lower(when(col(textCol).contains("SPDX-License-Identifier:"),
+    val spdxLic = lower(when(col(textCol).contains(SpdxGuard),
       regexp_extract(col(textCol), SpdxPattern, 1)).otherwise(""))
     val packed = array(
       struct(spdxLic.as("license"), lit("spdx").as("via"),

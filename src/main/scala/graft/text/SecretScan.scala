@@ -98,13 +98,18 @@ object SecretScan {
     * regex implies the literal, so guarding with `contains` never changes
     * results — it just skips the full regex scan on the (overwhelming at
     * corpus scale) documents that cannot match. Measured on the clean 24M
-    * corpus: total scan time halves, 108 s → 57 s (the remainder is the
-    * entropy classes, which have no literal anchor to guard on). */
-  private val literalGuards: Map[String, String] = Map(
+    * corpus: total scan time halves, 108 s → 57 s (the then-remainder, the
+    * unanchored entropy classes, now runs through [[CharClassRuns]]).
+    * ipv4 deliberately has NO guard: its only literal is '.', which
+    * virtually every text row contains — an always-true guard is a pure
+    * extra pass. SecretScanSpec pins the match-implies-guard invariant
+    * differentially (guarded scan ≡ unguarded regexes on a fuzz corpus),
+    * so a regex edit that breaks an implication fails the suite instead
+    * of silently dropping engine hits the oracle still finds. */
+  private[graft] val literalGuards: Map[String, String] = Map(
     "aws_key" -> "AKIA",
     "private_key" -> "-----BEGIN",
-    "email" -> "@",
-    "ipv4" -> ".")
+    "email" -> "@")
 
   /** The entropy classes are pure-character-class patterns with no literal
     * to guard on, so they pay the full-document scan — the dominant cost of
@@ -157,10 +162,17 @@ object SecretScan {
     * min_bits_e6, entropy classes their gate); the tiny candidate frame
     * is localCheckpointed so the fixed/entropy branches of the final
     * union don't each re-read the corpus. */
+  /** The full-scan candidate frame (fixed patterns + entropy classes) —
+    * exposed so PlanHealthSpec can prove ALL families, including the
+    * native CharClassRuns extraction, ride one source scan. */
+  private[graft] def scanCandidates(df: DataFrame, idCols: Seq[String],
+                                    textCol: String): DataFrame =
+    candidates(df, idCols, textCol,
+      patterns.map { case (d, re) => (d, re, None) } ++
+        entropyClasses.map { case (d, re, mb) => (d, re, Some(mb)) })
+
   def scan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
-    val cand = candidates(df, idCols, textCol,
-        patterns.map { case (d, re) => (d, re, None) } ++
-          entropyClasses.map { case (d, re, mb) => (d, re, Some(mb)) })
+    val cand = scanCandidates(df, idCols, textCol)
       .localCheckpoint()
     val out = keyed(idCols) :+ col("detector") :+ col("secret")
     cand.filter(col("min_bits_e6").isNull).select(out: _*)

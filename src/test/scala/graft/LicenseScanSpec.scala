@@ -67,10 +67,14 @@ class LicenseScanSpec extends SparkSpec {
     }
   }
 
-  test("the SPDX guard literal is the pattern's own prefix") {
-    // matches() guards the regexp_extract with contains of this literal;
-    // if the pattern's anchor ever changes, this pins the guard to follow
-    assert(LicenseScan.SpdxPattern.startsWith("SPDX-License-Identifier:"))
+  test("the SPDX guard anchors the pattern and is itself a pure literal") {
+    // SpdxPattern is built FROM SpdxGuard, so prefix-ship holds by
+    // construction; what could still break the guard is the anchor
+    // acquiring a regex metachar (contains would then look for the raw
+    // metachar text while the regex interprets it)
+    assert(LicenseScan.SpdxPattern.startsWith(LicenseScan.SpdxGuard))
+    assert(LicenseScan.literalOf(LicenseScan.SpdxGuard)
+      .contains(LicenseScan.SpdxGuard))
   }
 
   test("literalOf unescapes dots and refuses real metacharacters") {

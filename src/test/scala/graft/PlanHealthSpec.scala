@@ -136,11 +136,18 @@ class PlanHealthSpec extends SparkSpec {
 
   test("secret candidates: all detector families ride ONE parquet scan pre-gate") {
     // scan() localCheckpoints the candidate frame, so prove the property
-    // on the frame feeding it: the regex unpivot over every family is a
-    // single source read (the entropy branch then reuses the checkpoint)
-    val df = graft.text.SecretScan.regexHits(
+    // on the frame feeding it — the FULL family list (4 guarded regex
+    // detectors + 2 native CharClassRunsExpr entropy classes) in one
+    // unpivot: a Catalyst rule refusing to collapse projects around the
+    // custom expression would split this into two source reads
+    val df = graft.text.SecretScan.scanCandidates(
       Tables.load(spark, sf, "documents"), Seq("doc_id"), "text")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    // and the fixed-pattern public form keeps the property too
+    val rx = graft.text.SecretScan.regexHits(
+      Tables.load(spark, sf, "documents"), Seq("doc_id"), "text")
+    val rxPlan = rx.queryExecution.executedPlan.toString
+    assert(rxPlan.linesIterator.count(_.contains("Scan parquet")) == 1, rxPlan)
   }
 }
