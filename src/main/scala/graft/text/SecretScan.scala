@@ -36,7 +36,16 @@ object SecretScan {
     // (the modern openssl default) has none
     "private_key" -> "-----BEGIN ([A-Z]+ )?PRIVATE KEY-----",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    // classic GitHub personal access token (the ghp_ prefix family;
+    // fine-grained github_pat_ tokens land in the entropy catch-all)
+    "github_pat" -> "ghp_[A-Za-z0-9]{36}",
+    // Slack bot/app/user/legacy tokens share the xox?- prefix
+    "slack_token" -> "xox[baprs]-[0-9A-Za-z-]{10,48}",
+    // JWT: three base64url segments; 'eyJ' is base64 of '{"' — every
+    // JSON-header JWT starts with it, which is also its literal guard
+    "jwt" -> ("eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}" +
+      "\\.[A-Za-z0-9_-]{5,}"))
 
   /** Candidate-token bounds for the entropy gate. */
   val CandMinLen = 24
@@ -109,7 +118,10 @@ object SecretScan {
   private[graft] val literalGuards: Map[String, String] = Map(
     "aws_key" -> "AKIA",
     "private_key" -> "-----BEGIN",
-    "email" -> "@")
+    "email" -> "@",
+    "github_pat" -> "ghp_",
+    "slack_token" -> "xox",
+    "jwt" -> "eyJ")
 
   /** The entropy classes are pure-character-class patterns with no literal
     * to guard on, so they pay the full-document scan — the dominant cost of
