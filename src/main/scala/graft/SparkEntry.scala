@@ -1127,7 +1127,15 @@ object SparkEntry {
             upper(substring(dmd5("#j1"), 1, 8)), substring(dmd5("#j1"), 9, 8),
             lit("."),
             upper(substring(dmd5("#j2"), 1, 8)), substring(dmd5("#j2"), 9, 8),
-            lit("."), substring(dmd5("#j3"), 1, 8)))
+            lit("."), substring(dmd5("#j3"), 1, 8))),
+          // Luhn family: the four canonical test PANs (valid) rotating,
+          // plus an invalid decoy (last digit off) the mod-10 gate must
+          // reject even though the digit-run candidate matches
+          plant(d, 67, concat(lit(" "), element_at(lit(Array(
+            "4111111111111111", "5555555555554444",
+            "378282246310005", "6011111111111117")),
+            (d % 4).cast("int") + 1))),
+          plant(d, 71, lit(" 4111111111111112"))
         ).as("text"))
       graft.text.SecretScan.scan(docs, Seq("doc_id"), "text")
     }),
@@ -2221,6 +2229,8 @@ object SparkEntry {
     // detector definitions; entropy is pure integer math on both sides
     "q_secret_scan" -> {
       val tbl = graft.text.SecretScan.entropyTableE6.mkString("[", ", ", "]")
+      val luhnRe = graft.text.SecretScan.luhnPattern
+      val luhnDet = graft.text.SecretScan.LuhnDetector
       val rxBranches = graft.text.SecretScan.patterns.map { case (det, re) =>
         s"""SELECT DISTINCT doc_id, '$det' AS detector, s.secret
            |  FROM docs2, unnest(regexp_extract_all(text, '$re')) AS s(secret)"""
@@ -2267,6 +2277,11 @@ object SparkEntry {
          |         substr(md5(CAST(doc_id AS VARCHAR) || '#j2'), 9, 8) || '.' ||
          |         substr(md5(CAST(doc_id AS VARCHAR) || '#j3'), 1, 8)
          |         ELSE '' END
+         |    || CASE WHEN doc_id % 67 = 0 THEN ' ' ||
+         |         list_extract(['4111111111111111', '5555555555554444',
+         |           '378282246310005', '6011111111111117'],
+         |           CAST(doc_id % 4 AS INT) + 1) ELSE '' END
+         |    || CASE WHEN doc_id % 71 = 0 THEN ' 4111111111111112' ELSE '' END
          |    AS text
          |  FROM documents),
          |rx AS (
@@ -2284,11 +2299,30 @@ object SparkEntry {
          |  SELECT doc_id, detector, secret, min_bits_e6,
          |    list_extract($tbl, length(secret) + 1) -
          |      CAST(sum(list_extract($tbl, c + 1)) AS BIGINT) AS nh_e6
-         |  FROM cnts GROUP BY doc_id, detector, min_bits_e6, secret)
+         |  FROM cnts GROUP BY doc_id, detector, min_bits_e6, secret),
+         |pan AS (
+         |  SELECT DISTINCT doc_id, '$luhnDet' AS detector,
+         |    s.secret
+         |  FROM docs2,
+         |    unnest(regexp_extract_all(text, '$luhnRe')) AS s(secret)),
+         |pd AS (
+         |  SELECT doc_id, detector, secret,
+         |    CAST(substr(secret, i.i, 1) AS INT) AS dgt,
+         |    (length(secret) - i.i) % 2 AS w
+         |  FROM pan, unnest(range(1, length(secret) + 1)) AS i(i)),
+         |luhn AS (
+         |  SELECT doc_id, detector, secret,
+         |    CAST(SUM(CASE WHEN w = 1 THEN
+         |      CASE WHEN dgt * 2 > 9 THEN dgt * 2 - 9 ELSE dgt * 2 END
+         |      ELSE dgt END) AS BIGINT) AS luhn_sum
+         |  FROM pd GROUP BY doc_id, detector, secret)
          |SELECT doc_id, detector, secret FROM rx
          |UNION ALL
          |SELECT doc_id, detector, secret FROM ent
-         |WHERE nh_e6 >= length(secret) * min_bits_e6""".stripMargin
+         |WHERE nh_e6 >= length(secret) * min_bits_e6
+         |UNION ALL
+         |SELECT doc_id, detector, secret FROM luhn
+         |WHERE luhn_sum % 10 = 0""".stripMargin
     },
 
     // licenses: phrase regexes and precedence order spliced from

@@ -57,9 +57,34 @@ case class CharClassRunsExpr(child: Expression, classId: Int,
     copy(child = newChild)
 }
 
+/** The `\b[cs]{min,max}\b` twin of [[CharClassRunsExpr]] — see
+  * [[CharClassRuns.wholeRuns]] for the semantics and the charset ⊆ `\w`
+  * precondition. */
+case class CharClassWholeRunsExpr(child: Expression, classId: Int,
+                                  minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  require(minLen >= 1 && maxLen >= minLen,
+    s"CharClassWholeRuns needs 1 <= minLen <= maxLen, got {$minLen,$maxLen}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharClassRuns.wholeRuns(s.asInstanceOf[UTF8String], classId, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharClassRuns.wholeRuns($c, $classId, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CharClassRuns {
   val HexId = 0
   val B64Id = 1
+  val DigitId = 2
 
   /** membership tables; index = unsigned byte. Bytes ≥ 0x80 stay false. */
   private val tables: Array[Array[Boolean]] = {
@@ -71,7 +96,21 @@ object CharClassRuns {
     for (c <- 'a' to 'z') b64(c) = true
     for (c <- 'A' to 'Z') b64(c) = true
     for (c <- "+/=_-") b64(c) = true
-    Array(hex, b64)
+    val digit = new Array[Boolean](256)
+    for (c <- '0' to '9') digit(c) = true
+    Array(hex, b64, digit)
+  }
+
+  /** ASCII `\w` = [A-Za-z0-9_] — the word-boundary vocabulary of BOTH
+    * engines' default `\b` (Java without UNICODE_CHARACTER_CLASS, RE2).
+    * Bytes ≥ 0x80 are non-word in both, matching byte-level checks. */
+  private val word: Array[Boolean] = {
+    val w = new Array[Boolean](256)
+    for (c <- '0' to '9') w(c) = true
+    for (c <- 'a' to 'z') w(c) = true
+    for (c <- 'A' to 'Z') w(c) = true
+    w('_') = true
+    w
   }
 
   /** The regex charsets these tables mirror, keyed by class id — the
@@ -79,6 +118,7 @@ object CharClassRuns {
   def charsetRegex(classId: Int): String = classId match {
     case HexId => "[0-9a-f]"
     case B64Id => "[A-Za-z0-9+/=_-]"
+    case DigitId => "\\d"
   }
 
   /** Called from generated code — must stay public, JVM-static via the
@@ -112,9 +152,49 @@ object CharClassRuns {
 
   private val Empty: ArrayData = new GenericArrayData(new Array[AnyRef](0))
 
+  /** Word-boundary whole-run extraction: the exact output of
+    * `regexp_extract_all(s, "\\b[cs]{min,max}\\b", 0)` for a charset that
+    * is a SUBSET of `\w` (digits, hex). Under that precondition a match
+    * can only be a maximal run (an in-run neighbor is a word char, so an
+    * interior `\b` is impossible) whose own neighbors are non-word — so:
+    * emit each maximal run iff minLen ≤ L ≤ maxLen AND both boundary
+    * bytes are non-word. A run longer than maxLen yields NOTHING (unlike
+    * the greedy chunking of [[extract]]) — exactly the regex, where the
+    * trailing `\b` fails against the leftover digits. Called from
+    * generated code. */
+  def wholeRuns(s: UTF8String, classId: Int, minLen: Int, maxLen: Int): ArrayData = {
+    val member = tables(classId)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var out: java.util.ArrayList[UTF8String] = null
+    var i = 0
+    while (i < n) {
+      if (!member(bytes(i) & 0xFF)) i += 1
+      else {
+        var j = i + 1
+        while (j < n && member(bytes(j) & 0xFF)) j += 1
+        val len = j - i
+        if (len >= minLen && len <= maxLen &&
+            (i == 0 || !word(bytes(i - 1) & 0xFF)) &&
+            (j == n || !word(bytes(j) & 0xFF))) {
+          if (out == null) out = new java.util.ArrayList[UTF8String](4)
+          out.add(UTF8String.fromBytes(bytes, i, len))
+        }
+        i = j
+      }
+    }
+    if (out == null) Empty
+    else new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** `[charset]{min,max}` tokens of `c`, left to right — exact
     * `regexp_extract_all` equivalent for the two scan charsets. */
   def runs(c: Column, classId: Int, minLen: Int, maxLen: Int): Column =
     GraftExpressionBridge.column(CharClassRunsExpr(
+      GraftExpressionBridge.expression(c), classId, minLen, maxLen))
+
+  /** `\b[charset]{min,max}\b` whole-run tokens (charset must be ⊆ `\w`). */
+  def boundedRuns(c: Column, classId: Int, minLen: Int, maxLen: Int): Column =
+    GraftExpressionBridge.column(CharClassWholeRunsExpr(
       GraftExpressionBridge.expression(c), classId, minLen, maxLen))
 }

@@ -51,6 +51,18 @@ object SecretScan {
   val CandMinLen = 24
   val CandMaxLen = 64
 
+  /** Checksum-gated detector: contiguous digit runs of plausible PAN
+    * length, confirmed by the Luhn mod-10 check — the PCI redaction gate.
+    * `\b` anchors reject runs embedded in identifiers or longer numbers
+    * (a 20-digit run matches nothing, same as the regex). The engine
+    * extracts candidates with the native whole-run pass
+    * ([[CharClassRuns.wholeRuns]] — exact `\b\d{13,19}\b` equivalence,
+    * spec-pinned); the oracle runs this regex verbatim. */
+  val LuhnDetector = "credit_card"
+  val PanMinLen = 13
+  val PanMaxLen = 19
+  val luhnPattern = s"\\b\\d{$PanMinLen,$PanMaxLen}\\b"
+
   /** Entropy-gated candidate classes: (detector, pattern, min micro-bits
     * per char). Entropy thresholds are PER CHARSET — the secret-scanner
     * discipline: a hex token maxes out at 4 bits/char so 3.0 separates
@@ -141,9 +153,13 @@ object SecretScan {
                          fams: Seq[(String, String, Option[Long])]): DataFrame = {
     val noHits = typedLit(Array.empty[String])
     val packed = array(fams.map { case (det, re, minBits) =>
-      val extract = runClassIds.get(det)
-        .map(id => CharClassRuns.runs(col(textCol), id, CandMinLen, CandMaxLen))
-        .getOrElse(regexp_extract_all(col(textCol), lit(re), lit(0)))
+      val extract =
+        if (det == LuhnDetector)
+          CharClassRuns.boundedRuns(col(textCol), CharClassRuns.DigitId,
+            PanMinLen, PanMaxLen)
+        else runClassIds.get(det)
+          .map(id => CharClassRuns.runs(col(textCol), id, CandMinLen, CandMaxLen))
+          .getOrElse(regexp_extract_all(col(textCol), lit(re), lit(0)))
       val hits = literalGuards.get(det)
         .fold(extract)(g =>
           when(col(textCol).contains(g), extract).otherwise(noHits))
@@ -166,30 +182,56 @@ object SecretScan {
         entropyClasses.map { case (d, re, mb) => (d, re, Some(mb)) }), idCols)
       .select(keyed(idCols :+ "detector" :+ "secret") :+ col("nh_e6"): _*)
 
-  /** Full scan: fixed patterns plus the per-charset entropy catch-alls.
-    * Violation-row shape (idCols..., detector, secret).
-    *
-    * ONE source scan: all detector families ride a single
-    * explode-of-structs unpivot (fixed patterns carry a null
-    * min_bits_e6, entropy classes their gate); the tiny candidate frame
-    * is localCheckpointed so the fixed/entropy branches of the final
-    * union don't each re-read the corpus. */
-  /** The full-scan candidate frame (fixed patterns + entropy classes) —
-    * exposed so PlanHealthSpec can prove ALL families, including the
-    * native CharClassRuns extraction, ride one source scan. */
+  /** The Luhn mod-10 gate over credit_card candidate rows: digits are
+    * position-exploded; every second digit from the RIGHT (rightmost
+    * undoubled) doubles with a −9 fold above 9; the token survives iff
+    * the sum ≡ 0 (mod 10). Pure integer math — bit-identical in any
+    * engine, same cross-engine discipline as the entropy table. */
+  private def luhnGate(cand: DataFrame, idCols: Seq[String]): DataFrame = {
+    val tokKey = idCols :+ "detector" :+ "secret"
+    val d = col("ch").cast("int")
+    val doubled = d * 2
+    cand
+      .select(keyed(tokKey) :+
+        posexplode(split(col("secret"), "")).as(Seq("pos", "ch")): _*)
+      .withColumn("dd",
+        when((length(col("secret")) - 1 - col("pos")) % 2 === 1,
+          when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d))
+      .groupBy(keyed(tokKey): _*)
+      .agg(sum(col("dd")).as("luhn_sum"))
+      .filter(col("luhn_sum") % 10 === 0)
+  }
+
+  /** The full-scan candidate frame (fixed patterns + entropy classes +
+    * Luhn digit runs) — exposed so PlanHealthSpec can prove ALL families,
+    * including both native CharClassRuns extractions, ride one source
+    * scan. */
   private[graft] def scanCandidates(df: DataFrame, idCols: Seq[String],
                                     textCol: String): DataFrame =
     candidates(df, idCols, textCol,
       patterns.map { case (d, re) => (d, re, None) } ++
-        entropyClasses.map { case (d, re, mb) => (d, re, Some(mb)) })
+        entropyClasses.map { case (d, re, mb) => (d, re, Some(mb)) } :+
+        ((LuhnDetector, luhnPattern, None)))
 
+  /** Full scan: fixed patterns, the per-charset entropy catch-alls, and
+    * the Luhn-gated credit_card family. Violation-row shape (idCols...,
+    * detector, secret).
+    *
+    * ONE source scan: all detector families ride a single
+    * explode-of-structs unpivot; the tiny candidate frame is
+    * localCheckpointed so the fixed/entropy/Luhn branches of the final
+    * union don't each re-read the corpus. */
   def scan(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
     val cand = scanCandidates(df, idCols, textCol)
       .localCheckpoint()
     val out = keyed(idCols) :+ col("detector") :+ col("secret")
-    cand.filter(col("min_bits_e6").isNull).select(out: _*)
+    cand.filter(col("min_bits_e6").isNull &&
+        col("detector") =!= LuhnDetector).select(out: _*)
       .unionByName(
         gate(cand.filter(col("min_bits_e6").isNotNull), idCols)
+          .select(out: _*))
+      .unionByName(
+        luhnGate(cand.filter(col("detector") === LuhnDetector), idCols)
           .select(out: _*))
   }
 }

@@ -61,6 +61,47 @@ class CharClassRunsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("wholeRuns == regexp_extract_all of \\b\\d{min,max}\\b on ASCII fuzz with word/non-word boundaries") {
+    val rnd = new scala.util.Random(43)
+    // boundary-heavy ASCII alphabet: digits, word chars ('a', '_'),
+    // non-word separators — exercises every \b decision. Non-ASCII
+    // neighbors are pinned separately below: there Java regex (this
+    // test's reference) and RE2 (the oracle's engine) DISAGREE.
+    val alphabet = "0123456789a_ .-"
+    val texts = Seq.tabulate(500) { _ =>
+      val n = rnd.nextInt(60)
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "1234567890123", "12345678901234567890",
+      "a1234567890123", "1234567890123_",
+      "x 1234567890123 4111111111111111")
+    val re = "\\b\\d{13,19}\\b"
+    val got = texts.toDF("t").select(col("t"),
+        CharClassRuns.boundedRuns(col("t"), CharClassRuns.DigitId, 13, 19)
+          .as("runs"),
+        regexp_extract_all(col("t"), lit(re), lit(0)).as("rx"))
+      .collect()
+    for (r <- got)
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"wholeRuns diverged from $re on '${r.getString(0)}'")
+  }
+
+  test("non-ASCII boundary: wholeRuns follows RE2/DuckDB ASCII \\b, not Java's Unicode \\b") {
+    // Java's boundary matcher is Unicode-aware ('é' is a word char), so
+    // Spark's regex drops this run; RE2 — the ORACLE's engine — treats
+    // 'é' as non-word and matches. The native pass must side with the
+    // oracle: this is the semantics of record (and it removes a latent
+    // Java-vs-RE2 divergence class that pure-regex \b detectors carry
+    // on non-ASCII text).
+    val t = "é1234567890123é"
+    val r = Seq(t).toDF("t").select(
+      CharClassRuns.boundedRuns(col("t"), CharClassRuns.DigitId, 13, 19)
+        .as("runs"),
+      regexp_extract_all(col("t"), lit("\\b\\d{13,19}\\b"), lit(0)).as("rx"))
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("1234567890123")) // RE2 semantics
+    assert(r.getSeq[String](1) == Seq())                // Java semantics
+  }
+
   test("SecretScan's entropy-class regexes are exactly the charsets the native pass mirrors") {
     val byDet = SecretScan.entropyClasses.map { case (d, re, _) => d -> re }.toMap
     val bounds = s"{${SecretScan.CandMinLen},${SecretScan.CandMaxLen}}"

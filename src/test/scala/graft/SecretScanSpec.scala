@@ -90,6 +90,17 @@ class SecretScanSpec extends SparkSpec {
     assert(!misses.exists(m => Set("github_pat", "slack_token", "jwt")(m._1)))
   }
 
+  test("Luhn gate: canonical test PANs pass, off-by-one decoy and boundary shapes don't") {
+    val valid = Seq("4111111111111111", "5555555555554444",
+      "378282246310005", "6011111111111117")
+    val h = hitsOf("pay " + valid.mkString(" ") + " end")
+    for (pan <- valid) assert(h.contains(("credit_card", pan)), pan)
+    // invalid checksum; run inside an identifier; 20-digit run; 12 digits
+    val none = hitsOf("x 4111111111111112 id4111111111111111 " +
+      "41111111111111111111 y 411111111111")
+    assert(!none.exists(_._1 == "credit_card"), none)
+  }
+
   test("literal guards never change results: guarded scan == unguarded regexes (fuzz + canonical forms)") {
     import org.apache.spark.sql.functions.{col, explode, lit, regexp_extract_all}
     // canonical secret forms (incl. the PKCS#8 shape a round-5 review
