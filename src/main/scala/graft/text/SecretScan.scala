@@ -36,6 +36,11 @@ object SecretScan {
     // (the modern openssl default) has none
     "private_key" -> "-----BEGIN ([A-Z]+ )?PRIVATE KEY-----",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    // known limitation: Java's \b is Unicode-aware, RE2/DuckDB's is
+    // ASCII, so an IP with a non-ASCII letter hard against it (…é1.2.3.4)
+    // matches in the oracle but not the engine. ASCII testdata never hits
+    // it; the credit_card family's native whole-run pass (ASCII \b by
+    // construction) is the fix pattern if corpus text ever does.
     "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
     // classic GitHub personal access token (the ghp_ prefix family;
     // fine-grained github_pat_ tokens land in the entropy catch-all)
