@@ -122,11 +122,16 @@ object Incremental {
       Checkpoint.configHash("unique_hll", t, col0)
     case ClusteringCheck(_, t, p, col0, _) => // maxOverlap is a verdict param
       Checkpoint.configHash("clu", t, p, col0)
-    case SecretLeaks(_, t, ids, col0, _) => // maxHits is a verdict param
-      Checkpoint.configHash("secrets" +: t +: col0 +: ids: _*)
+    case SecretLeaks(_, t, ids, col0, _) => // maxHits is a verdict param;
+      // the detector vocabulary IS state-defining: partitions folded
+      // before a detector existed lack its hits
+      Checkpoint.configHash("secrets" +:
+        graft.text.SecretScan.definitionFingerprint +: t +: col0 +: ids: _*)
     case LicenseAllowed(_, t, ids, col0, _, _) =>
-      // allowed + budget are verdict params over the per-license counts
-      Checkpoint.configHash("license" +: t +: col0 +: ids: _*)
+      // allowed + budget are verdict params over the per-license counts;
+      // the phrase/SPDX definitions are state-defining
+      Checkpoint.configHash("license" +:
+        graft.text.LicenseScan.definitionFingerprint +: t +: col0 +: ids: _*)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }

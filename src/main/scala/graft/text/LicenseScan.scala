@@ -35,6 +35,16 @@ object LicenseScan {
   // tab-separated tags are still declared licenses
   val SpdxPattern = SpdxGuard + "[ \\t]*([A-Za-z0-9.+-]+)"
 
+  /** Deterministic fingerprint of the detector definitions (SPDX pattern
+    * + ordered phrase list). State-defining for the incremental suite's
+    * per-license count state — editing a phrase or the precedence order
+    * changes what older folded partitions WOULD have counted, so it must
+    * invalidate persisted state (allowlist and budget stay verdict
+    * params: policy changes never rebuild state). */
+  lazy val definitionFingerprint: String =
+    (SpdxPattern +: phrases.map { case (id, re) => s"$id=$re" })
+      .mkString("|")
+
   private def keyed(idCols: Seq[String]): Seq[Column] = idCols.map(col)
 
   /** The phrase a regex matches verbatim, when the regex is a pure literal

@@ -68,6 +68,19 @@ object SecretScan {
   val PanMaxLen = 19
   val luhnPattern = s"\\b\\d{$PanMinLen,$PanMaxLen}\\b"
 
+  /** Deterministic fingerprint of EVERY detector definition (fixed
+    * patterns, entropy classes + bounds, Luhn family). Part of the
+    * incremental suite's state key: a persisted hit-set built under one
+    * detector vocabulary must not merge with batches scanned under
+    * another — partitions folded before a detector was added silently
+    * lack its hits, so a vocabulary change must invalidate state
+    * (requireKeyUnchanged refuses, the operator replays). */
+  lazy val definitionFingerprint: String =
+    (patterns.map { case (d, re) => s"$d=$re" } ++
+      entropyClasses.map { case (d, re, mb) => s"$d=$re@$mb" } :+
+      s"$LuhnDetector=$luhnPattern" :+
+      s"cand=$CandMinLen..$CandMaxLen").mkString("|")
+
   /** Entropy-gated candidate classes: (detector, pattern, min micro-bits
     * per char). Entropy thresholds are PER CHARSET — the secret-scanner
     * discipline: a hex token maxes out at 4 bits/char so 3.0 separates

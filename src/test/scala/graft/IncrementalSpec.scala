@@ -332,4 +332,29 @@ class IncrementalSpec extends SparkSpec {
     assert(printed.contains("\"metric\":\"suite-incremental\""))
     assert(printed.contains("(incremental)"))
   }
+
+  test("scan state keys include the detector vocabulary — a definition change invalidates state") {
+    import graft.pipeline.{Checkpoint, Incremental}
+    import graft.pipeline.ValidationSuite.{LicenseAllowed, SecretLeaks}
+    // pin participation: the key is exactly configHash over (kind,
+    // fingerprint, table, column, ids) — recomputing WITHOUT the
+    // fingerprint (the pre-round-5 key) must give a different key, so a
+    // persisted hit-set built under 7 detectors refuses to merge with
+    // 10-detector batches (requireKeyUnchanged fails loud)
+    val sec = SecretLeaks("s", "docs", Seq("id"), "txt", 0L)
+    assert(Incremental.stateKey(sec) == Checkpoint.configHash(
+      "secrets", graft.text.SecretScan.definitionFingerprint,
+      "docs", "txt", "id"))
+    assert(Incremental.stateKey(sec) !=
+      Checkpoint.configHash("secrets", "docs", "txt", "id"))
+    val lic = LicenseAllowed("l", "docs", Seq("id"), "txt", Seq("mit"), 0L)
+    assert(Incremental.stateKey(lic) == Checkpoint.configHash(
+      "license", graft.text.LicenseScan.definitionFingerprint,
+      "docs", "txt", "id"))
+    // verdict params (maxHits / allowed / budget) stay OUT of the key
+    assert(Incremental.stateKey(sec.copy(maxHits = 9L)) ==
+      Incremental.stateKey(sec))
+    assert(Incremental.stateKey(lic.copy(allowed = Seq("gpl-3.0"),
+      maxViolations = 5L)) == Incremental.stateKey(lic))
+  }
 }
