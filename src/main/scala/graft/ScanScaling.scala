@@ -36,6 +36,8 @@ object ScanScaling {
     require(levels.size >= 2,
       s"SPARK_GRAFT_LEVELS needs >=2 distinct core counts, got $levels")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "2").toInt
+    require(passes >= 1,
+      s"SPARK_GRAFT_SCALING_PASSES must be >= 1, got $passes")
     val ids = Seq("repo", "path", "commit")
 
     val results = Seq(levels.min, levels.max).map { n =>

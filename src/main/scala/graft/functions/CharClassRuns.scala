@@ -66,6 +66,12 @@ case class CharClassWholeRunsExpr(child: Expression, classId: Int,
 
   require(minLen >= 1 && maxLen >= minLen,
     s"CharClassWholeRuns needs 1 <= minLen <= maxLen, got {$minLen,$maxLen}")
+  // the \b equivalence argument needs charset ⊆ \w: B64's '+/=-' are
+  // non-word, so a b64 whole-run pass would NOT be regex-equivalent —
+  // refuse at plan time rather than extract silently-wrong tokens
+  require(classId == CharClassRuns.HexId || classId == CharClassRuns.DigitId,
+    s"CharClassWholeRuns requires a charset that is a subset of \\w " +
+      s"(hex or digits); class $classId is not")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -136,10 +136,11 @@ class PlanHealthSpec extends SparkSpec {
 
   test("secret candidates: all detector families ride ONE parquet scan pre-gate") {
     // scan() localCheckpoints the candidate frame, so prove the property
-    // on the frame feeding it — the FULL family list (4 guarded regex
-    // detectors + 2 native CharClassRunsExpr entropy classes) in one
-    // unpivot: a Catalyst rule refusing to collapse projects around the
-    // custom expression would split this into two source reads
+    // on the frame feeding it — scanCandidates is BY CONSTRUCTION the
+    // full family list (every fixed regex detector, both native entropy
+    // classes, the Luhn whole-run family — whatever SecretScan ships) in
+    // one unpivot: a Catalyst rule refusing to collapse projects around
+    // either custom expression would split this into two source reads
     val df = graft.text.SecretScan.scanCandidates(
       Tables.load(spark, sf, "documents"), Seq("doc_id"), "text")
     val plan = df.queryExecution.executedPlan.toString
