@@ -66,14 +66,14 @@ object Incremental {
     case _ => false
   }
 
-  /** Checks whose state aggregation also runs as ONE Structured-Streaming
-    * aggregation (StreamingSuite). SecretLeaks is mergeable but its scan
-    * chains several stateful ops (explode-dedup-agg-agg), which complete
-    * output mode cannot express — it folds incrementally and stays on the
-    * batch path when streaming. */
+  /** Checks whose state aggregation runs as ONE Structured-Streaming
+    * aggregation (StreamingSuite's complete-mode path). The two content
+    * scans chain several stateful ops (explode/dedup/argmin + agg), which
+    * complete output mode cannot express as one aggregation — in the
+    * streaming suite they run through the `foreachBatch` incremental fold
+    * instead (StreamingSuite.foreachBatchVerdicts), so every supported
+    * kind streams one way or the other. */
   def streamable(c: Check): Boolean = supported(c) && (c match {
-    // both scans chain several stateful ops (explode/dedup/argmin + agg),
-    // which complete output mode cannot express as one aggregation
     case _: SecretLeaks | _: LicenseAllowed => false
     case _ => true
   })
