@@ -209,6 +209,13 @@ object StreamingSuite {
     val outcomes = scala.collection.mutable.ArrayBuffer.empty[CheckOutcome]
     val frames = scala.collection.mutable.Map.empty[String, DataFrame]
     config.checks.foreach {
+      // Referential DOES fold incrementally (one-sided Bloom state) — it
+      // is two-table, so the single-table stream can't drive it, but the
+      // routing message must not hide that --incremental covers it
+      case c: Referential =>
+        outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
+          "two-table check — folds under --incremental (one-sided Bloom; " +
+            "exact anti-join in the full suite is the recall backstop)")
       case c if !Incremental.supported(c) =>
         outcomes += CheckOutcome(c.name, "skipped", passed = true, 0L,
           "no mergeable state — run the full suite for this check")
