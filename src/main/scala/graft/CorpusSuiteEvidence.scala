@@ -67,5 +67,19 @@ object CorpusSuiteEvidence {
       f"ROWS_PER_SEC ${(n / secSec).toLong}")
     println(f"LICENSE_SCAN_24M_SEC $licSec%.1f CLASSIFIED $lics " +
       f"ROWS_PER_SEC ${(n / licSec).toLong}")
+
+    // always-on evidence for the multi-stage scans: the secret scan as a
+    // rate-limited stream (32 files/trigger → 8 foreachBatch folds of the
+    // hit-set monoid), hit rows equal the batch scan's
+    val secC = SecretLeaks("corpus_secrets_stream", "corpus", ids, "content")
+    val t4 = System.nanoTime()
+    val streamHits = graft.pipeline.StreamingSuite
+      .foreachBatchVerdicts(spark, dataDir, secC, maxFilesPerTrigger = 32)
+      .count()
+    val fbSec = (System.nanoTime() - t4) / 1e9
+    println(f"SECRET_STREAM_24M_SEC $fbSec%.1f HITS $streamHits " +
+      f"PARITY ${streamHits == hits} ROWS_PER_SEC ${(n / fbSec).toLong}")
+    require(streamHits == hits,
+      "foreachBatch streaming secret scan diverged from batch at 24M")
   }
 }
