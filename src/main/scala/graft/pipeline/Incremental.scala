@@ -62,7 +62,8 @@ object Incremental {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
          _: NullRateDrift | _: RowBalance | _: TopKStability |
          _: Unique | _: ClusteringCheck | _: SecretLeaks |
-         _: LicenseAllowed => true
+         _: LicenseAllowed | _: NullRate | _: AcceptedValues |
+         _: PatternMatch | _: ValueRange | _: UniqueComposite => true
     case _ => false
   }
 
@@ -100,6 +101,11 @@ object Incremental {
     case ClusteringCheck(_, t, _, _, _)  => t
     case SecretLeaks(_, t, _, _, _)      => t
     case LicenseAllowed(_, t, _, _, _, _) => t
+    case NullRate(_, t, _, _)            => t
+    case AcceptedValues(_, t, _, _, _)   => t
+    case PatternMatch(_, t, _, _, _)     => t
+    case ValueRange(_, t, _, _, _)       => t
+    case UniqueComposite(_, t, _)        => t
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -132,6 +138,22 @@ object Incremental {
       // the phrase/SPDX definitions are state-defining
       Checkpoint.configHash("license" +:
         graft.text.LicenseScan.definitionFingerprint +: t +: col0 +: ids: _*)
+    case NullRate(_, t, col0, _) => // maxRateE5 is a verdict param
+      Checkpoint.configHash("nullrate_col", t, col0)
+    case AcceptedValues(_, t, col0, allowed, _) =>
+      // the domain IS state-defining: state keeps only values OUTSIDE it
+      // (bounded by violations, never value-cardinality) — a different
+      // allowlist means different rows were kept. Sorted: a reordered but
+      // equal domain is the same state.
+      Checkpoint.configHash("accepted" +: t +: col0 +: allowed.sorted: _*)
+    case PatternMatch(_, t, col0, re, _) =>
+      // the regex is state-defining for the same kept-rows reason
+      Checkpoint.configHash("pattern", t, col0, re)
+    case ValueRange(_, t, col0, lo, hi) =>
+      // lo/hi are state-defining: the state is counts RELATIVE to them
+      Checkpoint.configHash("range", t, col0, lo.toString, hi.toString)
+    case UniqueComposite(_, t, cols) =>
+      Checkpoint.configHash("unique_comp_hll" +: t +: cols: _*)
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -190,6 +212,29 @@ object Incremental {
       // counts — a |licenses|-row count monoid, never doc-sized state
       graft.text.LicenseScan.classify(batch, ids, c0)
         .groupBy("license").agg(count(lit(1)).as("n"))
+    case NullRate(_, t, c0, _) =>
+      // (cnt, n_nulls) sums — fold equals batch EXACTLY (pure counts)
+      batch.agg(count(lit(1)).as("cnt"),
+        (count(lit(1)) - count(col(c0))).as("n_nulls"))
+        .select(lit(s"$t.$c0").as("col"), col("cnt"), col("n_nulls"))
+    case AcceptedValues(_, t, c0, allowed, _) =>
+      // per-OFFENDER-value counts (the batch violation frame IS the
+      // state): bounded by actual violations, never domain cardinality
+      graft.checks.ColumnChecks
+        .acceptedValuesViolations(batch, t, c0, allowed)
+    case PatternMatch(_, t, c0, re, _) =>
+      graft.checks.ColumnChecks.patternViolations(batch, t, c0, re)
+    case ValueRange(_, t, c0, lo, hi) =>
+      // (n_below, n_above, n_null) sums relative to [lo, hi]
+      graft.checks.ColumnChecks.rangeStats(batch, t, c0, lo, hi)
+    case UniqueComposite(_, _, cols) =>
+      // HLL sketch over an UNAMBIGUOUS tuple encoding (to_json of the
+      // struct — concat would collide ("a|b","c") with ("a","b|c")) of
+      // COMPLETE rows, + their count: the approx one-sided twin of the
+      // batch count_distinct, same discipline as the Unique HLL state
+      batch.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .agg(hll_sketch_agg(to_json(struct(cols.map(col): _*)))
+          .as("sketch"), count(lit(1)).as("cnt"))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -221,6 +266,17 @@ object Incremental {
         both.dropDuplicates() // set union over full hit rows
       case _: LicenseAllowed =>
         both.groupBy("license").agg(sum("n").as("n"))
+      case _: NullRate =>
+        both.groupBy("col").agg(sum("cnt").as("cnt"),
+          sum("n_nulls").as("n_nulls"))
+      case _: AcceptedValues | _: PatternMatch =>
+        both.groupBy("col", "value").agg(sum("n").as("n"))
+      case _: ValueRange =>
+        both.groupBy("col").agg(sum("n_below").as("n_below"),
+          sum("n_above").as("n_above"), sum("n_null").as("n_null"))
+      case _: UniqueComposite =>
+        both.agg(hll_union_agg(col("sketch")).as("sketch"),
+          sum("cnt").as("cnt"))
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
@@ -261,6 +317,26 @@ object Incremental {
       state // every state row IS a hit; the budget gate lives in outcomeOf
     case LicenseAllowed(_, _, _, _, allowed, _) =>
       state.withColumn("allowed", col("license").isin(allowed: _*))
+    case _: NullRate =>
+      // EXACTLY ColumnChecks.nullRates' integer form over the summed counts
+      state.select(col("col"), col("cnt"), col("n_nulls"),
+        when(col("cnt") === 0L, 0L)
+          .otherwise(expr("(n_nulls * 100000) div cnt")).as("null_rate_e5"))
+    case _: AcceptedValues | _: PatternMatch =>
+      state // every state row IS an offender (value, n); budget in outcomeOf
+    case _: ValueRange =>
+      state // the batch rangeStats row, summed
+    case UniqueComposite(_, t, cols) =>
+      // approx one-sided twin of the batch count_distinct: same banded
+      // integer math as the Unique HLL verdict (FAIL definite at the 3σ
+      // band, PASS tolerant; the exact full run stays the backstop)
+      state.select(
+          lit(s"$t(${cols.mkString(",")})").as("cols"), col("cnt"),
+          hll_sketch_estimate(col("sketch")).as("approx_distinct"))
+        .withColumn("min_required", greatest(col("cnt") -
+          greatest(expr(s"(cnt * $UniqueHllTolE5 + 99999) div 100000"),
+            lit(UniqueHllFloor)), lit(0L)))
+        .withColumn("passed", col("approx_distinct") >= col("min_required"))
     case other => throw new IllegalArgumentException(
       s"check '${other.name}' has no incremental state")
   }
@@ -303,24 +379,55 @@ object Incremental {
       case LicenseAllowed(_, t, _, col0, allowed, maxV) =>
         ("license_allowed", verdicts.filter(!col("allowed")),
           s"$t.$col0 licenses ⊆ {${allowed.mkString(",")}} budget=$maxV")
+      case NullRate(_, t, col0, maxRate) =>
+        ("null_rate", verdicts.filter(col("null_rate_e5") > maxRate),
+          s"$t.$col0 null-rate max_e5=$maxRate")
+      case AcceptedValues(_, t, col0, allowed, maxV) =>
+        ("accepted_values", verdicts,
+          s"$t.$col0 ⊆ {${allowed.mkString(",")}} budget=$maxV")
+      case PatternMatch(_, t, col0, re, maxV) =>
+        ("pattern_match", verdicts, s"$t.$col0 ~ /$re/ budget=$maxV")
+      case ValueRange(_, t, col0, lo, hi) =>
+        ("value_range",
+          verdicts.filter(col("n_below") + col("n_above") > 0),
+          s"$t.$col0 in [$lo,$hi]")
+      case UniqueComposite(_, t, cols) =>
+        ("unique_composite_incremental_approx", verdicts.filter(!col("passed")),
+          s"$t(${cols.mkString(",")}) approx-unique over complete rows " +
+            s"(HLL one-sided: FAIL definite at 3σ, PASS tolerates " +
+            s"<=${UniqueHllTolE5}e-5+$UniqueHllFloor dupes — exact full " +
+            "run is the backstop)")
       case other => throw new IllegalArgumentException(
         s"check '${other.name}' has no incremental state")
     }
-    // every kind above fails on ANY bad row except SecretLeaks, whose
-    // budget tolerates up to maxHits accepted leaks
+    // every kind above fails on ANY bad row except the budgeted kinds
     val budget = c match {
       case SecretLeaks(_, _, _, _, maxHits) => maxHits
       case LicenseAllowed(_, _, _, _, _, maxV) => maxV
+      case AcceptedValues(_, _, _, _, maxV) => maxV
+      case PatternMatch(_, _, _, _, maxV) => maxV
       case _ => 0L
     }
-    // LicenseAllowed's bad rows are per-LICENSE counts; its violation
-    // number is the DOCUMENT count (sum of n), matching the batch suite
+    // grouped kinds carry per-GROUP counts; their violation number is the
+    // ROW count (sum of n), matching the batch suite. NullRate/ValueRange
+    // report the batch outcome's count (nulls / out-of-range rows).
     val n = c match {
-      case _: LicenseAllowed =>
+      case _: LicenseAllowed | _: AcceptedValues | _: PatternMatch =>
         bad.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      case _: NullRate =>
+        verdicts.agg(coalesce(sum("n_nulls"), lit(0L))).head().getLong(0)
+      case _: ValueRange =>
+        verdicts.agg(coalesce(sum(col("n_below") + col("n_above")), lit(0L)))
+          .head().getLong(0)
       case _ => bad.count()
     }
-    (bad, CheckOutcome(c.name, kind, n <= budget, n, detail + tag))
+    // NullRate's violation count is the (informational) null count while
+    // its gate is the RATE — passed must follow the bad frame, not n
+    val passed = c match {
+      case _: NullRate => bad.isEmpty
+      case _ => n <= budget
+    }
+    (bad, CheckOutcome(c.name, kind, passed, n, detail + tag))
   }
 
   private val BatchesRe = """"batches":\[([^\]]*)\]""".r

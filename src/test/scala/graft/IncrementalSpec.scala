@@ -53,6 +53,12 @@ class IncrementalSpec extends SparkSpec {
     case "sec"   => SecretLeaks("c_sec", "t", Seq("id"), "txt", 0L)
     case "lic"   => LicenseAllowed("c_lic", "t", Seq("id"), "txt",
       Seq("apache-2.0", "mit"), 0L)
+    case "nr"    => NullRate("c_nr", "t", "props", 100000L)
+    case "av"    => AcceptedValues("c_av", "t", "cat",
+      Seq("c0", "c1", "c2"), 0L)
+    case "pm"    => PatternMatch("c_pm", "t", "part", "^p[01]$", 0L)
+    case "vr"    => ValueRange("c_vr", "t", "v", 0.0, 30.0)
+    case "uc"    => UniqueComposite("c_uc", "t", Seq("id", "part"))
   }
 
   private def batchVerdicts(c: Check): DataFrame = c match {
@@ -70,6 +76,20 @@ class IncrementalSpec extends SparkSpec {
       graft.text.LicenseScan.classify(corpus, ids, c0)
         .groupBy("license").agg(count(lit(1)).as("n"))
         .withColumn("allowed", col("license").isin(allowed: _*))
+    case NullRate(_, t, c0, _) =>
+      graft.checks.ColumnChecks.nullRates(corpus, t, Seq(c0))
+    case AcceptedValues(_, t, c0, allowed, _) =>
+      graft.checks.ColumnChecks
+        .acceptedValuesViolations(corpus, t, c0, allowed)
+    case PatternMatch(_, t, c0, re, _) =>
+      graft.checks.ColumnChecks.patternViolations(corpus, t, c0, re)
+    case ValueRange(_, t, c0, lo, hi) =>
+      graft.checks.ColumnChecks.rangeStats(corpus, t, c0, lo, hi)
+    case UniqueComposite(_, t, cols) =>
+      // the incremental twin is APPROX (HLL): compare the banded verdict
+      // against the exact stats via the same one-sided rule, not
+      // row-equality — handled in the per-kind assertion below
+      graft.checks.ColumnChecks.compositeUniqueStats(corpus, t, cols)
     case other => fail(s"no batch twin for $other")
   }
 
@@ -77,7 +97,7 @@ class IncrementalSpec extends SparkSpec {
     df.collect().map(_.mkString("|")).sorted.toSeq
 
   for (kind <- Seq("cat", "ks", "fresh", "nrd", "bal", "topk", "clu", "sec",
-      "lic"))
+      "lic", "nr", "av", "pm", "vr"))
     test(s"$kind: 3-batch incremental fold equals the single-pass batch verdicts") {
       val c = checkOf(kind)
       val dir = Files.createTempDirectory(s"incr_$kind").toString
@@ -124,9 +144,68 @@ class IncrementalSpec extends SparkSpec {
             .head().getAs[Boolean]("allowed"))
           val (bad, oc) = Incremental.outcomeOf(checkOf("lic"), last)
           assert(!oc.passed && oc.violations == 8L && bad.count() == 1L)
+        case "av" =>
+          // cat values c3/c4 exist (i%5 families) and sit outside the
+          // {c0,c1,c2} domain; violations = ROW count (sum of n)
+          assert(last.select("value").as[String].collect().toSet ==
+            Set("c3", "c4"))
+          val (_, oc) = Incremental.outcomeOf(checkOf("av"), last)
+          assert(!oc.passed && oc.violations ==
+            corpus.filter(col("cat").isin("c3", "c4")).count())
+        case "pm" =>
+          // p2 and p3 fail ^p[01]$; the grouped frame carries row counts
+          assert(last.select("value").as[String].collect().toSet ==
+            Set("p2", "p3"))
+          val (_, oc) = Incremental.outcomeOf(checkOf("pm"), last)
+          assert(!oc.passed &&
+            oc.violations == corpus.filter(col("part").isin("p2", "p3")).count())
+        case "vr" =>
+          // v = i%40+p3's 50-99 spill over hi=30; below lo=0 is empty
+          val r = last.head()
+          assert(r.getAs[Long]("n_above") > 0 && r.getAs[Long]("n_below") == 0)
+          val (_, oc) = Incremental.outcomeOf(checkOf("vr"), last)
+          assert(!oc.passed &&
+            oc.violations == r.getAs[Long]("n_above"))
+        case "nr" =>
+          // designed nulls in props; the rate gate (100000e-5) passes
+          // while violations still report the null count
+          val (_, oc) = Incremental.outcomeOf(checkOf("nr"), last)
+          assert(oc.passed && oc.violations ==
+            corpus.filter(col("props").isNull).count())
         case _ => ()
       }
     }
+
+  test("uc: composite-key HLL fold — approx estimate within the Unique band of the exact distinct") {
+    val c = checkOf("uc")
+    val dir = Files.createTempDirectory("incr_uc").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(Incremental.update(spark, dir, c, b, s"batch$i").nonEmpty)
+    }
+    val v = Incremental.verdictsFromState(c,
+      spark.read.parquet(Incremental.statePath(spark, dir, c.name).get)).head()
+    val exact = graft.checks.ColumnChecks
+      .compositeUniqueStats(corpus, "t", Seq("id", "part")).head()
+    // (id, part) is unique by construction → exact distinct = cnt; the
+    // HLL estimate must clear the one-sided band, so the verdict passes
+    assert(v.getAs[Long]("cnt") == exact.getAs[Long]("cnt"))
+    assert(v.getAs[Boolean]("passed"),
+      s"approx ${v.getAs[Long]("approx_distinct")} vs cnt ${v.getAs[Long]("cnt")}")
+    val (_, oc) = Incremental.outcomeOf(c,
+      Incremental.verdictsFromState(c,
+        spark.read.parquet(Incremental.statePath(spark, dir, c.name).get)))
+    assert(oc.passed && oc.violations == 0L)
+    // and a designed-duplicate column pair definitely fails: (part, cat)
+    // has ~15 distinct tuples over 2000 rows — far below the band
+    val dup = UniqueComposite("c_uc2", "t", Seq("part", "cat"))
+    val dir2 = Files.createTempDirectory("incr_uc2").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(Incremental.update(spark, dir2, dup, b, s"batch$i").nonEmpty)
+    }
+    val v2 = Incremental.verdictsFromState(dup,
+      spark.read.parquet(Incremental.statePath(spark, dir2, dup.name).get))
+    assert(!v2.head().getAs[Boolean]("passed"))
+  }
 
   test("idempotence: re-applying an applied batch id is a no-op") {
     val c = checkOf("cat")
@@ -191,7 +270,9 @@ class IncrementalSpec extends SparkSpec {
       CategoricalDrift("ev_cat", "events", "cat", "part", 10000L),
       Freshness("ev_fresh", "events", "ts", "part", 3600L),
       Unique("ev_uid", "events", "id", strict = false),
-      UniqueComposite("not_incr", "events", Seq("id", "part"))), ckpt)
+      // a genuinely non-mergeable kind (per-key distinct sets):
+      // UniqueComposite graduated to HLL state, so it no longer skips
+      DistinctPerKey("not_incr", "events", "part", "id", 1L)), ckpt)
     batches.zipWithIndex.foreach { case (b, i) =>
       b.write.mode("overwrite").parquet(s"$data/events.parquet")
       val (verdicts, frames) = Incremental.run(spark, data, config, s"batch$i")

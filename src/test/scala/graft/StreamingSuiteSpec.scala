@@ -50,7 +50,17 @@ class StreamingSuiteSpec extends SparkSpec {
         Drift.topkStability(batch, "part", "cat", 3, 30000L),
       ClusteringCheck("s_clu", "events", "part", "v", 0L) ->
         Clustering.rangeOverlap(batch, col("part"),
-          Clustering.valueExpr(batch, "v"), 0L))
+          Clustering.valueExpr(batch, "v"), 0L),
+      NullRate("s_nr", "events", "props", 100000L) ->
+        graft.checks.ColumnChecks.nullRates(batch, "events", Seq("props")),
+      AcceptedValues("s_av", "events", "cat", Seq("c0", "c1", "c2"), 0L) ->
+        graft.checks.ColumnChecks.acceptedValuesViolations(
+          batch, "events", "cat", Seq("c0", "c1", "c2")),
+      PatternMatch("s_pm", "events", "part", "^p[01]$", 0L) ->
+        graft.checks.ColumnChecks.patternViolations(
+          batch, "events", "part", "^p[01]$"),
+      ValueRange("s_vr", "events", "v", 0.0, 30.0) ->
+        graft.checks.ColumnChecks.rangeStats(batch, "events", "v", 0.0, 30.0))
     cases.foreach { case (c, batchVerdicts) =>
       val streamed = StreamingSuite.checkVerdicts(spark, dir, c,
         maxFilesPerTrigger = 1)
@@ -69,6 +79,14 @@ class StreamingSuiteSpec extends SparkSpec {
     val cDup = Unique("s_ucat", "events", "cat", strict = false)
     val dv = StreamingSuite.checkVerdicts(spark, dir, cDup).collect()(0)
     assert(!dv.getAs[Boolean]("passed")) // 7 values over 1000 rows: definite
+    // composite-key HLL streams the same way: (id, part) unique passes,
+    // (cat, part) — 28 tuples over 1000 rows — definitely fails
+    val cc = UniqueComposite("s_ucomp", "events", Seq("id", "part"))
+    assert(StreamingSuite.checkVerdicts(spark, dir, cc).collect()(0)
+      .getAs[Boolean]("passed"))
+    val cd = UniqueComposite("s_ucomp2", "events", Seq("cat", "part"))
+    assert(!StreamingSuite.checkVerdicts(spark, dir, cd).collect()(0)
+      .getAs[Boolean]("passed"))
   }
 
   test("append-mode watermarked windows: closed windows match batch, newest stays pending") {
