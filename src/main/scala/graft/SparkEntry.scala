@@ -1651,6 +1651,52 @@ object SparkEntry {
       folded("u_id", "doc_id").unionAll(folded("u_lang", "lang"))
     }),
 
+    // the column-contract monoids through the SAME 3-way fold: null-rate
+    // counts, per-offender-value counts (accepted/pattern), range counts,
+    // and composite-key HLL uniqueness (verdict-only like q_incr_unique —
+    // the oracle rederives passed from exact distincts via the same band,
+    // on columns designed to sit far from the band's boundary). Rows are
+    // normalized to (check, k, a, b, c) so six heterogeneous verdict
+    // shapes union into one oracle-comparable frame.
+    "q_incr_contracts" -> ((s, dir) => {
+      import graft.pipeline.ValidationSuite._
+      def folded(c: Check, df: org.apache.spark.sql.DataFrame,
+                 keyCol: String) = {
+        val state = (0 until 3).map(i =>
+            Incremental.stateOf(c, df.filter(pmod(col(keyCol), lit(3)) === i)))
+          .reduce((a, b) => Incremental.mergeState(c, a, b))
+        Incremental.verdictsFromState(c, state)
+      }
+      val ev = Tables.load(s, dir, "events")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val nr = folded(NullRate("nr", "events", "props", 50000L), ev, "event_id")
+        .select(lit("null_rate").as("check"), col("col").as("k"),
+          col("cnt").as("a"), col("n_nulls").as("b"),
+          col("null_rate_e5").as("c"))
+      val av = folded(AcceptedValues("av", "orders", "o_orderstatus",
+          Seq("O", "F"), 0L), ord, "o_orderkey")
+        .select(lit("accepted_values").as("check"), col("value").as("k"),
+          col("n").as("a"), lit(0L).as("b"), lit(0L).as("c"))
+      val pm = folded(PatternMatch("pm", "orders", "o_orderpriority",
+          "^[1-3]-", 0L), ord, "o_orderkey")
+        .select(lit("pattern_match").as("check"), col("value").as("k"),
+          col("n").as("a"), lit(0L).as("b"), lit(0L).as("c"))
+      val vr = folded(ValueRange("vr", "lineitem", "l_discount", 0.0, 0.05),
+          li, "l_orderkey")
+        .select(lit("value_range").as("check"), col("col").as("k"),
+          col("n_below").as("a"), col("n_above").as("b"),
+          col("n_null").as("c"))
+      def uc(cols: Seq[String]) =
+        folded(UniqueComposite("uc", "orders", cols), ord, "o_orderkey")
+          .select(lit("unique_composite").as("check"), col("cols").as("k"),
+            col("cnt").as("a"),
+            when(col("passed"), 1L).otherwise(0L).as("b"), lit(0L).as("c"))
+      nr.unionAll(av).unionAll(pm).unionAll(vr)
+        .unionAll(uc(Seq("o_orderkey", "o_custkey")))
+        .unionAll(uc(Seq("o_orderstatus", "o_orderpriority")))
+    }),
+
     // incremental freshness: per-partition epoch maxima folded across the
     // same 3-way split (max-monoid state), re-derived lag verdicts
     "q_incr_freshness" -> ((s, dir) => {
@@ -1892,6 +1938,53 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"),
     "q_incr_freshness" -> freshnessSql,
+
+    // column-contract monoids: fold == batch by the monoid property, so
+    // the oracle computes each contract single-pass; composite uniqueness
+    // rederives the banded verdict from EXACT distincts (same 5000e-5+8
+    // band as q_incr_unique — designed columns sit far from the boundary)
+    "q_incr_contracts" ->
+      """SELECT 'null_rate' AS "check", 'events.props' AS k,
+        |  CAST(count(*) AS BIGINT) AS a,
+        |  CAST(count(*) - count(props) AS BIGINT) AS b,
+        |  CASE WHEN count(*) = 0 THEN 0
+        |    ELSE ((count(*) - count(props)) * 100000) // count(*) END AS c
+        |FROM events
+        |UNION ALL
+        |SELECT 'accepted_values', o_orderstatus,
+        |  CAST(count(*) AS BIGINT), 0, 0
+        |FROM orders
+        |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'pattern_match', o_orderpriority,
+        |  CAST(count(*) AS BIGINT), 0, 0
+        |FROM orders
+        |WHERE o_orderpriority IS NOT NULL
+        |  AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'value_range', 'lineitem.l_discount',
+        |  CAST(SUM(CASE WHEN l_discount < 0.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_discount > 0.05::DOUBLE THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique_composite', 'orders(o_orderkey,o_custkey)',
+        |  CAST(count(*) AS BIGINT),
+        |  CASE WHEN count(DISTINCT (o_orderkey, o_custkey)) >=
+        |    greatest(count(*) - greatest((count(*) * 5000 + 99999) // 100000, 8), 0)
+        |    THEN 1 ELSE 0 END, 0
+        |FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'unique_composite', 'orders(o_orderstatus,o_orderpriority)',
+        |  CAST(count(*) AS BIGINT),
+        |  CASE WHEN count(DISTINCT (o_orderstatus, o_orderpriority)) >=
+        |    greatest(count(*) - greatest((count(*) * 5000 + 99999) // 100000, 8), 0)
+        |    THEN 1 ELSE 0 END, 0
+        |FROM orders
+        |WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL"""
+        .stripMargin,
 
     // windowed append-mode twins: closed windows = w_end <= max(ts) − 1 h
     // (the watermark); per-window TVD mirrors driftLangTvdSql keyed by
