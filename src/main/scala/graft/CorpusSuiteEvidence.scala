@@ -50,10 +50,11 @@ object CorpusSuiteEvidence {
       s"PARTITION_VERDICTS ${streamed.size}")
     require(streamed == batch, "streaming drift diverged from batch at 24M")
 
-    // content-hygiene evidence: the secret scan (4 regex detectors + 2
-    // entropy classes, one unpivot scan) and license classification over
-    // every corpus content — clean synthetic text, so the verdicts prove
-    // throughput, not hits
+    // content-hygiene evidence: the secret scan (10 detector families —
+    // 7 literal-guarded regexes, 2 native entropy classes, the Luhn
+    // credit-card gate — one unpivot scan) and license classification
+    // over every corpus content — clean synthetic text, so the verdicts
+    // prove throughput, not hits
     val corpus = spark.read.parquet(s"$dataDir/corpus.parquet")
     val n = corpus.count()
     val ids = Seq("repo", "path", "commit")

@@ -53,11 +53,13 @@ object Incremental {
   /** Checks with a mergeable state. The drift/freshness/balance families
     * keep per-partition COUNT/MAX monoids; `Unique` keeps an HLL sketch
     * (union IS the merge) with one-sided approx semantics — see
-    * `verdictsFromState`'s Unique case. Referential checks fold separately
-    * through Bloom state (`updateReferential` — definite-violation
-    * semantics); exact/composite uniqueness needs full-history distincts
-    * and schema checks are metadata-only — those stay on the full-run
-    * path. */
+    * `verdictsFromState`'s Unique case; composite-key uniqueness folds the
+    * same way over a to_json tuple encoding (both are APPROX in these
+    * modes: PASS tolerates the band, exact full run is the backstop).
+    * Referential checks fold separately through Bloom state
+    * (`updateReferential` — definite-violation semantics); schema checks
+    * are metadata-only and per-key distinct sets are not mergeable —
+    * those stay on the full-run path. */
   def supported(c: Check): Boolean = c match {
     case _: CategoricalDrift | _: KsDrift | _: Freshness |
          _: NullRateDrift | _: RowBalance | _: TopKStability |

@@ -186,8 +186,10 @@ object StreamingSuite {
         () // the Unit-returning Scala overload, not the Java VoidFunction2
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: a stateOf failure mid-trigger throws out of
+    // processAllAvailable, and an unstopped query leaks its handle and
+    // auto-created temp checkpoint in long-lived Verify/Bench JVMs
+    try q.processAllAvailable() finally q.stop()
     val finalState = Option(state.get()).getOrElse {
       // zero triggers (empty dir glob): derive the empty state frame with
       // the right schema from a 0-row batch read

@@ -163,8 +163,10 @@ object EventStream {
                       outputMode: String = "update"): DataFrame = {
     val q = streamed.writeStream
       .format("memory").queryName(queryName).outputMode(outputMode).start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: a mid-trigger failure throws out of
+    // processAllAvailable and an unstopped query leaks its handle (and
+    // temp checkpoint) in long-lived suite JVMs
+    try q.processAllAvailable() finally q.stop()
     streamed.sparkSession.table(queryName)
   }
 }

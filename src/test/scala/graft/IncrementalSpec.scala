@@ -85,11 +85,10 @@ class IncrementalSpec extends SparkSpec {
       graft.checks.ColumnChecks.patternViolations(corpus, t, c0, re)
     case ValueRange(_, t, c0, lo, hi) =>
       graft.checks.ColumnChecks.rangeStats(corpus, t, c0, lo, hi)
-    case UniqueComposite(_, t, cols) =>
-      // the incremental twin is APPROX (HLL): compare the banded verdict
-      // against the exact stats via the same one-sided rule, not
-      // row-equality — handled in the per-kind assertion below
-      graft.checks.ColumnChecks.compositeUniqueStats(corpus, t, cols)
+    // NO UniqueComposite case here ON PURPOSE: its incremental twin is
+    // APPROX (HLL), so it cannot ride this row-equality parity loop — the
+    // dedicated 'uc' test below compares the banded verdict against exact
+    // stats itself
     case other => fail(s"no batch twin for $other")
   }
 
