@@ -186,9 +186,30 @@ object Dedup {
   /** `winnow` BEFORE the per-doc distinct: (id, i, minh) — the window-min
     * fingerprint anchored at 0-based shingle position i. Span-level
     * consumers (`contaminatedSpans`) need the positions; `winnow` is the
-    * distinct projection. */
+    * distinct projection.
+    *
+    * Computed by the native [[graft.functions.WinnowFingerprints]]
+    * expression (one codegen'd pass per row), NOT the old
+    * posexplode/window pipeline: that pipeline shuffled one row per
+    * corpus CHARACTER through `Window.partitionBy(id)` before a single
+    * fingerprint existed — the engine's last data-proportional shuffle
+    * of non-payload rows — and its `transform(sequence(...))` lambda
+    * evaluated interpreted. Bit-equality with the old pipeline is
+    * pinned by WinnowExprSpec against [[winnowPositionsReference]]. */
   def winnowPositions(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, w: Int = 4): DataFrame = {
+                      k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFingerprints.of(
+          col(textCol), k, w, MinhashP)).as("f"))
+      .select(col("id"), col("f.i").as("i"), col("f.minh").as("minh"))
+
+  /** The ORIGINAL expression pipeline, kept ONLY as the equivalence
+    * oracle for the native expression (WinnowExprSpec compares the two
+    * row-for-row on random multibyte corpora) — do not call from
+    * production paths: it shuffles every shingle position. */
+  private[graft] def winnowPositionsReference(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val positional = docs
       .filter(length(col(textCol)) >= k + w - 1) // ≥ one full window

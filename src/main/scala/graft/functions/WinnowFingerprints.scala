@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass MOSS winnowing: per-document (i, minh) fingerprint
+  * rows computed INSIDE the row, replacing the expression pipeline
+  * `posexplode(transform(...substring...)) → md5/conv/pmod → window-min
+  * over a per-doc sort`. Two wins at 100 TB:
+  *
+  *  - the old pipeline SHUFFLES every shingle position (one row per
+  *    character of the corpus) through `Window.partitionBy(id)` before a
+  *    single fingerprint exists — winnowing was the engine's last
+  *    data-proportional shuffle of non-payload rows. This expression
+  *    emits the (already-windowed) fingerprints as an array; consumers
+  *    explode it narrowly and shuffle only the distinct (id, minh)
+  *    sliver they always shuffled.
+  *  - `transform(sequence(...))` evaluates INTERPRETED (a measured 6×
+  *    penalty for md5-bearing lambdas); the byte loop here is plain JVM
+  *    code behind a static call, inside whole-stage codegen.
+  *
+  * Output is BIT-IDENTICAL to the old pipeline (WinnowExprSpec pins the
+  * property on random multibyte strings): shingles are taken over CODE
+  * POINTS exactly like Spark's `substring` (boundaries precomputed in
+  * one pass over the UTF-8 bytes); the hash is the same
+  * `pmod(conv(substring(md5(sh),1,15),16,10), p)` — the first 15 hex
+  * chars of the MD5 are the top 60 bits of its first 8 bytes, so no hex
+  * string is ever materialized; windows shorter than w emit nothing
+  * (docs under k+w−1 code points yield an empty array, mirroring the
+  * old pre-filter). */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int, p: Long)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1 && p > 0,
+    s"WinnowFingerprints needs k,w >= 1 and p > 0, got (k=$k, w=$w, p=$p)")
+
+  override def dataType: DataType = WinnowFingerprints.OutType
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowFingerprints.fingerprints(s.asInstanceOf[UTF8String], k, w, p)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.fingerprints($c, $k, $w, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  val OutType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("minh", LongType, nullable = false))), containsNull = false)
+
+  private val Empty: ArrayData = new GenericArrayData(new Array[AnyRef](0))
+
+  /** Called from generated code. One pass: code-point starts → per-shingle
+    * MD5 over the byte slice → 60-bit prefix mod p → w-window minima. */
+  def fingerprints(s: UTF8String, k: Int, w: Int, p: Long): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // offsets of code-point starts (continuation bytes are 10xxxxxx)
+    var chars = 0
+    var i = 0
+    while (i < nBytes) { if ((bytes(i) & 0xC0) != 0x80) chars += 1; i += 1 }
+    if (chars < k + w - 1) return Empty
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = nBytes
+    // per-position shingle hashes
+    val n = chars - k + 1
+    val h = new Array[Long](n)
+    val md = MessageDigest.getInstance("MD5")
+    var pos = 0
+    while (pos < n) {
+      md.reset()
+      md.update(bytes, starts(pos), starts(pos + k) - starts(pos))
+      val d = md.digest()
+      // first 15 hex chars == top 60 bits of the first 8 bytes (>>> 4)
+      val top = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+      h(pos) = (top >>> 4) % p
+      pos += 1
+    }
+    // full w-windows only: min of h[i..i+w-1] for i in 0..n-w
+    val out = new Array[AnyRef](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      var m = h(i)
+      var j = i + 1
+      while (j < i + w) { if (h(j) < m) m = h(j); j += 1 }
+      val row = new GenericInternalRow(2)
+      row.setInt(0, i)
+      row.setLong(1, m)
+      out(i) = row
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Array of (i, minh) winnowing fingerprints of `c` — exact equivalent
+    * of the old posexplode/window pipeline, computed within the row. */
+  def of(c: Column, k: Int, w: Int, p: Long): Column =
+    GraftExpressionBridge.column(WinnowFingerprintsExpr(
+      GraftExpressionBridge.expression(c), k, w, p))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** The native WinnowFingerprints expression must be BIT-IDENTICAL to the
+  * original posexplode/window pipeline — that equivalence is what lets
+  * every winnow consumer (clone detection, decontamination, the
+  * q_winnow_fingerprints oracle) drop the per-character shuffle without
+  * touching a single oracle. */
+class WinnowExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  private def compare(texts: Seq[String], k: Int, w: Int): Unit = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(rows(Dedup.winnowPositions(df, "doc_id", "text", k, w)) ==
+      rows(Dedup.winnowPositionsReference(df, "doc_id", "text", k, w)))
+  }
+
+  test("random multibyte corpora: native == expression pipeline (default k=8,w=4)") {
+    val rnd = new scala.util.Random(44)
+    val alphabet = "abcdefgh ._-éλ中😀" // incl. an astral emoji
+    val texts = Seq.tabulate(200) { _ =>
+      val n = rnd.nextInt(120)
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    compare(texts, 8, 4)
+  }
+
+  test("boundary lengths: below/at/above the k+w-1 minimum, and tiny k/w") {
+    // k=8,w=4 → min 11 code points; 10 yields nothing, 11 exactly one row
+    val texts = Seq("", "ab", "a" * 10, "a" * 11, "abcdefghijk",
+      "abcdefghijkl", "é" * 11, "x" * 200)
+    compare(texts, 8, 4)
+    compare(texts, 2, 2)
+    compare(texts, 3, 1) // w=1: every position is its own window
+  }
+
+  test("shared substring of length k+w-1 shares a fingerprint (the MOSS guarantee)") {
+    val core = "SHAREDsubstringXY" // 17 chars ≥ 8+4-1
+    val df = Seq((1L, s"aaa $core bbb"), (2L, s"zzz1 $core qq2"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnow(df, "doc_id", "text")
+    val shared = fp.groupBy("minh").agg(countDistinct("id").as("d"))
+      .filter(col("d") === 2)
+    assert(shared.count() >= 1)
+  }
+}
