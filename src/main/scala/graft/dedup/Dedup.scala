@@ -124,11 +124,33 @@ object Dedup {
   def minhashA(j: Int): Long = (j * 1000003L + 17L) % MinhashP
   def minhashB(j: Int): Long = (j * 7919L + 1L) % MinhashP
 
-  /** Signatures via explode + min-aggregates (codegen'd, map-side partial
-    * agg — higher-order-function expressions evaluate interpreted and were
-    * 6× slower). This is the scale path and the exact shape of the oracle. */
+  /** Signatures via explode + min-aggregates (map-side partial agg — the
+    * exchange moves ONE partially-minimized row per doc per partition,
+    * never shingle rows). Shingle hashes come from the native
+    * [[graft.functions.WinnowFingerprints.shingleHashesCol]] pass: the
+    * old `shingles()` HOF evaluated interpreted and materialized a
+    * distinct string array per doc, but every min-agg is duplicate-
+    * immune, so per-position hashes suffice — bit-equal signatures
+    * (MinhashSpec pins equality against [[minhashSignatureReference]]).
+    * This is the scale path and the exact shape of the oracle. */
   def minhashSignatureExploded(docs: DataFrame, idCol: String, textCol: String,
                                k: Int, numHashes: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowFingerprints.shingleHashesCol(
+        col(textCol), k, MinhashP)).as("x"))
+    val aggs = (1 to numHashes).map { j =>
+      min(pmod(lit(minhashA(j)) * col("x") + lit(minhashB(j)), lit(MinhashP)))
+        .as(s"h$j")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The ORIGINAL HOF shingle pipeline, kept ONLY as the equivalence
+    * oracle for the native shingle-hash pass (MinhashSpec) — do not call
+    * from production paths. */
+  private[graft] def minhashSignatureReference(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
     val exploded = docs
       .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("id"),

@@ -62,16 +62,17 @@ object WinnowFingerprints {
 
   private val Empty: ArrayData = new GenericArrayData(new Array[AnyRef](0))
 
-  /** Called from generated code. One pass: code-point starts → per-shingle
-    * MD5 over the byte slice → 60-bit prefix mod p → w-window minima. */
-  def fingerprints(s: UTF8String, k: Int, w: Int, p: Long): ArrayData = {
-    val bytes = s.getBytes
+  /** Per-position k-shingle hashes over code points — `null` when the doc
+    * has fewer than k code points. The shared core of both expressions:
+    * MD5 over each shingle's byte slice, 60-bit prefix (== the first 15
+    * hex chars of the digest) mod p. */
+  private def positionHashes(bytes: Array[Byte], k: Int, p: Long): Array[Long] = {
     val nBytes = bytes.length
     // offsets of code-point starts (continuation bytes are 10xxxxxx)
     var chars = 0
     var i = 0
     while (i < nBytes) { if ((bytes(i) & 0xC0) != 0x80) chars += 1; i += 1 }
-    if (chars < k + w - 1) return Empty
+    if (chars < k) return null
     val starts = new Array[Int](chars + 1)
     var c = 0
     i = 0
@@ -80,7 +81,6 @@ object WinnowFingerprints {
       i += 1
     }
     starts(chars) = nBytes
-    // per-position shingle hashes
     val n = chars - k + 1
     val h = new Array[Long](n)
     val md = MessageDigest.getInstance("MD5")
@@ -97,9 +97,18 @@ object WinnowFingerprints {
       h(pos) = (top >>> 4) % p
       pos += 1
     }
+    h
+  }
+
+  /** Called from generated code. One pass: code-point starts → per-shingle
+    * MD5 over the byte slice → 60-bit prefix mod p → w-window minima. */
+  def fingerprints(s: UTF8String, k: Int, w: Int, p: Long): ArrayData = {
+    val h = positionHashes(s.getBytes, k, p)
+    if (h == null || h.length < w) return Empty
+    val n = h.length
     // full w-windows only: min of h[i..i+w-1] for i in 0..n-w
     val out = new Array[AnyRef](n - w + 1)
-    i = 0
+    var i = 0
     while (i <= n - w) {
       var m = h(i)
       var j = i + 1
@@ -113,9 +122,57 @@ object WinnowFingerprints {
     new GenericArrayData(out)
   }
 
+  /** Called from generated code: all per-position shingle hashes (NOT
+    * distinct — every consumer is a min/set aggregate immune to
+    * duplicates, and dropping the dedup keeps the pass allocation-free
+    * beyond the output array). Empty for docs under k code points —
+    * mirroring the pipelines' `length(text) >= k` filter. */
+  def shingleHashes(s: UTF8String, k: Int, p: Long): ArrayData = {
+    val h = positionHashes(s.getBytes, k, p)
+    if (h == null) Empty
+    else {
+      val out = new Array[AnyRef](h.length)
+      var i = 0
+      while (i < h.length) { out(i) = java.lang.Long.valueOf(h(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Array of (i, minh) winnowing fingerprints of `c` — exact equivalent
     * of the old posexplode/window pipeline, computed within the row. */
   def of(c: Column, k: Int, w: Int, p: Long): Column =
     GraftExpressionBridge.column(WinnowFingerprintsExpr(
       GraftExpressionBridge.expression(c), k, w, p))
+
+  /** Array of per-position k-shingle hashes of `c` (see
+    * [[shingleHashes]]). */
+  def shingleHashesCol(c: Column, k: Int, p: Long): Column =
+    GraftExpressionBridge.column(ShingleHashesExpr(
+      GraftExpressionBridge.expression(c), k, p))
+}
+
+/** The no-window sibling of [[WinnowFingerprintsExpr]]: all per-position
+  * shingle hashes as array<long>, for min-aggregate consumers (MinHash
+  * signatures) whose results are duplicate-immune — replaces the
+  * interpreted `transform(sequence(...substring...))` + `array_distinct`
+  * + per-row string-array materialization of the old shingle pipeline. */
+case class ShingleHashesExpr(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+
+  require(k >= 1 && p > 0,
+    s"ShingleHashes needs k >= 1 and p > 0, got (k=$k, p=$p)")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowFingerprints.shingleHashes(s.asInstanceOf[UTF8String], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.shingleHashes($c, $k, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -41,6 +41,22 @@ class WinnowExprSpec extends SparkSpec {
     compare(texts, 3, 1) // w=1: every position is its own window
   }
 
+  test("minhash signatures: native shingle-hash pass == HOF reference (random multibyte)") {
+    // duplicate shingles are immune under min-aggs, so the native pass
+    // skips the reference's array_distinct — the SIGNATURES must still be
+    // bit-equal (referenced by Dedup.minhashSignatureExploded's doc)
+    val rnd = new scala.util.Random(45)
+    val alphabet = "abcde fgh._é中"
+    val texts = Seq.tabulate(150) { _ =>
+      val n = rnd.nextInt(100)
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "abcdefg", "abcdefgh", "aaaaaaaaaaaaaaaa") // dup-heavy run
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(rows(Dedup.minhashSignatureExploded(df, "doc_id", "text", 8, 16)) ==
+      rows(Dedup.minhashSignatureReference(df, "doc_id", "text", 8, 16)))
+  }
+
   test("shared substring of length k+w-1 shares a fingerprint (the MOSS guarantee)") {
     val core = "SHAREDsubstringXY" // 17 chars ≥ 8+4-1
     val df = Seq((1L, s"aaa $core bbb"), (2L, s"zzz1 $core qq2"))
