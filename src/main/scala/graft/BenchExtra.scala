@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round profiling harness (guide §1.4): isolates the stages
+  * of the most expensive queries with the noop sink so the computation is
+  * timed, not the sink or the driver-side collect. NOT part of the frozen
+  * driver contract (Bench.scala is the measured bench); numbers from here
+  * feed OPTIMIZATION_r06.md only.
+  *
+  * Usage: SPARK_GRAFT_EXTRA=clone,nary,... sbt "runMain graft.BenchExtra"
+  */
+object BenchExtra {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_EXTRA").map(_.split(',').toSet)
+    def on(k: String) = only.forall(_.contains(k))
+
+    def time(name: String)(f: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      f
+      println(f"EXTRA $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (on("clone")) {
+      import graft.corpus.Corpus
+      import graft.dedup.Dedup
+      val base = Corpus.generate(spark, 5000L)
+      val forks = Corpus.generate(spark, 50L)
+        .withColumn("repo", concat(lit("fork/"), col("repo")))
+      val files = base.unionAll(forks).select(
+        concat_ws("|", col("repo"), col("path"), col("commit")).as("file_id"),
+        col("repo"), col("content"))
+      time("clone: corpus generate+concat")(noop(files))
+      var fp: DataFrame = null
+      time("clone: winnow(files)") {
+        fp = Dedup.winnow(files, "file_id", "content").localCheckpoint()
+      }
+      println(s"EXTRA clone: fp rows = ${fp.count()}")
+      var banded: DataFrame = null
+      time("clone: df-filter + semi-join band") {
+        val rareMinh = fp.groupBy("minh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select("minh")
+        banded = fp.join(rareMinh, Seq("minh"), "left_semi")
+          .select(col("id"), col("minh").as("band")).localCheckpoint()
+      }
+      println(s"EXTRA clone: banded rows = ${banded.count()}")
+      var cand: DataFrame = null
+      time("clone: cappedBandPairs") {
+        cand = Dedup.cappedBandPairs(banded, allPairsMax = 64,
+          label = "bx").localCheckpoint()
+      }
+      println(s"EXTRA clone: cand rows = ${cand.count()}")
+      // sub-steps of cappedBandPairs
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        var sized: DataFrame = null
+        time("clone: cbp.sized window") {
+          sized = banded
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("band")))
+            .localCheckpoint()
+        }
+        time("clone: cbp.over agg") {
+          sized.filter(col("n") > 64)
+            .agg(count_distinct(col("band")).as("buckets"),
+              coalesce(sum(lit(1)), lit(0L)).as("docs")).head(): Unit
+        }
+        var sp: DataFrame = null
+        time("clone: cbp.smallPairs join") {
+          val small = sized.filter(col("n") <= 64).select("id", "band")
+          sp = small.as("x").join(small.as("y"),
+              col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+            .select(col("x.id").as("a"), col("y.id").as("b"))
+            .localCheckpoint()
+        }
+        println(s"EXTRA clone: smallPairs rows = ${sp.count()}")
+        time("clone: cbp.dropDuplicates") {
+          noop(sp.dropDuplicates("a", "b"))
+        }
+      }
+      var crossGrp: DataFrame = null
+      time("clone: group filter") {
+        val grp = files.select(col("file_id").as("id"), col("repo").as("grp"))
+          .dropDuplicates("id")
+        crossGrp = cand
+          .join(grp.select(col("id").as("a"), col("grp").as("grp_a")), Seq("a"))
+          .join(grp.select(col("id").as("b"), col("grp").as("grp_b")), Seq("b"))
+          .filter(col("grp_a").isNull || col("grp_b").isNull ||
+            col("grp_a") =!= col("grp_b"))
+          .localCheckpoint()
+      }
+      println(s"EXTRA clone: crossGrp rows = ${crossGrp.count()}")
+      time("clone: verify (sets + intersect)") {
+        val ids = crossGrp.select(col("a").as("id"))
+          .unionAll(crossGrp.select(col("b").as("id"))).dropDuplicates("id")
+        val sets = fp.join(ids, Seq("id"), "left_semi")
+          .groupBy("id").agg(collect_set(col("minh")).as("fps"),
+            count(lit(1)).as("nf"))
+        noop(crossGrp
+          .join(sets.select(col("id").as("a"), col("fps").as("fpa"),
+            col("nf").as("n_a")), Seq("a"))
+          .join(sets.select(col("id").as("b"), col("fps").as("fpb"),
+            col("nf").as("n_b")), Seq("b"))
+          .select(col("a"), col("b"), col("grp_a"), col("grp_b"),
+            size(array_intersect(col("fpa"), col("fpb"))).cast("long")
+              .as("shared"),
+            col("n_a"), col("n_b"))
+          .withColumn("containment_e5",
+            floor(col("shared") * 100000.0 / least(col("n_a"), col("n_b")))
+              .cast("long"))
+          .filter(col("containment_e5") >= lit(80000L)))
+      }
+      time("clone: full crossGroupClones") {
+        noop(Dedup.crossGroupClones(files, "file_id", "repo", "content"))
+      }
+    }
+
+    if (on("nary")) {
+      import graft.ind.{IndValidator, Pruning}
+      val distinctLong = Tables.distinctLongForm(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("nary: distinctLong materialize")(noop(distinctLong))
+      var verdicts: DataFrame = null
+      time("nary: unary verdicts") {
+        verdicts = IndValidator.verdicts(distinctLong, 0L).cache()
+        noop(verdicts)
+      }
+      val unary = verdicts
+        .filter(col("missing") === 0).select("dep", "ref")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      var level = unary.map(u => (Seq(u._1), Seq(u._2)))
+      var arity = 2
+      val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
+      def cachedTable(t: String): DataFrame = tableCache.getOrElseUpdate(t,
+        Tables.load(spark, sfDir, t)
+          .select(Tables.indColumns(t).map(col): _*)
+          .localCheckpoint())
+      while (level.nonEmpty && arity <= 6) {
+        val cands = Pruning.naryCandidatesLevel(level, unary)
+        println(s"EXTRA nary: arity $arity candidates = ${cands.size}")
+        if (cands.isEmpty) { level = Nil }
+        else {
+          var v: DataFrame = null
+          time(s"nary: validate level $arity (${cands.size})") {
+            v = IndValidator.validateNaryBatch(spark, sfDir, cands,
+              Some(cachedTable)).localCheckpoint()
+          }
+          level = v.filter(col("passed")).select("dep", "ref").collect()
+            .map(r => (r.getString(0).split('+').toSeq,
+                       r.getString(1).split('+').toSeq)).toSeq
+        }
+        arity += 1
+      }
+    }
+
+    if (on("lsh")) {
+      import graft.dedup.Dedup
+      val docs = Tables.load(spark, sfDir, "documents")
+      var sig: DataFrame = null
+      time("lsh: minhash signatures") {
+        sig = Dedup.minhashSignatureExploded(docs, "doc_id", "text", 8, 16)
+          .localCheckpoint()
+      }
+      println(s"EXTRA lsh: sig rows = ${sig.count()}")
+      var pairs: DataFrame = null
+      time("lsh: banding + cappedBandPairs") {
+        val banded = (0 until 4).map { b =>
+          val cols = (1 to 4).map(r => col(s"h${b * 4 + r}").cast("string"))
+          sig.select(col("id"), concat_ws(",", lit(s"b$b") +: cols: _*).as("band"))
+        }.reduce(_ unionAll _)
+        pairs = Dedup.cappedBandPairs(banded, label = "lshx").localCheckpoint()
+      }
+      println(s"EXTRA lsh: pairs = ${pairs.count()}")
+      time("lsh: connectedComponents") {
+        noop(Dedup.connectedComponents(pairs))
+      }
+    }
+
+    if (on("winnow")) {
+      import graft.dedup.Dedup
+      val docs = Tables.load(spark, sfDir, "documents")
+      var pos: DataFrame = null
+      time("winnow: positions") {
+        pos = Dedup.winnowPositions(docs, "doc_id", "text").localCheckpoint()
+      }
+      println(s"EXTRA winnow: pos rows = ${pos.count()}")
+      time("winnow: distinct (id,minh)") {
+        noop(pos.select("id", "minh").distinct())
+      }
+      time("winnow: spans pipeline") {
+        noop(Dedup.contaminatedSpans(docs,
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text"))
+      }
+    }
+
+    if (on("experiment")) {
+      time("experiment: full run") {
+        val r = graft.pipeline.Experiment.run(spark, sfDir,
+          budgets = Seq(500L, 5000L))
+        noop(r.evalPerRun)
+      }
+    }
+
+    if (on("profile")) {
+      time("profile: profileAll") {
+        noop(Profiling.profile(spark, sfDir))
+      }
+    }
+
+    if (on("confusion")) {
+      val dl = Tables.distinctLongForm(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("confusion: longFormAll scan")(noop(Tables.longFormAll(spark, sfDir)))
+      time("confusion: distinctLong materialize")(noop(dl))
+      var v: DataFrame = null
+      time("confusion: verdicts") {
+        v = graft.ind.IndValidator.verdicts(dl, 0L).cache()
+        noop(v)
+      }
+      time("confusion: compareUnary") {
+        noop(graft.eval.Evaluation.compareUnary(
+          v.filter(col("missing") <= 50).select("dep", "ref", "missing"),
+          v.filter(col("missing") === 0).select("dep", "ref")))
+      }
+    }
+
+    spark.stop()
+  }
+
+  private object Profiling {
+    def profile(spark: SparkSession, sfDir: String): DataFrame =
+      graft.profiling.Profiler.profileAll(spark, sfDir)
+  }
+}

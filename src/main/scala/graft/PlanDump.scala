@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `.explain("formatted")` for named queries to files — the
+  * before/after plan evidence for optimization rounds (plans/r06). Not part
+  * of the frozen driver contract.
+  *
+  * Usage: sbt "runMain graft.PlanDump <outDir> <suffix> <q1,q2,...>"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(',').toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+            println(s"PLAN $n -> $outDir/${n}_$suffix.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"PLAN $n FAILED: ${e.getMessage}")
+          }
+        case None => System.err.println(s"PLAN $n: no such query")
+      }
+    }
+    spark.stop()
+  }
+}

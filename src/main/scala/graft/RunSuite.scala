@@ -68,9 +68,11 @@ object RunSuite {
     * families) fold exactly; referential checks fold through Bloom state
     * with definite-violation semantics (Incremental.updateReferential);
     * uniqueness folds through HLL sketch state with one-sided approx
-    * semantics (FAIL definite, PASS within the error band); composite
-    * uniqueness and schema checks stay on the full-run path and print as
-    * SKIP. */
+    * semantics (FAIL definite, PASS within the error band), and composite
+    * uniqueness folds the same way over its to_json tuple encoding
+    * (UniqueComposite is in Incremental.supported — exercised by
+    * q_incr_contracts); only schema/exact-distinct checks remain
+    * full-run-only and print as SKIP. */
   def runIncremental(spark: SparkSession, deltaDir: String, ckptDir: String,
                      batchId: String, configJson: Option[String] = None): Int = {
     val (verdicts, _) = Incremental.run(spark, deltaDir,

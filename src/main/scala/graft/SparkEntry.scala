@@ -786,6 +786,20 @@ object SparkEntry {
           distinctLong = Some(cachedDistinctLong(s, dir))).cache())
     }
 
+  /** One ranked long form for ALL fixed-budget oracle-method pipelines:
+    * every method's per-column ranks capped at the shared max budget (200).
+    * fixedBudgetPerRunCached consumes all five methods and
+    * fixedBudgetRunCached the smallest-value slice — previously the latter
+    * re-ran its own full-column window pass for ranks this frame already
+    * holds (cappedRank's order is identical to its window). */
+  private val rankedOracleCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedOracleRanks(s: SparkSession, dir: String): DataFrame =
+    rankedOracleCache.synchronized {
+      rankedOracleCache.getOrElseUpdate(dir,
+        Experiment.rankedAll(
+          cachedDistinctLong(s, dir).select("col", "val"), oracleMethods, 200L))
+    }
+
   /** The fixed-budget sampled run feeds three queries (eval, credibility,
     * top-k) — memoized per dir with its frames checkpointed so the sampling +
     * verdict + baseline pipeline runs ONCE per suite, not three times. */
@@ -796,7 +810,9 @@ object SparkEntry {
       fbrCache.getOrElseUpdate(dir, {
         val (v, e, c) = Experiment.fixedBudgetRun(s, cachedDistinctLong(s, dir), 200, 25L,
           baselineInds = Some(cachedVerdicts(s, dir)
-            .filter(col("missing") === 0).select("dep", "ref")))
+            .filter(col("missing") === 0).select("dep", "ref")),
+          rankedSmallest = Some(cachedOracleRanks(s, dir)
+            .filter(col("method") === "smallest-value")))
         (v.localCheckpoint(), e.localCheckpoint(), c.localCheckpoint())
       })
     }
@@ -810,7 +826,8 @@ object SparkEntry {
       fbmCache.getOrElseUpdate(dir,
         Experiment.fixedBudgetPerRun(s, cachedDistinctLong(s, dir),
           cachedVerdicts(s, dir).filter(col("missing") === 0).select("dep", "ref"),
-          oracleMethods, Seq(100L, 200L), k = 25L).localCheckpoint())
+          oracleMethods, Seq(100L, 200L), k = 25L,
+          rankedAllDf = Some(cachedOracleRanks(s, dir))).localCheckpoint())
     }
 
   /** MinHash-LSH candidate pairs over documents — shared by the LSH,
@@ -823,16 +840,63 @@ object SparkEntry {
           .localCheckpoint())
     }
 
-  /** Corpus winnowing fingerprints — one positional explode per dir;
-    * q_winnow_fingerprints emits it and q_decontam's both sides reuse it
-    * (winnow is per-doc independent, so a blocklist that is a doc subset
-    * is exactly a fingerprint-frame filter). */
+  /** Corpus winnowing fingerprints — ONE native winnow pass per dir, kept
+    * in POSITIONAL form (id, i, minh): q_winnow_fingerprints and
+    * q_decontam's both sides consume its distinct projection, and
+    * q_decontam_spans consumes the positions directly (winnow is per-doc
+    * independent, so a blocklist that is a doc subset is exactly a
+    * fingerprint-frame filter — previously the span query re-winnowed the
+    * whole corpus a second time). */
+  private val winnowPosCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedWinnowPos(s: SparkSession, dir: String): DataFrame =
+    winnowPosCache.synchronized {
+      winnowPosCache.getOrElseUpdate(dir,
+        Dedup.winnowPositions(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint())
+    }
   private val winnowCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private def cachedWinnow(s: SparkSession, dir: String): DataFrame =
     winnowCache.synchronized {
       winnowCache.getOrElseUpdate(dir,
-        Dedup.winnow(Tables.load(s, dir, "documents"), "doc_id", "text")
+        cachedWinnowPos(s, dir).select("id", "minh").distinct()
           .localCheckpoint())
+    }
+
+  /** Synthetic corpus frames memoized per row count (and the defect twin):
+    * generation is a pure per-row expression pipeline, but its ~70
+    * md5-derived tokens per row are real compute the nine corpus queries
+    * each re-ran from scratch — materialize each variant ONCE per session
+    * (tiny frames: ≤ 20k rows of ≤ 1 KB docs). */
+  private val corpusCache = scala.collection.mutable.Map.empty[(Long, Boolean), DataFrame]
+  private def cachedCorpus(s: SparkSession, rows: Long,
+                           defects: Boolean = false): DataFrame =
+    corpusCache.synchronized {
+      corpusCache.getOrElseUpdate((rows, defects),
+        (if (defects) Corpus.withDefects(s, rows) else Corpus.generate(s, rows))
+          .localCheckpoint())
+    }
+
+  /** SimHash signature frame per dir — q_simhash_sig emits it and
+    * q_simhash_candidates bands it; previously each derived the full
+    * token-vote aggregation from scratch. */
+  private val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashCache.synchronized {
+      simhashCache.getOrElseUpdate(dir,
+        Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint())
+    }
+
+  /** Fixed-point embedding frame (id, iv, n) per dir — the shared input of
+    * the three ANN paths and the near-dup/quantization queries; the
+    * float→long conversion is the one interpreted HOF in the ANN module,
+    * so it should run once per suite, not once per query. */
+  private val intFrameCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cachedIntFrame(s: SparkSession, dir: String): DataFrame =
+    intFrameCache.synchronized {
+      intFrameCache.getOrElseUpdate(dir,
+        Similarity.intFrame(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", 64).localCheckpoint())
     }
 
   /** All-pairs verdict frame (missing counts) — computed once per dir; the
@@ -961,7 +1025,7 @@ object SparkEntry {
       val pairs = for {
         a <- fdCorpusCols; b <- fdCorpusCols if a != b
       } yield (a, b)
-      Fd.g3All(Corpus.generate(s, 20000L), pairs)
+      Fd.g3All(cachedCorpus(s, 20000L), pairs)
     }),
 
     // schema validation (north_rule "schema + constraint validation"):
@@ -1277,22 +1341,29 @@ object SparkEntry {
     // span-level decontamination evidence: the char ranges of each corpus
     // doc that leaked from the blocklist (marked positions within one
     // guarantee-length merge into maximal spans)
+    // both sides come off the shared positional winnow pass: the corpus
+    // side IS the cached positions, the blocklist side its doc-subset
+    // filter (winnow is per-doc independent)
     "q_decontam_spans" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.contaminatedSpans(docs,
-        docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text")
+      val pos = cachedWinnowPos(s, dir)
+      Dedup.contaminatedSpansFp(pos,
+        pos.filter(pmod(col("id"), lit(20)) === 0).select("id", "minh"))
     }),
 
     // cross-repo clone detection on the corpus: 50 planted forks (same
     // content, rewritten repo) must surface at containment 1e5; boilerplate
     // fingerprints (df > 64) are dropped before banding
     "q_clone_pairs" -> ((s, _) => {
-      val base = Corpus.generate(s, 5000L)
-      val forks = Corpus.generate(s, 50L)
+      val base = cachedCorpus(s, 5000L)
+      val forks = cachedCorpus(s, 50L)
         .withColumn("repo", concat(lit("fork/"), col("repo")))
+      // materialized once: crossGroupClones consumes `files` twice (winnow
+      // pass + group projection) and the corpus generation expressions are
+      // real compute
       val files = base.unionAll(forks).select(
         concat_ws("|", col("repo"), col("path"), col("commit")).as("file_id"),
         col("repo"), col("content"))
+        .localCheckpoint()
       Dedup.crossGroupClones(files, "file_id", "repo", "content")
     }),
 
@@ -1302,13 +1373,12 @@ object SparkEntry {
       Dedup.connectedComponents(cachedLshPairs(s, dir))),
 
     // SimHash signatures (64-bit, token-vote) — bit math ports exactly
-    "q_simhash_sig" -> ((s, dir) =>
-      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")),
+    "q_simhash_sig" -> ((s, dir) => cachedSimhash(s, dir)),
 
-    // SimHash near-dup candidates via 16-bit-band collision
+    // SimHash near-dup candidates via 16-bit-band collision (over the
+    // shared signature frame — the vote aggregation runs once per suite)
     "q_simhash_candidates" -> ((s, dir) =>
-      Dedup.simhashCandidates(
-        Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text"))),
+      Dedup.simhashCandidates(cachedSimhash(s, dir))),
 
     // gap-based sessionization, batch form (window-function twin of the
     // stateful streaming sessionizer; 30-minute gap)
@@ -1398,17 +1468,17 @@ object SparkEntry {
     // ANN: brute-force cosine top-5 for the first 10 vectors — 1e6-scaled
     // fixed-point integer dots (exact + order-free), oracle-checked
     "q_ann_brute" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      val e = cachedIntFrame(s, dir)
+      Similarity.bruteForceTopKInt(e.filter(col("id") < 10), e, 5)
     }),
 
     // ANN: sign-LSH bucketed top-5 (scale path #1; rows-only)
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 5)),
+      Similarity.lshTopKInt(cachedIntFrame(s, dir), 5)),
 
     // ANN: IVF coarse-quantizer top-5 (scale path #2; rows-only)
     "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 5)),
+      Similarity.ivfTopKInt(cachedIntFrame(s, dir), 5)),
 
     // event-time windowed aggregation (batch twin of the streaming pipeline)
     "q_events_window" -> ((s, dir) =>
@@ -1713,17 +1783,17 @@ object SparkEntry {
 
     // per-row sha256(content) — THE correctness invariant (input_hint)
     "q_corpus_fingerprints" -> ((s, _) =>
-      Corpus.fingerprints(Corpus.generate(s, 20000L))),
+      Corpus.fingerprints(cachedCorpus(s, 20000L))),
 
     // lang drift across commit partitions (designed shift in c008/c009)
     "q_corpus_drift" -> ((s, _) =>
-      Drift.categorical(Corpus.generate(s, 20000L), "commit", "lang",
+      Drift.categorical(cachedCorpus(s, 20000L), "commit", "lang",
         thresholdE5 = 15000L)),
 
     // referential: corpus.repo ⊆ repos dimension — run over the corpus with
     // DESIGNED defects (5 planted ghost repos) so the check provably fires
     "q_corpus_ref_check" -> ((s, _) => {
-      val c = Corpus.withDefects(s, 20000L)
+      val c = cachedCorpus(s, 20000L, defects = true)
       IndValidator.violations(c, "repo", Corpus.reposDim(s), "repo",
         expectedRef = 1000L)
     }),
@@ -1734,19 +1804,19 @@ object SparkEntry {
     // value would otherwise land every probe row on one reducer)
     "q_corpus_row_violations" -> ((s, _) =>
       IndValidator.rowViolations(
-        Corpus.withDefects(s, 20000L).select("repo", "path", "commit"),
+        cachedCorpus(s, 20000L, defects = true).select("repo", "path", "commit"),
         "repo", Corpus.reposDim(s), "repo", salts = 8)),
 
     // uniqueness of the (repo, path, commit) key — over the defect corpus
     // (20 planted duplicate rows), so the violation path is exercised
     "q_corpus_unique" -> ((s, _) =>
-      Corpus.withDefects(s, 20000L)
+      cachedCorpus(s, 20000L, defects = true)
         .groupBy("repo", "path", "commit").agg(count("*").as("n"))
         .filter(col("n") > 1)),
 
     // corpus profile: per (commit, lang) file counts + content length stats
     "q_corpus_profile" -> ((s, _) =>
-      Corpus.generate(s, 20000L)
+      cachedCorpus(s, 20000L)
         .groupBy("commit", "lang").agg(count("*").as("files"),
           min(length(col("content"))).as("min_len"),
           max(length(col("content"))).as("max_len"))),
@@ -1755,12 +1825,12 @@ object SparkEntry {
     // defect corpus → the duplicated ids flip their commits to passed=false
     "q_corpus_partition_verdicts" -> ((s, _) =>
       graft.checks.PartitionChecks.uniquePerPartition(
-        Corpus.withDefects(s, 20000L), "commit", "path")),
+        cachedCorpus(s, 20000L, defects = true), "commit", "path")),
 
     // cross-partition containment: repo sets across commit partitions
     "q_corpus_commit_containment" -> ((s, _) =>
       graft.checks.PartitionChecks.crossPartitionContainment(
-        Corpus.generate(s, 20000L), "commit", "repo", maxMissing = 5L)),
+        cachedCorpus(s, 20000L), "commit", "repo", maxMissing = 5L)),
 
     // cross-partition containment on testdata: user_id sets across
     // event_type partitions (all ordered partition pairs, two shuffles)
@@ -1796,8 +1866,7 @@ object SparkEntry {
     // under ids +1e6) so the check provably fires — a clean table's 0-row
     // result is indistinguishable from a broken pipeline. Oracle-checked.
     "q_emb_neardup" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val base = Similarity.intFrame(e, "vec_id", "embedding", 64)
+      val base = cachedIntFrame(s, dir)
       val planted = base.filter(col("id") < 10).select(
         (col("id") + 1000000L).as("id"),
         concat(array(lit(0L)), slice(col("iv"), 2, 63)).as("iv"),

@@ -87,10 +87,18 @@ object Similarity {
     * partitioning. */
   def bruteForceTopK(queries: DataFrame, base: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     dim: Int = 64): DataFrame = {
-    val q = broadcast(intFrame(queries, idCol, vecCol, dim)
+                     dim: Int = 64): DataFrame =
+    bruteForceTopKInt(intFrame(queries, idCol, vecCol, dim),
+      intFrame(base, idCol, vecCol, dim), k, dim)
+
+  /** `bruteForceTopK` over PRECOMPUTED `intFrame` frames (id, iv, n) — the
+    * form a suite holding a shared fixed-point frame calls, so the
+    * float→long conversion runs once per session, not once per consumer. */
+  def bruteForceTopKInt(queries: DataFrame, base: DataFrame, k: Int,
+                        dim: Int = 64): DataFrame = {
+    val q = broadcast(queries
       .select(col("id").as("qid"), col("iv").as("qv"), col("n").as("qn")))
-    val b = intFrame(base, idCol, vecCol, dim)
+    val b = base
       .select(col("id").as("nid"), col("iv").as("nv"), col("n").as("nn"))
     // project the arrays away BEFORE the rank window: the sort otherwise
     // shuffles two 64-long vectors per scored row (measured 13 s vs <1 s)
@@ -108,10 +116,15 @@ object Similarity {
     * only within buckets (recall traded for the keyed join; lower `planes`
     * for bigger buckets). */
   def lshTopK(base: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, planes: Int = 8, dim: Int = 64): DataFrame =
+    lshTopKInt(intFrame(base, idCol, vecCol, dim), k, planes, dim)
+
+  /** `lshTopK` over a PRECOMPUTED `intFrame` frame. */
+  def lshTopKInt(intBase: DataFrame, k: Int, planes: Int = 8,
+                 dim: Int = 64): DataFrame = {
     // materialize the bucketed frame ONCE before the self-join: both join
     // sides would otherwise recompute the signature pipeline
-    val b = intFrame(base, idCol, vecCol, dim)
+    val b = intBase
       .withColumn("bucket", signBucketInt(col("iv"), planes, dim))
       .localCheckpoint()
     // arrays projected away before the rank window (see bruteForceTopK)
@@ -137,8 +150,15 @@ object Similarity {
     * codegen sums too (fixed left-assoc order → run-deterministic). */
   def ivfTopK(base: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 1,
-              dim: Int = 64): DataFrame = {
-    val b = intFrame(base, idCol, vecCol, dim).localCheckpoint()
+              dim: Int = 64): DataFrame =
+    ivfTopKInt(intFrame(base, idCol, vecCol, dim), k, nlist, nprobe,
+      lloydIters, dim)
+
+  /** `ivfTopK` over a PRECOMPUTED `intFrame` frame. */
+  def ivfTopKInt(intBase: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 2, lloydIters: Int = 1,
+                 dim: Int = 64): DataFrame = {
+    val b = intBase.localCheckpoint()
 
     def dotD(a: Column, cv: Column): Column = ArrayDot.dotDouble(a, cv)
     def centroidCos(iv: Column, n: Column, cv: Column, cn: Column): Column =

@@ -391,8 +391,8 @@ object Dedup {
                     thresholdE5: Long = 50000L,
                     k: Int = 8, w: Int = 4): DataFrame =
     decontaminateFp(
-      // consumed twice (totals + match counts): pin the positional-explode
-      // pipeline rather than recompute it per consumer
+      // checkpointed because decontaminateFp consumes the corpus
+      // fingerprint frame twice (per-doc totals + match counts)
       winnow(corpus, idCol, textCol, k, w).localCheckpoint(),
       winnow(blocklist, idCol, textCol, k, w), thresholdE5)
 
@@ -410,13 +410,22 @@ object Dedup {
     * partition by doc and are bounded by doc length, never corpus size. */
   def contaminatedSpans(corpus: DataFrame, blocklist: DataFrame,
                         idCol: String, textCol: String,
-                        k: Int = 8, w: Int = 4): DataFrame = {
+                        k: Int = 8, w: Int = 4): DataFrame =
+    contaminatedSpansFp(
+      winnowPositions(corpus, idCol, textCol, k, w),
+      winnow(blocklist, idCol, textCol, k, w), k, w)
+
+  /** `contaminatedSpans` over PRECOMPUTED fingerprint frames — corpusPos is
+    * `winnowPositions`-shaped (id, i, minh), blockFp is `winnow`-shaped
+    * (id, minh) — the form a pipeline that already winnowed the corpus
+    * should call (the positional pass runs once per corpus, not once per
+    * consumer; the decontaminateFp pattern). */
+  def contaminatedSpansFp(corpusPos: DataFrame, blockFp: DataFrame,
+                          k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gap = k + w - 1
-    val marked = winnowPositions(corpus, idCol, textCol, k, w)
-      .join(broadcast(
-        winnow(blocklist, idCol, textCol, k, w).select("minh").distinct()),
-        Seq("minh"))
+    val marked = corpusPos
+      .join(broadcast(blockFp.select("minh").distinct()), Seq("minh"))
       .select(col("id"), col("i").cast("long").as("i"))
     val byDoc = Window.partitionBy("id").orderBy("i")
     marked
@@ -489,17 +498,24 @@ object Dedup {
       .filter(col("grp_a").isNull || col("grp_b").isNull ||
         col("grp_a") =!= col("grp_b"))
       .localCheckpoint()
-    // verify on full fingerprint sets of candidate files only
+    // verify on full fingerprint sets of candidate files only. The set
+    // frame is BROADCAST: one row per candidate FILE (bounded by the
+    // banding's emission, orders of magnitude below the pair count) — a
+    // sort-merge join here would shuffle every candidate PAIR twice with a
+    // fingerprint array attached (~1 KB/row; measured 19 s vs 3 s at the
+    // 1.2M-pair bench corpus), exactly the heavy-payload-through-the-
+    // exchange shape guide §2.3/§8 exists to kill.
     val ids = crossGrp.select(col("a").as("id"))
       .unionAll(crossGrp.select(col("b").as("id"))).dropDuplicates("id")
     val sets = fp.join(ids, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_set(col("minh")).as("fps"),
         count(lit(1)).as("nf"))
+      .localCheckpoint() // materialize ONCE; both broadcasts reuse the blocks
     crossGrp
-      .join(sets.select(col("id").as("a"), col("fps").as("fpa"),
-        col("nf").as("n_a")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("fps").as("fpb"),
-        col("nf").as("n_b")), Seq("b"))
+      .join(broadcast(sets.select(col("id").as("a"), col("fps").as("fpa"),
+        col("nf").as("n_a"))), Seq("a"))
+      .join(broadcast(sets.select(col("id").as("b"), col("fps").as("fpb"),
+        col("nf").as("n_b"))), Seq("b"))
       .select(col("a"), col("b"), col("grp_a"), col("grp_b"),
         size(array_intersect(col("fpa"), col("fpb"))).cast("long")
           .as("shared"),

@@ -36,8 +36,14 @@ import org.apache.spark.sql.types.StringType
   */
 object Fd {
 
-  /** NULL sentinel after string cast (U+0001, DuckDB `chr(1)`) — distinct
-    * from every real value; the escape keeps the source plain text. */
+  /** NULL sentinel after string cast (U+0001, DuckDB `chr(1)`); the escape
+    * keeps the source plain text. CAVEAT (applies to g3All/discover): a
+    * genuine value whose string cast IS U+0001 would be silently merged
+    * with NULL on both the det and dep side. Both engine and oracle share
+    * the encoding, so parity holds either way; the collision is accepted
+    * because control characters do not survive the registries' typed
+    * columns, mirroring the to_json tuple-encoding caveat in
+    * UniqueComposite. */
   private val NullSentinel = "\u0001"
 
   private def enc(c: String) =

