@@ -156,9 +156,53 @@ object BenchExtra {
         if (cands.isEmpty) { level = Nil }
         else {
           var v: DataFrame = null
-          time(s"nary: validate level $arity (${cands.size})") {
-            v = IndValidator.validateNaryBatch(spark, sfDir, cands,
-              Some(cachedTable)).localCheckpoint()
+          for (rep <- 1 to 2)
+            time(s"nary: validate level $arity (${cands.size}) rep$rep") {
+              v = IndValidator.validateNaryBatch(spark, sfDir, cands,
+                Some(cachedTable)).localCheckpoint()
+            }
+          // decomposition probe: explode-only cost vs grouped-shuffle cost
+          locally {
+            import org.apache.spark.sql.types.StringType
+            def comboId(cols: Seq[String]) = cols.mkString("+")
+            val combos = (cands.map(_._1) ++ cands.map(_._2)).distinct
+            val comboIdx: Map[String, Int] =
+              combos.map(comboId).sorted.zipWithIndex.toMap
+            def exploded = combos.groupBy(_.head.split('.')(0)).toSeq.sortBy(_._1)
+              .flatMap { case (table, group) =>
+                val df = cachedTable(table)
+                val names = group.flatMap(_.map(_.split('.')(1))).distinct
+                val pre = df.select(names.flatMap { n =>
+                  val vv = col(n).cast(StringType)
+                  Seq(xxhash64(vv).as(s"__h1_$n"),
+                    xxhash64(lit("graft-seed-2"), vv).as(s"__h2_$n"),
+                    col(n).isNotNull.as(s"__nn_$n"))
+                }: _*)
+                group.grouped(16).map { sub =>
+                  val entries = sub.map { cols =>
+                    val ns = cols.map(_.split('.')(1))
+                    val k1 = xxhash64(ns.map(n => col(s"__h1_$n")): _*)
+                    val k2 = xxhash64(lit("graft-seed-2") +: ns.map(n => col(s"__h2_$n")): _*)
+                    val nonNull = ns.map(n => col(s"__nn_$n")).reduce(_ && _)
+                    struct(lit(comboIdx(comboId(cols))).as("cid"),
+                      when(nonNull, k1).as("v1"), when(nonNull, k2).as("v2"))
+                  }
+                  pre.select(explode(array(entries: _*)).as("cv"))
+                    .select(col("cv.cid").as("cid"), col("cv.v1").as("v1"),
+                      col("cv.v2").as("v2"))
+                    .filter(col("v1").isNotNull)
+                }
+              }.reduce(_ unionAll _)
+            for (rep <- 1 to 2) {
+              time(s"nary: probe explode-only rep$rep")(noop(exploded))
+              time(s"nary: probe explode rowcount rep$rep") {
+                println(s"EXTRA nary: exploded rows = ${exploded.count()}")
+              }
+              time(s"nary: probe grouped sets rep$rep") {
+                noop(exploded.groupBy("v1", "v2")
+                  .agg(collect_set(col("cid")).as("cids")))
+              }
+            }
           }
           level = v.filter(col("passed")).select("dep", "ref").collect()
             .map(r => (r.getString(0).split('+').toSeq,

@@ -927,15 +927,24 @@ object SparkEntry {
         var level = unary.map(u => (Seq(u._1), Seq(u._2)))
         var out = empty
         var arity = 2
-        // one source scan per candidate-bearing table for the WHOLE lattice:
-        // each table's registered-column projection is localCheckpointed on
-        // first use and every later arity level reads the materialized
-        // blocks, never the parquet again
+        // bounded source scans per candidate-bearing table for the WHOLE
+        // lattice, with LAZY materialization: the first level reads the
+        // parquet directly (column-pruned scans — cheap), and a table is
+        // localCheckpointed only when a LATER level asks for it again, so
+        // deep lattices still do one materialized read per table per extra
+        // level while the common exhausts-at-arity-2 case never pays the
+        // checkpoint write at all (it was ~20% of q_eval_nary)
+        val seen = scala.collection.mutable.Set.empty[String]
         val tableCache = scala.collection.mutable.Map.empty[String, DataFrame]
-        def cachedTable(t: String): DataFrame = tableCache.getOrElseUpdate(t,
-          Tables.load(s, dir, t)
-            .select(Tables.indColumns(t).map(col): _*)
-            .localCheckpoint())
+        def cachedTable(t: String): DataFrame =
+          tableCache.get(t) match {
+            case Some(df) => df
+            case None =>
+              val proj = Tables.load(s, dir, t)
+                .select(Tables.indColumns(t).map(col): _*)
+              if (seen.add(t)) proj
+              else { val c = proj.localCheckpoint(); tableCache(t) = c; c }
+          }
         while (level.nonEmpty) {
           val cands = Pruning.naryCandidatesLevel(level, unary)
           // the engine lattice runs until exhaustion, but the DuckDB oracle
@@ -1138,11 +1147,12 @@ object SparkEntry {
         .filter(col("missing") === 0).select("dep", "ref")),
 
     // schema-matching similarity matrix: Jaccard + containments for every
-    // unordered column pair off the shared distinct long form (the same
-    // two-shuffle co-occurrence the IND verdicts ride)
+    // unordered column pair — a pure projection of the shared verdict
+    // frame (inter = dep_unique − missing), so the matrix costs no pass
+    // over the long form at all
     "q_col_similarity" -> ((s, dir) =>
-      graft.ind.IndValidator.columnSimilarity(
-        cachedDistinctLong(s, dir), minJaccardE5 = 5000L)),
+      graft.ind.IndValidator.columnSimilarityFromVerdicts(
+        cachedVerdicts(s, dir), minJaccardE5 = 5000L)),
 
     // snapshot row diff against a designed rewrite of orders: keys %97
     // vanish (removed), %89 get a price bump (changed), %101 come back

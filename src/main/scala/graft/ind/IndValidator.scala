@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.profiling.Profiler
 
 /** Partial / exact unary inclusion-dependency validation — the reference's
   * core operator J1, which it delegates to Metanome's PartialSPIDER
@@ -35,25 +34,40 @@ object IndValidator {
     * least one value, the number of shared distinct values.
     * Input: deduped long form (col, val).
     */
-  def coOccurrence(distinctLong: DataFrame): DataFrame = {
-    // group by a 128-bit key (two independently-seeded xxhash64 halves) of
-    // the value, not the value itself: the exchange moves 16 bytes instead
-    // of full strings (the input is already distinct per (col, val), so the
-    // hashes only key the shuffle). This is the EXACT baseline every
-    // confusion matrix and credibility ranking is scored against, so a
-    // single 64-bit hash (collision ~1e-6 at 10^7 values, near-certain at
-    // 10^10) is not enough: a cross-value collision would merge two
-    // attribute sets and report a false exact IND. At 128 bits the collision
-    // probability stays < 1e-18 even at 10^10 distinct values.
-    val sets = distinctLong.groupBy(
+  def coOccurrence(distinctLong: DataFrame): DataFrame =
+    coFromSets(valueSets(distinctLong))
+
+  /** Per distinct VALUE, the set of columns containing it — grouped by a
+    * 128-bit key (two independently-seeded xxhash64 halves) of the value,
+    * not the value itself: the exchange moves 16 bytes instead of full
+    * strings (the input is already distinct per (col, val), so the hashes
+    * only key the shuffle). This is the EXACT baseline every confusion
+    * matrix and credibility ranking is scored against, so a single 64-bit
+    * hash (collision ~1e-6 at 10^7 values, near-certain at 10^10) is not
+    * enough: a cross-value collision would merge two attribute sets and
+    * report a false exact IND. At 128 bits the collision probability stays
+    * < 1e-18 even at 10^10 distinct values. Checkpointed: callers read
+    * distinct counts AND co-occurrence pairs off the one grouped pass. */
+  private def valueSets(distinctLong: DataFrame): DataFrame =
+    distinctLong.groupBy(
         xxhash64(col("val")).as("h1"),
         xxhash64(lit("graft-seed-2"), col("val")).as("h2"))
       .agg(collect_set(col("col")).as("cols"))
+      .localCheckpoint()
+
+  private def coFromSets(sets: DataFrame): DataFrame =
+    sets
       .select(explode(col("cols")).as("dep"), col("cols"))
       .select(col("dep"), explode(col("cols")).as("ref"))
       .filter(col("dep") =!= col("ref"))
-    sets.groupBy("dep", "ref").agg(count("*").as("co"))
-  }
+      .groupBy("dep", "ref").agg(count("*").as("co"))
+
+  /** Distinct counts per column off the SAME grouped frame (each (col, val)
+    * contributes to exactly one set row) — collision-equivalent to counting
+    * the long form directly, under the identical 128-bit bound. */
+  private def uFromSets(sets: DataFrame): DataFrame =
+    sets.select(explode(col("cols")).as("col"))
+      .groupBy("col").agg(count("*").as("unique_count"))
 
   /** Verdicts for EVERY ordered column pair: (dep, ref, dep_unique, missing,
     * passed). `missing` = distinct dep values absent from ref;
@@ -65,10 +79,14 @@ object IndValidator {
     verdicts(distinctLong, maxMissing)
   }
 
-  /** Same, but over an arbitrary deduped long form (col, val). */
+  /** Same, but over an arbitrary deduped long form (col, val). Distinct
+    * counts and co-occurrence both derive from ONE value-keyed grouped
+    * pass (`valueSets`) — the long form is scanned and shuffled once, not
+    * once per statistic. */
   def verdicts(distinctLong: DataFrame, maxMissing: Long): DataFrame = {
-    val u = Profiler.exactDistinctCounts(distinctLong) // (col, uniqueCount) — tiny
-    val co = coOccurrence(distinctLong)                // (dep, ref, co)     — tiny
+    val sets = valueSets(distinctLong)
+    val u = uFromSets(sets)   // (col, unique_count) — tiny
+    val co = coFromSets(sets) // (dep, ref, co)      — tiny
     val pairs = u.select(col("col").as("dep"), col("unique_count").as("dep_unique"))
       .crossJoin(u.select(col("col").as("ref"), col("unique_count").as("ref_unique")))
       .filter(col("dep") =!= col("ref"))
@@ -89,8 +107,9 @@ object IndValidator {
     * everywhere else in the IND machinery. */
   def columnSimilarity(distinctLong: DataFrame,
                        minJaccardE5: Long): DataFrame = {
-    val u = Profiler.exactDistinctCounts(distinctLong)
-    val co = coOccurrence(distinctLong)
+    val sets = valueSets(distinctLong) // one grouped pass (see verdicts)
+    val u = uFromSets(sets)
+    val co = coFromSets(sets)
     val pairs = u.select(col("col").as("a"), col("unique_count").as("a_unique"))
       .crossJoin(u.select(col("col").as("b"), col("unique_count").as("b_unique")))
       .filter(col("a") < col("b"))
@@ -106,6 +125,25 @@ object IndValidator {
       .select("a", "b", "a_unique", "b_unique", "inter", "jaccard_e5",
         "cont_a_e5", "cont_b_e5", "related")
   }
+
+  /** `columnSimilarity` derived from an EXISTING all-pairs verdict frame
+    * (`verdicts` output, unfiltered): inter(a→b) = dep_unique − missing by
+    * definition, so a suite already holding the verdict frame gets the
+    * similarity matrix as a projection — no second pass over the long
+    * form. Row-identical to `columnSimilarity` over the same input. */
+  def columnSimilarityFromVerdicts(verdictFrame: DataFrame,
+                                   minJaccardE5: Long): DataFrame =
+    verdictFrame.filter(col("dep") < col("ref"))
+      .select(col("dep").as("a"), col("ref").as("b"),
+        col("dep_unique").as("a_unique"), col("ref_unique").as("b_unique"),
+        (col("dep_unique") - col("missing")).as("inter"))
+      .withColumn("jaccard_e5",
+        expr("(inter * 100000) div (a_unique + b_unique - inter)"))
+      .withColumn("cont_a_e5", expr("(inter * 100000) div a_unique"))
+      .withColumn("cont_b_e5", expr("(inter * 100000) div b_unique"))
+      .withColumn("related", col("jaccard_e5") >= minJaccardE5)
+      .select("a", "b", "a_unique", "b_unique", "inter", "jaccard_e5",
+        "cont_a_e5", "cont_b_e5", "related")
 
   /** Targeted single-pair partial-IND check with violation rows — the
     * referential-check form (north_star): returns the distinct dep values
@@ -178,68 +216,101 @@ object IndValidator {
     val tlf = combos.groupBy(_.head.split('.')(0)).toSeq.sortBy(_._1)
       .flatMap { case (table, group) =>
         val df = load(table)
-        // ≤ 4 combos per projection: ONE explode(array(all combos)) emits a
-        // generated method whose size grows with the combo count — past a
-        // handful of combos the per-row code blows through the JIT/codegen
-        // method budget and the projection evaluates at interpreted speed
-        // (measured 2× on the 31-combo arity-2 level at sf0.1: 12.6 s
-        // monolithic vs 6.3 s chunked, same rows out). Each chunk re-reads
-        // the caller-cached (localCheckpointed) table blocks, not parquet,
-        // so the one-scan-per-table property this batch form exists for is
-        // preserved in the only place it matters.
-        group.grouped(4).map { sub =>
+        // 128-bit tuple keys in TWO projections of one codegen stage:
+        //   1. per COLUMN, two independently-seeded xxhash64 halves over the
+        //      string cast (the cast normalizes physical types across
+        //      tables) — each column is cast + hashed ONCE per row, where
+        //      the previous shape re-cast and re-hashed it inside every
+        //      combo that mentions it (a column rides ~|cols| combos at
+        //      arity 2);
+        //   2. per COMBO, the key chains the per-column LONG halves
+        //      (chaining keeps ("ab","c") != ("a","bc")) — cheap fixed-width
+        //      hashing, so the explode(array(...)) method stays small
+        //      enough for the JIT (the string-cast-per-combo array blew
+        //      through the codegen method budget at ~30 combos and fell to
+        //      interpreted speed: measured 2× at the arity-2 level).
+        // Collision safety is unchanged: equal tuples ⇒ equal keys exactly;
+        // unequal keys need the SAME column position to collide in BOTH
+        // independently-seeded halves — < 1e-18 past 10^10 distinct tuples,
+        // the bound the exact-baseline verdict is designed to.
+        // ≤ 16 combos per chunk bounds the entry-array method size; chunks
+        // re-read the caller-cached (localCheckpointed) table blocks, not
+        // parquet, so the one-scan-per-table property is preserved where it
+        // matters.
+        val names = group.flatMap(_.map(_.split('.')(1))).distinct
+        val pre = df.select(names.flatMap { n =>
+          val v = col(n).cast(StringType)
+          Seq(xxhash64(v).as(s"__h1_$n"),
+            xxhash64(lit("graft-seed-2"), v).as(s"__h2_$n"),
+            col(n).isNotNull.as(s"__nn_$n"))
+        }: _*)
+        group.grouped(16).map { sub =>
           val entries = sub.map { cols =>
-            val names = cols.map(_.split('.')(1))
-            // 128-bit tuple key: two independently-seeded xxhash64 halves over
-            // the string-cast values (string cast normalizes physical types
-            // across tables; per-column chained hashing keeps
-            // ("ab","c") != ("a","bc")). 16 bytes/row keeps the shuffle
-            // compact while the exact-baseline verdict stays collision-safe
-            // past 10^10 distinct tuples (a lone 64-bit key collides with
-            // near-certainty there and would report a false exact IND).
-            val vals = names.map(n => col(n).cast(StringType))
-            val k1 = xxhash64(vals: _*)
-            val k2 = xxhash64(lit("graft-seed-2") +: vals: _*)
-            val nonNull = names.map(n => col(n).isNotNull).reduce(_ && _)
+            val ns = cols.map(_.split('.')(1))
+            val k1 = xxhash64(ns.map(n => col(s"__h1_$n")): _*)
+            val k2 = xxhash64(lit("graft-seed-2") +: ns.map(n => col(s"__h2_$n")): _*)
+            val nonNull = ns.map(n => col(s"__nn_$n")).reduce(_ && _)
             struct(lit(comboIdx(comboId(cols))).as("cid"),
               when(nonNull, k1).as("v1"), when(nonNull, k2).as("v2"))
           }
-          df.select(explode(array(entries: _*)).as("cv"))
+          pre.select(explode(array(entries: _*)).as("cv"))
             .select(col("cv.cid").as("cid"), col("cv.v1").as("v1"), col("cv.v2").as("v2"))
             .filter(col("v1").isNotNull)
         }
       }.reduce(_ unionAll _)
-      // ONE value-keyed shuffle for dedup AND co-occurrence — the exact
-      // unary SPIDER shape lifted to tuple hashes: group the RAW exploded
-      // rows by tuple value, collect the distinct combo set per value
-      // (map-side partial collect_set collapses duplicate tuples before the
-      // exchange), then read distinct counts and intra-set ordered pairs
-      // off the grouped frame. The previous shape paid three shuffles of
-      // the tuple rows: dropDuplicates + both sides of a self-join.
-      .groupBy("v1", "v2").agg(collect_set(col("cid")).as("cids"))
-      // materialize ONCE: consumed by the distinct-count agg and the
-      // pair-emission pass
+    // ONE value-keyed shuffle for dedup AND co-occurrence, in pure long bit
+    // math: per tuple value, bit_or the combo-membership bits into
+    // ⌈|combos|/64⌉ long masks — a fully codegen'd HashAggregate with a
+    // fixed-width buffer. (The first rewrite collected combo-id SETS per
+    // value; collect_set is an ObjectHashAggregate that falls back to
+    // sort-based aggregation over the ~9M near-distinct tuple keys of an
+    // arity-2 level — measured 12.3 s for the grouped pass alone vs 1.4 s
+    // for the explode feeding it. The masks run the same shuffle through
+    // the codegen path.) Map-side partial bit_or collapses duplicate
+    // tuples before the exchange, exactly like partial collect_set would.
+    val nMasks = (combos.size + 63) / 64
+    val maskAggs = (0 until nMasks).map { m =>
+      expr(s"bit_or(CASE WHEN cid >= ${m * 64} AND cid < ${(m + 1) * 64} " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), cid - ${m * 64}) ELSE 0 END)")
+        .as(s"mask$m")
+    }
+    val masks = tlf.groupBy("v1", "v2").agg(maskAggs.head, maskAggs.tail: _*)
+      // consumed by one global aggregate per ≤64-expression chunk below
       .localCheckpoint()
-    // distinct tuple count per combo (tiny result; cids ≤ |combos| per row)
-    val u = tlf.select(explode(col("cids")).as("cid"))
-      .groupBy("cid").agg(count("*").as("dep_distinct"))
-    // co-occurrence: intra-set ordered pairs per tuple value, counted —
-    // per value |cids|² emissions, bounded by the combo count, collapsed
-    // map-side before the final exchange
-    val co = tlf.select(explode(col("cids")).as("dcid"), col("cids"))
-      .select(col("dcid"), explode(col("cids")).as("rcid"))
-      .filter(col("dcid") =!= col("rcid"))
-      .groupBy("dcid", "rcid").agg(count("*").as("co"))
-    val candDf = broadcast(spark.createDataFrame(
-      candidates.map { c =>
-        (comboId(c._1), comboId(c._2), comboIdx(comboId(c._1)), comboIdx(comboId(c._2)))
-      }).toDF("dep", "ref", "dcid", "rcid"))
-    candDf
-      .join(u.withColumnRenamed("cid", "dcid"), Seq("dcid"))
-      .join(co, Seq("dcid", "rcid"), "left")
-      .withColumn("missing", col("dep_distinct") - coalesce(col("co"), lit(0L)))
-      .withColumn("passed", col("missing") === 0)
-      .select("dep", "ref", "missing", "passed")
+    def hasBit(cid: Int) =
+      col(s"mask${cid / 64}").bitwiseAND(lit(1L << (cid % 64))) =!= 0
+    // distinct tuple count per dep combo and per-candidate co-occurrence as
+    // sums of bit tests over the mask frame — no explode, no join; chunked
+    // so each generated aggregate stays within the JIT method budget
+    val candIdx = candidates.map { c =>
+      (comboId(c._1), comboId(c._2),
+        comboIdx(comboId(c._1)), comboIdx(comboId(c._2)))
+    }
+    val uCids = candIdx.map(_._3).distinct.sorted
+    val exprs: Seq[(String, org.apache.spark.sql.Column)] =
+      uCids.map(c => s"u_$c" ->
+        coalesce(sum(when(hasBit(c), 1L).otherwise(0L)), lit(0L)).as(s"u_$c")) ++
+      candIdx.map { case (_, _, d, r) => s"co_${d}_$r" ->
+        coalesce(sum(when(hasBit(d) && hasBit(r), 1L).otherwise(0L)), lit(0L))
+          .as(s"co_${d}_$r") }
+    val counts: Map[String, Long] = exprs.grouped(64).flatMap { chunk =>
+      val row = masks.agg(chunk.head._2, chunk.tail.map(_._2): _*).head()
+      chunk.map { case (name, _) => name -> row.getAs[Long](name) }
+    }.toMap
+    // verdict rows assembled driver-side (O(candidates)); a dep combo with
+    // zero non-null tuples is absent, matching the previous inner join on u
+    val rows = candIdx.flatMap { case (dep, ref, d, r) =>
+      val u = counts(s"u_$d")
+      if (u == 0L) None
+      else {
+        val missing = u - counts(s"co_${d}_$r")
+        Some((dep, ref, missing, missing == 0L))
+      }
+    }
+    if (rows.isEmpty)
+      spark.createDataFrame(Seq.empty[(String, String, Long, Boolean)])
+        .toDF("dep", "ref", "missing", "passed")
+    else spark.createDataFrame(rows).toDF("dep", "ref", "missing", "passed")
   }
 
   /** Row-level referential violations: the full dep ROWS whose `keyCol`
