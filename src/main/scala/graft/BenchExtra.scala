@@ -125,8 +125,93 @@ object BenchExtra {
               .cast("long"))
           .filter(col("containment_e5") >= lit(80000L)))
       }
-      time("clone: full crossGroupClones") {
-        noop(Dedup.crossGroupClones(files, "file_id", "repo", "content"))
+      // the real query checkpoints `files`; measure the operator the way it
+      // is actually invoked, twice (warm JIT on rep2)
+      val filesCk = files.localCheckpoint()
+      for (rep <- 1 to 2)
+        time(s"clone: full crossGroupClones rep$rep") {
+          noop(Dedup.crossGroupClones(filesCk, "file_id", "repo", "content"))
+        }
+      // stage decomposition of the int-id pipeline
+      locally {
+        import graft.sampling.Samplers
+        val idCol = "file_id"; val grpCol = "repo"; val textCol = "content"
+        val dfCutoff = 64
+        var meta: DataFrame = null
+        time("clone2: meta (numbering + grp)") {
+          meta = Samplers
+            .numberedByVal(filesCk.select(col(idCol).cast("string").as("val"))
+              .dropDuplicates("val"))
+            .select(col("val").as("fid"), col("rn").as("id"))
+            .join(filesCk.select(col(idCol).cast("string").as("fid"),
+              col(grpCol).as("grp")).dropDuplicates("fid"), Seq("fid"))
+            .localCheckpoint()
+        }
+        var fp: DataFrame = null
+        time("clone2: filesI join + winnow + ckpt") {
+          val filesI = filesCk
+            .join(meta.select(col("fid"), col("id")),
+              filesCk(idCol).cast("string") === col("fid"))
+            .select(col("id"), col(textCol).as("__text"))
+          fp = Dedup.winnow(filesI, "id", "__text").localCheckpoint()
+        }
+        var candCnt: DataFrame = null
+        time("clone2: band + pair counts") {
+          val dfed = fp.groupBy("minh").agg(count(lit(1)).as("df"))
+          val rareMinh = dfed.filter(col("df") <= dfCutoff).select("minh")
+          val banded = fp.join(rareMinh, Seq("minh"), "left_semi")
+            .select(col("id"), col("minh").as("band"))
+          candCnt = banded.as("x").join(banded.as("y"),
+              col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+            .select(col("x.id").as("a"), col("y.id").as("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("shared_rare"))
+            .localCheckpoint()
+        }
+        println(s"EXTRA clone2: candCnt rows = ${candCnt.count()}")
+        var crossGrp: DataFrame = null
+        time("clone2: group filter") {
+          val gidDict = Samplers
+            .numberedByVal(meta.select(col("grp").cast("string").as("val"))
+              .filter(col("val").isNotNull).dropDuplicates("val"))
+            .select(col("val").as("grp"), col("rn").as("gid"))
+          val grp = meta.join(broadcast(gidDict), Seq("grp"), "left")
+            .select(col("id"), col("gid"))
+          crossGrp = candCnt
+            .join(grp.select(col("id").as("a"), col("gid").as("gid_a")), Seq("a"))
+            .join(grp.select(col("id").as("b"), col("gid").as("gid_b")), Seq("b"))
+            .filter(col("gid_a").isNull || col("gid_b").isNull ||
+              col("gid_a") =!= col("gid_b"))
+            .select("a", "b", "shared_rare")
+            .localCheckpoint()
+        }
+        locally {
+          val dfed = fp.groupBy("minh").agg(count(lit(1)).as("df"))
+          println(s"EXTRA clone2: distinct minh = ${dfed.count()}, " +
+            s"common (df>64) = ${dfed.filter(col("df") > 64).count()}")
+        }
+        time("clone2: sets + verify + rejoin") {
+          val dfed = fp.groupBy("minh").agg(count(lit(1)).as("df"))
+          val ids = crossGrp.select(col("a").as("id"))
+            .unionAll(crossGrp.select(col("b").as("id"))).dropDuplicates("id")
+          val commonMinh = dfed.filter(col("df") > dfCutoff).select("minh")
+          val sets = fp.join(ids, Seq("id"), "left_semi")
+            .join(broadcast(commonMinh.withColumn("__c", lit(true))),
+              Seq("minh"), "left")
+            .groupBy("id").agg(
+              collect_set(when(col("__c"), col("minh"))).as("cfps"),
+              count(lit(1)).as("nf"))
+            .localCheckpoint()
+          noop(crossGrp
+            .join(broadcast(sets.select(col("id").as("a"), col("cfps").as("cfa"),
+              col("nf").as("n_a"))), Seq("a"))
+            .join(broadcast(sets.select(col("id").as("b"), col("cfps").as("cfb"),
+              col("nf").as("n_b"))), Seq("b"))
+            .select(col("a"), col("b"),
+              (col("shared_rare") +
+                size(array_intersect(col("cfa"), col("cfb"))).cast("long"))
+                .as("shared"),
+              col("n_a"), col("n_b")))
+        }
       }
     }
 
@@ -257,6 +342,107 @@ object BenchExtra {
         val r = graft.pipeline.Experiment.run(spark, sfDir,
           budgets = Seq(500L, 5000L))
         noop(r.evalPerRun)
+      }
+    }
+
+    // stage decomposition of Experiment.run (mirrors its body; numbers feed
+    // OPTIMIZATION_r06.md only)
+    if (on("expstages")) {
+      import graft.pipeline.Experiment
+      import graft.sampling.BudgetAllocator
+      import org.apache.spark.storage.StorageLevel
+      val budgets = Seq(500L, 5000L)
+      val methods = Experiment.defaultMethods
+      var distinctLong: DataFrame = null
+      time("exp: distinctLongFormWithRowId") {
+        distinctLong = Experiment.distinctLongFormWithRowId(spark, sfDir)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        noop(distinctLong)
+      }
+      var stats: DataFrame = null
+      var uniqueCounts: Seq[(String, Long)] = null
+      time("exp: longFormStats + collect") {
+        stats = Experiment.longFormStats(distinctLong).cache()
+        uniqueCounts = stats.select("col", "unique_count").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      }
+      var baselineInds: DataFrame = null
+      time("exp: baseline verdicts") {
+        baselineInds = graft.ind.IndValidator.verdicts(distinctLong, 0L)
+          .filter(col("missing") === 0).select("dep", "ref", "missing").cache()
+        noop(baselineInds)
+      }
+      var ranked6: DataFrame = null
+      time("exp: rankedAll(6 methods, cap 5000)") {
+        ranked6 = Experiment.rankedAll(distinctLong, methods, budgets.max)
+      }
+      val specs = for { m <- methods; b <- budgets } yield (s"${m}_$b", m, b)
+      val allocByBudget: Map[Long, DataFrame] = budgets.map { b =>
+        val alloc = BudgetAllocator.allocate(uniqueCounts, b)
+        b -> broadcast(spark.createDataFrame(alloc.map { a =>
+          val u = uniqueCounts.find(_._1 == a.colId).get._2
+          val stride = math.max(1L, math.ceil(u.toDouble / math.max(a.budget, 1L)).toLong)
+          (a.colId, a.budget, stride)
+        }).toDF("col", "budget", "stride"))
+      }.toMap
+      var sampledAll: DataFrame = null
+      time("exp: sampledAll (12 filters + checkpoint)") {
+        sampledAll = specs.map { case (rid, m, b) =>
+          val joined = ranked6.filter(col("method") === m)
+            .join(allocByBudget(b), Seq("col"))
+          val kept = m match {
+            case "evenly-spaced" => joined.filter((col("rn") - 1) % col("stride") === 0)
+            case _ => joined.filter(col("rn") <= col("budget"))
+          }
+          kept.select(lit(rid).as("run_id"), col("col"), col("val"))
+        }.reduce(_ unionAll _).localCheckpoint()
+      }
+      println(s"EXTRA exp: sampledAll rows = ${sampledAll.count()}")
+      var allRunInds: DataFrame = null
+      var runStats: DataFrame = null
+      time("exp: co + runStats + allRunInds") {
+        val allowedMissing = BudgetAllocator.allowedMissingValues(uniqueCounts.map(_._2))
+        runStats = sampledAll.groupBy("run_id", "col")
+          .agg(count("*").as("unique_count")).cache()
+        val co = sampledAll.groupBy("run_id", "val")
+          .agg(collect_set(col("col")).as("cols"))
+          .select(col("run_id"), explode(col("cols")).as("dep"), col("cols"))
+          .select(col("run_id"), col("dep"), explode(col("cols")).as("ref"))
+          .filter(col("dep") =!= col("ref"))
+          .groupBy("run_id", "dep", "ref").agg(count("*").as("co"))
+        val uDep = runStats.select(col("run_id"), col("col").as("dep"),
+          col("unique_count").as("dep_unique"))
+        val uRef = runStats.select(col("run_id"), col("col").as("ref"),
+          col("unique_count").as("ref_unique"))
+        allRunInds = uDep.join(uRef, Seq("run_id"))
+          .filter(col("dep") =!= col("ref"))
+          .join(co, Seq("run_id", "dep", "ref"), "left")
+          .withColumn("missing", col("dep_unique") - coalesce(col("co"), lit(0L)))
+          .filter(col("missing") <= allowedMissing)
+          .select("run_id", "dep", "ref", "missing").localCheckpoint()
+      }
+      var evalPerRun: DataFrame = null
+      time("exp: evalPerRun") {
+        val specsDf = spark.createDataFrame(specs).toDF("run_id", "method", "budget")
+        evalPerRun = graft.eval.Evaluation
+          .compareUnaryByRun(allRunInds, baselineInds, specsDf)
+          .select("run_id", "method", "budget", "tp", "fp", "fn",
+            "precision", "recall", "f1", "mean_tp_missing", "mean_fp_missing")
+          .localCheckpoint()
+      }
+      time("exp: credibility + ranked + sweep") {
+        val specsDf = spark.createDataFrame(specs).toDF("run_id", "method", "budget")
+        val verdictsWithBudget = allRunInds
+          .join(broadcast(specsDf.select("run_id", "budget")), Seq("run_id"))
+        val creds = graft.eval.Credibility.perRun(verdictsWithBudget, stats, runStats)
+        val allInds = allRunInds.select("dep", "ref")
+          .unionAll(baselineInds.select("dep", "ref"))
+        val ranked = graft.eval.Credibility.ranked(allInds, creds)
+          .join(baselineInds.select(col("dep"), col("ref"), lit(true).as("is_tp")),
+            Seq("dep", "ref"), "left")
+          .withColumn("is_tp", coalesce(col("is_tp"), lit(false)))
+          .localCheckpoint()
+        noop(graft.eval.Credibility.thresholdSweep(ranked, (0 to 20).map(_ * 0.05)))
       }
     }
 

@@ -766,7 +766,8 @@ object SparkEntry {
       experimentCache.getOrElseUpdate(dir,
         Experiment.run(s, dir, budgets = Seq(500L, 5000L),
           baseline = Some(cachedVerdicts(s, dir)
-            .filter(col("missing") === 0).select("dep", "ref", "missing"))))
+            .filter(col("missing") === 0).select("dep", "ref", "missing")),
+          distinctLongPre = Some(cachedDistinctLong(s, dir))))
     }
 
   /** The deduped long form and the profile are shared by many queries —
@@ -775,7 +776,11 @@ object SparkEntry {
   private val dlCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private def cachedDistinctLong(s: SparkSession, dir: String): DataFrame =
     dlCache.synchronized {
-      dlCache.getOrElseUpdate(dir, Tables.distinctLongForm(s, dir)
+      // carries min-rowId (an 8-byte fold on the same dedup shuffle) so the
+      // experiment pipeline shares this frame instead of re-scanning and
+      // re-deduplicating every table for its keep-first long form; all other
+      // consumers ignore the extra column
+      dlCache.getOrElseUpdate(dir, Tables.distinctLongFormWithRowId(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
   private val profCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -812,7 +817,8 @@ object SparkEntry {
           baselineInds = Some(cachedVerdicts(s, dir)
             .filter(col("missing") === 0).select("dep", "ref")),
           rankedSmallest = Some(cachedOracleRanks(s, dir)
-            .filter(col("method") === "smallest-value")))
+            .filter(col("method") === "smallest-value")),
+          colIds = Some(Tables.indColumnIds))
         (v.localCheckpoint(), e.localCheckpoint(), c.localCheckpoint())
       })
     }
@@ -905,7 +911,8 @@ object SparkEntry {
   private def cachedVerdicts(s: SparkSession, dir: String): DataFrame =
     verdictCache.synchronized {
       verdictCache.getOrElseUpdate(dir,
-        IndValidator.verdicts(cachedDistinctLong(s, dir), 0L)
+        IndValidator.verdictsIndexed(cachedDistinctLong(s, dir), 0L,
+            Tables.indColumnIds)
           .select("dep", "ref", "dep_unique", "ref_unique", "missing").cache())
     }
 

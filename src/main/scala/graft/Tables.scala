@@ -74,4 +74,32 @@ object Tables {
     */
   def distinctLongForm(spark: SparkSession, sfDir: String): DataFrame =
     longFormAll(spark, sfDir).dropDuplicates("col", "val")
+
+  /** Long form carrying each row's first-occurrence id (the table's declared
+    * key column, cast to long — see Experiment.distinctLongFormWithRowId for
+    * why key order, not scan order). Same row set as `longFormAll` plus the
+    * `rowId` column. */
+  def longFormAllWithRowId(spark: SparkSession, sfDir: String): DataFrame =
+    all.filter(indColumns.contains).map { t =>
+      val cols = indColumns(t)
+      val df = load(spark, sfDir, t)
+        .withColumn("__rid", col(cols.head).cast(LongType))
+      val entries = cols.map { c =>
+        struct(lit(s"$t.$c").as("col"), col(c).cast(StringType).as("val"))
+      }
+      df.select(explode(array(entries: _*)).as("cv"), col("__rid"))
+        .select(col("cv.col").as("col"), col("cv.val").as("val"),
+          col("__rid").as("rowId"))
+        .filter(col("val").isNotNull)
+    }.reduce(_ unionAll _)
+
+  /** Distinct long form + keep-first rowId: groupBy (col, val) with
+    * min(rowId) — the SAME single dedup shuffle as `distinctLongForm` with
+    * an 8-byte min-fold riding along, so one shared frame serves both the
+    * IND/profiling consumers (which ignore rowId) and the experiment
+    * pipeline (whose 'first' sampler needs it) instead of the experiment
+    * re-scanning and re-deduplicating every table. */
+  def distinctLongFormWithRowId(spark: SparkSession, sfDir: String): DataFrame =
+    longFormAllWithRowId(spark, sfDir)
+      .groupBy("col", "val").agg(min("rowId").as("rowId"))
 }

@@ -36,6 +36,11 @@ object Dedup {
     * boilerplate families the cap exists for. */
   val AllPairsMax = 64
 
+  /** Ceiling on the common-fingerprint (boilerplate) universe that the
+    * clone-verify step will index into per-file long bit masks (64 longs);
+    * bigger universes fall back to per-file arrays. */
+  val MaxCommonMaskBits = 4096
+
   /** Candidate pairs from a banded (id, band) frame, bounded per bucket.
     * Two regimes, split into disjoint frames so the degenerate one never
     * enters a join (a band join COMPUTES the in-bucket cartesian product
@@ -473,57 +478,171 @@ object Dedup {
     * as rare as their source text; pairs sharing ONLY boilerplate are the
     * designed misses. Scale path: df filter = one groupBy on the narrow
     * fingerprint frame; banding buckets are ≤ dfCutoff by construction,
-    * so the pair join is all-pairs with bounded buckets (the chain-link
-    * regime of `cappedBandPairs` never triggers); verification touches
-    * only candidate files (semi-join pushdown like `ngramJaccard`). */
+    * so the pair join is all-pairs with bounded buckets; the verify
+    * intersection |A ∩ B| splits by rarity — the rare term is a COUNT on
+    * the candidate-pair exchange itself, the common term an intersect of
+    * tiny per-file boilerplate arrays — and touches only candidate files
+    * (semi-join pushdown like `ngramJaccard`). */
   def crossGroupClones(files: DataFrame, idCol: String, grpCol: String,
                        textCol: String, dfCutoff: Int = AllPairsMax,
                        minContainE5: Long = 80000L,
                        k: Int = 8, w: Int = 4): DataFrame = {
-    val fp = winnow(files, idCol, textCol, k, w).localCheckpoint()
-    val rareMinh = fp.groupBy("minh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCutoff).select("minh")
+    // Dictionary-encode file ids into distinct longs: every pair-side
+    // shuffle below then carries an 8-byte id instead of the file-id string
+    // (repo|path|commit, ~60 B here — the string pipeline measured 3.8 s
+    // just deduplicating 1.5 M pair rows; guide §2.3 "narrower types").
+    // monotonically_increasing_id is pinned by the checkpoint, so one
+    // consistent id set feeds every join; the ids never reach the output —
+    // the final projection restores the string-order a < b orientation by
+    // swapping each surviving pair (all pair statistics are symmetric), so
+    // the result is bit-identical to the string pipeline's.
+    val meta = files
+      .select(col(idCol).cast("string").as("fid"), col(grpCol).as("grp"))
+      .dropDuplicates("fid")
+      .withColumn("id", monotonically_increasing_id())
+      .localCheckpoint() // (fid string, id long, grp) — one row per FILE
+    val filesI = files
+      .join(meta.select(col("fid"), col("id")),
+        files(idCol).cast("string") === col("fid"))
+      .select(col("id"), col(textCol).as("__text"))
+    val fp = winnow(filesI, "id", "__text", k, w).localCheckpoint()
+    val dfed = fp.groupBy("minh").agg(count(lit(1)).as("df"))
+    val rareMinh = dfed.filter(col("df") <= dfCutoff).select("minh")
     val banded = fp.join(rareMinh, Seq("minh"), "left_semi")
       .select(col("id"), col("minh").as("band"))
-    val cand = cappedBandPairs(banded, allPairsMax = dfCutoff,
-      label = "crossGroupClones")
-    val grp = files.select(col(idCol).as("id"), col(grpCol).as("grp"))
-      .dropDuplicates("id")
+    // Candidate pairs WITH their shared-rare-fingerprint count in the same
+    // shuffle: every band bucket is ≤ dfCutoff rows BY CONSTRUCTION (the df
+    // filter above), so the all-pairs self-join is exactly
+    // cappedBandPairs' small regime — and the dedup it ran over the pair
+    // rows becomes a count over the identical exchange, which is the rare
+    // half of the verify intersection for free:
+    //   |A ∩ B| = |A ∩ B ∩ rare| + |A ∩ B ∩ common|
+    // The rare term is this count (each shared rare minh emits exactly one
+    // (minh, a, b) join row); the common term is intersected below over
+    // per-file COMMON-fingerprint arrays, which boilerplate df-cutoffs keep
+    // tiny — so no candidate pair ever intersects its full ~w-per-shingle
+    // fingerprint sets (the full-array verify measured 3.8 s over 1.2 M
+    // pairs at sf0.1; the common arrays here are empty-to-few elements).
+    val candCnt = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_rare"))
+    // group ids for the cross-group filter: equality-only, so any distinct
+    // numbering works; strings stay out of the pair frame
+    val gidDict = meta.select(col("grp")).filter(col("grp").isNotNull)
+      .dropDuplicates("grp")
+      .withColumn("gid", monotonically_increasing_id())
+    val grp = meta.join(broadcast(gidDict), Seq("grp"), "left")
+      .select(col("id"), col("gid"))
     // a NULL group is unknown provenance, not a group of its own: such a
     // file is cross-group with everything (including other null-group
     // files) — a null-unsafe =!= would silently drop those pairs
-    val crossGrp = cand
-      .join(grp.select(col("id").as("a"), col("grp").as("grp_a")), Seq("a"))
-      .join(grp.select(col("id").as("b"), col("grp").as("grp_b")), Seq("b"))
-      .filter(col("grp_a").isNull || col("grp_b").isNull ||
-        col("grp_a") =!= col("grp_b"))
+    val crossGrp = candCnt
+      .join(grp.select(col("id").as("a"), col("gid").as("gid_a")), Seq("a"))
+      .join(grp.select(col("id").as("b"), col("gid").as("gid_b")), Seq("b"))
+      .filter(col("gid_a").isNull || col("gid_b").isNull ||
+        col("gid_a") =!= col("gid_b"))
+      .select("a", "b", "shared_rare")
       .localCheckpoint()
-    // verify on full fingerprint sets of candidate files only. The set
-    // frame is BROADCAST: one row per candidate FILE (bounded by the
-    // banding's emission, orders of magnitude below the pair count) — a
-    // sort-merge join here would shuffle every candidate PAIR twice with a
-    // fingerprint array attached (~1 KB/row; measured 19 s vs 3 s at the
-    // 1.2M-pair bench corpus), exactly the heavy-payload-through-the-
-    // exchange shape guide §2.3/§8 exists to kill.
+    // per-candidate-file totals and COMMON (df > cutoff) fingerprint sets,
+    // broadcast: one row per candidate FILE (bounded by the banding's
+    // emission, orders of magnitude below the pair count) — a sort-merge
+    // join here would shuffle every candidate PAIR twice with payload
+    // attached, exactly the heavy-payload-through-the-exchange shape guide
+    // §2.3/§8 exists to kill.
     val ids = crossGrp.select(col("a").as("id"))
       .unionAll(crossGrp.select(col("b").as("id"))).dropDuplicates("id")
-    val sets = fp.join(ids, Seq("id"), "left_semi")
-      .groupBy("id").agg(collect_set(col("minh")).as("fps"),
-        count(lit(1)).as("nf"))
-      .localCheckpoint() // materialize ONCE; both broadcasts reuse the blocks
-    crossGrp
-      .join(broadcast(sets.select(col("id").as("a"), col("fps").as("fpa"),
-        col("nf").as("n_a"))), Seq("a"))
-      .join(broadcast(sets.select(col("id").as("b"), col("fps").as("fpb"),
-        col("nf").as("n_b"))), Seq("b"))
-      .select(col("a"), col("b"), col("grp_a"), col("grp_b"),
-        size(array_intersect(col("fpa"), col("fpb"))).cast("long")
-          .as("shared"),
-        col("n_a"), col("n_b"))
+    val commonMinh = dfed.filter(col("df") > dfCutoff).select("minh")
+    // The common universe is df-bounded-small (boilerplate families, not
+    // data-sized: 1,867 distinct at the 5,050-file bench corpus) — when it
+    // fits `MaxCommonMaskBits`, index it and carry each file's common set
+    // as ⌈m/64⌉ LONG bit masks; the per-pair intersection is then a few
+    // codegen popcounts instead of an array_intersect over ~w-per-shingle
+    // element arrays (boilerplate-heavy corpora put MOST occurrences in
+    // the common class — the array verify measured 3.4 s vs ~1 s masked).
+    val commonRows = commonMinh.limit(MaxCommonMaskBits + 1)
+      .collect().map(_.getLong(0))
+    val verifyCore =
+      if (commonRows.length <= MaxCommonMaskBits && commonRows.nonEmpty) {
+        val spark = files.sparkSession
+        val idxDf = broadcast(spark.createDataFrame(
+          commonRows.sorted.zipWithIndex.toSeq).toDF("minh", "__ci"))
+        val nMasks = (commonRows.length + 63) / 64
+        val maskAggs = (0 until nMasks).map { m =>
+          expr(s"bit_or(CASE WHEN __ci >= ${m * 64} AND __ci < ${(m + 1) * 64} " +
+            s"THEN shiftleft(CAST(1 AS BIGINT), __ci - ${m * 64}) ELSE 0 END)")
+            .as(s"cm$m")
+        }
+        val aggs = maskAggs :+ count(lit(1)).as("nf")
+        val sets = fp.join(ids, Seq("id"), "left_semi")
+          .join(idxDf, Seq("minh"), "left")
+          .groupBy("id").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint() // materialized ONCE; both broadcasts reuse it
+        def side(s: String) = sets.select(
+          col("id").as(s) +: (0 until nMasks).map(m =>
+            col(s"cm$m").as(s"${s}_cm$m")) :+ col("nf").as(s"n_$s"): _*)
+        val sharedCommon = (0 until nMasks)
+          .map(m => expr(s"bit_count(a_cm$m & b_cm$m)"))
+          .reduce(_ + _).cast("long")
+        crossGrp
+          .join(broadcast(side("a")), Seq("a"))
+          .join(broadcast(side("b")), Seq("b"))
+          .select(col("a"), col("b"),
+            (col("shared_rare") + sharedCommon).as("shared"),
+            col("n_a"), col("n_b"))
+      } else if (commonRows.isEmpty) {
+        // no boilerplate at all: the rare count IS the intersection
+        val sets = fp.join(ids, Seq("id"), "left_semi")
+          .groupBy("id").agg(count(lit(1)).as("nf")).localCheckpoint()
+        crossGrp
+          .join(broadcast(sets.select(col("id").as("a"), col("nf").as("n_a"))),
+            Seq("a"))
+          .join(broadcast(sets.select(col("id").as("b"), col("nf").as("n_b"))),
+            Seq("b"))
+          .select(col("a"), col("b"), col("shared_rare").as("shared"),
+            col("n_a"), col("n_b"))
+      } else {
+        // degenerate boilerplate universe: fall back to per-file arrays
+        val sets = fp.join(ids, Seq("id"), "left_semi")
+          .join(broadcast(commonMinh.withColumn("__c", lit(true))),
+            Seq("minh"), "left")
+          .groupBy("id").agg(
+            collect_set(when(col("__c"), col("minh"))).as("cfps"),
+            count(lit(1)).as("nf"))
+          .localCheckpoint()
+        crossGrp
+          .join(broadcast(sets.select(col("id").as("a"), col("cfps").as("cfa"),
+            col("nf").as("n_a"))), Seq("a"))
+          .join(broadcast(sets.select(col("id").as("b"), col("cfps").as("cfb"),
+            col("nf").as("n_b"))), Seq("b"))
+          .select(col("a"), col("b"),
+            (col("shared_rare") +
+              size(array_intersect(col("cfa"), col("cfb"))).cast("long"))
+              .as("shared"),
+            col("n_a"), col("n_b"))
+      }
+    val verified = verifyCore
       .withColumn("containment_e5",
         floor(col("shared") * 100000.0 / least(col("n_a"), col("n_b")))
           .cast("long"))
       .filter(col("containment_e5") >= lit(minContainE5))
+    // only the handful of verified pairs rejoin the string ids and groups;
+    // restore the string-order orientation (swap-symmetric statistics)
+    val joined = verified
+      .join(broadcast(meta.select(col("id").as("a"), col("fid").as("__a"),
+        col("grp").as("grp_a"))), Seq("a"))
+      .join(broadcast(meta.select(col("id").as("b"), col("fid").as("__b"),
+        col("grp").as("grp_b"))), Seq("b"))
+    val fwd = col("__a") < col("__b")
+    joined.select(
+      when(fwd, col("__a")).otherwise(col("__b")).as("a"),
+      when(fwd, col("__b")).otherwise(col("__a")).as("b"),
+      when(fwd, col("grp_a")).otherwise(col("grp_b")).as("grp_a"),
+      when(fwd, col("grp_b")).otherwise(col("grp_a")).as("grp_b"),
+      col("shared"),
+      when(fwd, col("n_a")).otherwise(col("n_b")).as("n_a"),
+      when(fwd, col("n_b")).otherwise(col("n_a")).as("n_b"),
+      col("containment_e5"))
   }
 
 }

@@ -33,19 +33,12 @@ object Experiment {
     * (Spark packs splits by size), while key order is deterministic under
     * any storage layout AND reproducible by the DuckDB oracle. Documented
     * deviation, same as M1's seeded-hash randomness. */
-  def distinctLongFormWithRowId(spark: SparkSession, sfDir: String): DataFrame = {
-    val lf = Tables.all.filter(Tables.indColumns.contains).map { t =>
-      val df = Tables.load(spark, sfDir, t)
-        .withColumn("rowId", col(Tables.indColumns(t).head).cast("long"))
-      val entries = Tables.indColumns(t).map { c =>
-        struct(lit(s"$t.$c").as("col"), col(c).cast("string").as("val"))
-      }
-      df.select(explode(array(entries: _*)).as("cv"), col("rowId"))
-        .select(col("cv.col").as("col"), col("cv.val").as("val"), col("rowId"))
-        .filter(col("val").isNotNull && length(trim(col("val"))) > 0)
-    }.reduce(_ unionAll _)
-    lf.groupBy("col", "val").agg(min("rowId").as("rowId"))
-  }
+  def distinctLongFormWithRowId(spark: SparkSession, sfDir: String): DataFrame =
+    // the blank filter commutes with the keep-first dedup (it tests only
+    // `val`, a group key), so filtering the shared deduped frame is
+    // row-identical to filtering before the groupBy
+    Tables.distinctLongFormWithRowId(spark, sfDir)
+      .filter(length(trim(col("val"))) > 0)
 
   /** Per-column stats needed by budget math + credibility, straight from the
     * deduped long form: ONE aggregate for all columns. */
@@ -85,7 +78,8 @@ object Experiment {
   def fixedBudgetRun(spark: SparkSession, distinctLong: DataFrame,
                      budget: Int, k: Long,
                      baselineInds: Option[DataFrame] = None,
-                     rankedSmallest: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+                     rankedSmallest: Option[DataFrame] = None,
+                     colIds: Option[Seq[String]] = None): (DataFrame, DataFrame, DataFrame) = {
     // callers that already hold a smallest-value rank frame (cappedRank
     // order: length asc, val asc — identical to the window below) pass it
     // in; the suite otherwise pays a second full-column window pass for
@@ -99,7 +93,9 @@ object Experiment {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= budget).drop("rn")
     }
-    val sampledVerdicts = IndValidator.verdicts(sampled, k)
+    val sampledVerdicts = colIds
+      .map(ids => IndValidator.verdictsIndexed(sampled, k, ids))
+      .getOrElse(IndValidator.verdicts(sampled, k))
       .filter(col("missing") <= k)
       .select("dep", "ref", "missing")
     // callers that already hold the exact verdict frame pass it in — the
@@ -297,11 +293,17 @@ object Experiment {
           methods: Seq[String] = defaultMethods,
           budgets: Seq[Long] = Seq(1000L, 10000L),
           thresholds: Seq[Double] = (0 to 20).map(_ * 0.05),
-          baseline: Option[DataFrame] = None): ExperimentResult = {
+          baseline: Option[DataFrame] = None,
+          distinctLongPre: Option[DataFrame] = None): ExperimentResult = {
     import org.apache.spark.storage.StorageLevel
 
-    val distinctLong = distinctLongFormWithRowId(spark, sfDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a caller already holding the suite's shared (col, val, rowId) frame
+    // passes it in — the experiment's blank filter goes on top (cheap on the
+    // cached blocks) instead of a second full scan + dedup of every table
+    val distinctLong = distinctLongPre
+      .map(_.filter(length(trim(col("val"))) > 0))
+      .getOrElse(distinctLongFormWithRowId(spark, sfDir)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val stats = longFormStats(distinctLong).cache()
     val uniqueCounts = stats.select("col", "unique_count").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
