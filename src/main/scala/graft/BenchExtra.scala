@@ -446,6 +446,119 @@ object BenchExtra {
       }
     }
 
+    // decomposition of the q_eval_by_budget first touch: oracle rank frame
+    // + fixed-budget per-run pipeline
+    if (on("budget")) {
+      import graft.pipeline.Experiment
+      val oracleMethods = Seq("random", "smallest-value", "biggest-value",
+        "longest-value", "evenly-spaced")
+      val dl = Tables.distinctLongFormWithRowId(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("budget: distinctLong materialize")(noop(dl))
+      var verdicts: DataFrame = null
+      time("budget: verdictsIndexed (masked)") {
+        verdicts = graft.ind.IndValidator
+          .verdictsIndexed(dl, 0L, Tables.indColumnIds).cache()
+        noop(verdicts)
+      }
+      var topK: DataFrame = null
+      time("budget: rankedAll topK windows only") {
+        val stackedMethods = oracleMethods.filterNot(_ == "evenly-spaced")
+        topK = Experiment.rankedAll(dl.select("col", "val"),
+          stackedMethods, 200L)
+      }
+      var ranks: DataFrame = null
+      time("budget: rankedAll FULL (incl evenly-spaced)") {
+        ranks = Experiment.rankedAll(dl.select("col", "val"),
+          oracleMethods, 200L)
+      }
+      var perRun: DataFrame = null
+      time("budget: fixedBudgetPerRun") {
+        perRun = Experiment.fixedBudgetPerRun(spark, dl,
+          verdicts.filter(col("missing") === 0).select("dep", "ref"),
+          oracleMethods, Seq(100L, 200L), k = 25L,
+          rankedAllDf = Some(ranks)).localCheckpoint()
+      }
+      time("budget: byBudget agg") {
+        noop(Experiment.fixedBudgetEvalByBudget(perRun))
+      }
+      // sub-steps of fixedBudgetPerRun (mirrors its body)
+      locally {
+        val methods = oracleMethods; val budgets = Seq(100L, 200L); val k = 25L
+        val dl2 = dl.select("col", "val")
+        var u: DataFrame = null
+        time("fbr: u agg") {
+          u = dl2.groupBy("col").agg(count("*").as("u"))
+          noop(u)
+        }
+        val ranked = ranks.join(broadcast(u), Seq("col"))
+        val specs = for { m <- methods; b <- budgets } yield (s"${m}_$b", m, b)
+        var sampledAll: DataFrame = null
+        time("fbr: sampledAll 10 branches + ckpt") {
+          sampledAll = specs.map { case (rid, m, b) =>
+            val base = ranked.filter(col("method") === m)
+            val kept = m match {
+              case "evenly-spaced" =>
+                val stride = greatest(ceil(col("u") * 1.0 / b), lit(1L))
+                base.filter((col("rn") - 1) % stride === 0)
+              case _ => base.filter(col("rn") <= b)
+            }
+            kept.select(lit(rid).as("run_id"), col("col"), col("val"))
+          }.reduce(_ unionAll _).localCheckpoint()
+        }
+        println(s"EXTRA fbr: sampledAll rows = ${sampledAll.count()}")
+        var found: DataFrame = null
+        time("fbr: co + runStats + found") {
+          val co = sampledAll.groupBy("run_id", "val")
+            .agg(collect_set(col("col")).as("cols"))
+            .select(col("run_id"), explode(col("cols")).as("dep"), col("cols"))
+            .select(col("run_id"), col("dep"), explode(col("cols")).as("ref"))
+            .filter(col("dep") =!= col("ref"))
+            .groupBy("run_id", "dep", "ref").agg(count("*").as("co"))
+          val runStats = sampledAll.groupBy("run_id", "col")
+            .agg(count("*").as("su"))
+          found = runStats.select(col("run_id"), col("col").as("dep"),
+              col("su").as("dep_su"))
+            .join(runStats.select(col("run_id"), col("col").as("ref")), Seq("run_id"))
+            .filter(col("dep") =!= col("ref"))
+            .join(co, Seq("run_id", "dep", "ref"), "left")
+            .withColumn("missing", col("dep_su") - coalesce(col("co"), lit(0L)))
+            .filter(col("missing") <= k)
+            .select("run_id", "dep", "ref", "missing")
+          noop(found)
+        }
+        time("fbr: compareUnaryByRun") {
+          val specsDf = spark.createDataFrame(specs).toDF("run_id", "method", "budget")
+          noop(graft.eval.Evaluation.compareUnaryByRun(found,
+            verdicts.filter(col("missing") === 0).select("dep", "ref"), specsDf))
+        }
+      }
+    }
+
+    // head-to-head: plain distinct long form vs the rowId-carrying one,
+    // and generic vs masked verdicts, warm (rep2)
+    if (on("dl")) {
+      for (rep <- 1 to 2) {
+        time(s"dl: distinctLongForm (plain) rep$rep") {
+          noop(Tables.distinctLongForm(spark, sfDir))
+        }
+        time(s"dl: distinctLongFormWithRowId rep$rep") {
+          noop(Tables.distinctLongFormWithRowId(spark, sfDir))
+        }
+      }
+      val dl = Tables.distinctLongFormWithRowId(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      noop(dl)
+      for (rep <- 1 to 2) {
+        time(s"dl: verdicts generic rep$rep") {
+          noop(graft.ind.IndValidator.verdicts(dl, 0L))
+        }
+        time(s"dl: verdictsIndexed masked rep$rep") {
+          noop(graft.ind.IndValidator.verdictsIndexed(dl, 0L, Tables.indColumnIds))
+        }
+      }
+    }
+
     if (on("profile")) {
       time("profile: profileAll") {
         noop(Profiling.profile(spark, sfDir))

@@ -158,16 +158,21 @@ object Experiment {
     val ranked = rankedAllDf.getOrElse(rankedAll(dl, methods, budgets.max))
       .join(broadcast(u), Seq("col"))
     val specs = for { m <- methods; b <- budgets } yield (s"${m}_$b", m, b)
-    val sampledAll = specs.map { case (rid, m, b) =>
-      val base = ranked.filter(col("method") === m)
-      val kept = m match {
-        case "evenly-spaced" =>
-          val stride = greatest(ceil(col("u") * 1.0 / b), lit(1L))
-          base.filter((col("rn") - 1) % stride === 0)
-        case _ => base.filter(col("rn") <= b)
-      }
-      kept.select(lit(rid).as("run_id"), col("col"), col("val"))
-    }.reduce(_ unionAll _).localCheckpoint()
+    // every run's sample in ONE scan of the rank frame: a broadcast spec
+    // join replicates each rank row per matching (method, budget) run and
+    // one filter keeps it or not — the previous per-spec filter branches
+    // re-scanned and re-codegen'd the rank frame once per run (measured
+    // 3.0 s for 26k kept rows at sf0.1)
+    val specsLookup = broadcast(spark.createDataFrame(specs)
+      .toDF("run_id", "method", "b"))
+    val sampledAll = ranked.join(specsLookup, Seq("method"))
+      .filter(
+        when(col("method") === "evenly-spaced",
+          (col("rn") - 1) %
+            greatest(ceil(col("u") * 1.0 / col("b")), lit(1L)) === 0)
+          .otherwise(col("rn") <= col("b")))
+      .select(col("run_id"), col("col"), col("val"))
+      .localCheckpoint()
     // SPIDER co-occurrence for ALL runs in one shuffle (same shape as `run`)
     val co = sampledAll.groupBy("run_id", "val")
       .agg(collect_set(col("col")).as("cols"))
@@ -250,34 +255,39 @@ object Experiment {
     * (method, col, val, rn), materialized. */
   def rankedAll(distinctLong: DataFrame, methods: Seq[String],
                 maxBudget: Long): DataFrame = {
-    // ALL top-k methods ride ONE exchange: every method's window partitions
-    // by "col", so stacking the row_numbers on one frame establishes the
+    // ALL methods ride ONE exchange: every method's window partitions by
+    // "col", so stacking the row_numbers on one frame establishes the
     // partitioning once (guide §2.4 — operations keyed the same way share
     // an exchange) and sorts within the stage; the rank columns then
-    // unpivot in-plan and the cap filter prunes before the checkpoint. The
-    // previous per-method cappedRank union shuffled the full long form once
-    // PER METHOD (5 exchanges for the oracle set). Row set is identical:
-    // a full row_number agrees with the group-limited one on every row the
-    // cap keeps.
-    val topKMethods = methods.filterNot(_ == "evenly-spaced")
-    val topK =
-      if (topKMethods.isEmpty) Nil
-      else {
-        val stacked = topKMethods.foldLeft(distinctLong) { (df, m) =>
-          df.withColumn(s"__rn_$m", row_number().over(methodWindow(m)))
-        }
-        Seq(stacked.select(col("col"), col("val"),
-            explode(array(topKMethods.map(m =>
-              struct(lit(m).as("method"), col(s"__rn_$m").as("rn"))): _*)).as("mr"))
-          .select(col("mr.method").as("method"), col("col"), col("val"), col("mr.rn").as("rn"))
-          .filter(col("rn") <= maxBudget))
-      }
-    val evenly =
-      if (!methods.contains("evenly-spaced")) Nil
-      else Seq(graft.sampling.Samplers
-        .numberedByVal(distinctLong.select("col", "val"), Seq("col"))
-        .select(lit("evenly-spaced").as("method"), col("col"), col("val"), col("rn")))
-    (topK ++ evenly).reduce(_ unionAll _).localCheckpoint()
+    // unpivot in-plan and the cap filter prunes top-k rows before the
+    // checkpoint. The previous per-method cappedRank union shuffled the
+    // full long form once PER METHOD (5 exchanges for the oracle set), and
+    // evenly-spaced ran a SEPARATE two-phase numbering pipeline (range-
+    // partitioner sample pass + full-frame checkpoint + driver prefix sums
+    // + window) — its full per-column numbering now rides the same stacked
+    // pass as one more window (row_number over (col) ordered by val —
+    // value-identical to the two-phase numbering, which orders by the same
+    // total key). Per-window state is bounded by one COLUMN's distinct
+    // values, the same bound every stacked method window here already has.
+    // Row set is identical: a full row_number agrees with the group-limited
+    // one on every row the cap keeps, and evenly-spaced rows are uncapped
+    // in both shapes.
+    val ms = methods.filterNot(_ == "evenly-spaced") ++
+      (if (methods.contains("evenly-spaced")) Seq("evenly-spaced") else Nil)
+    def winOf(m: String) =
+      if (m == "evenly-spaced") Window.partitionBy("col").orderBy(col("val"))
+      else methodWindow(m)
+    val stacked = ms.foldLeft(distinctLong) { (df, m) =>
+      // long rn preserves the pre-stacking schema (the union with the old
+      // two-phase numbering branch widened int row_numbers to long)
+      df.withColumn(s"__rn_$m", row_number().over(winOf(m)).cast("long"))
+    }
+    stacked.select(col("col"), col("val"),
+        explode(array(ms.map(m =>
+          struct(lit(m).as("method"), col(s"__rn_$m").as("rn"))): _*)).as("mr"))
+      .select(col("mr.method").as("method"), col("col"), col("val"), col("mr.rn").as("rn"))
+      .filter(col("method") === "evenly-spaced" || col("rn") <= maxBudget)
+      .localCheckpoint()
   }
 
   /** Reference budgets are {10k, 100k} (configuration.py:57-58); scaled to
@@ -323,33 +333,34 @@ object Experiment {
     // because the waterfall never allocates a column more than the run total
     val ranked6 = rankedAll(distinctLong, methods, budgets.max)
 
-    // B1 fair-share allocation per budget level on the driver (tiny input)
-    val allocByBudget: Map[Long, DataFrame] = budgets.map { b =>
-      val alloc = BudgetAllocator.allocate(uniqueCounts, b)
-      b -> broadcast(spark.createDataFrame(alloc.map { a =>
+    // B1 fair-share allocation per budget level on the driver (tiny input),
+    // flattened to one broadcast lookup keyed by (budget level, col)
+    val allocAll = broadcast(spark.createDataFrame(budgets.flatMap { b =>
+      BudgetAllocator.allocate(uniqueCounts, b).map { a =>
         val u = uniqueCounts.find(_._1 == a.colId).get._2
         val stride = math.max(1L, math.ceil(u.toDouble / math.max(a.budget, 1L)).toLong)
-        (a.colId, a.budget, stride)
-      }).toDF("col", "budget", "stride"))
-    }.toMap
-
-    // every run's sample, keyed by run_id — 12 cheap filters of the cached
-    // rank frame, ONE downstream pipeline
-    val sampledAll = specs.map { spec =>
-      val joined = ranked6.filter(col("method") === spec.method)
-        .join(allocByBudget(spec.budget), Seq("col"))
-      val kept = spec.method match {
-        case "evenly-spaced" =>
-          joined.filter((col("rn") - 1) % col("stride") === 0)
-        case _ => joined.filter(col("rn") <= col("budget"))
+        (b, a.colId, a.budget, stride)
       }
-      kept.select(lit(spec.runId).as("run_id"), col("col"), col("val"))
-    }.reduce(_ unionAll _)
-      // localCheckpoint (not persist): besides sharing the materialized
-      // sample between runStats and the co-occurrence pass, it TRUNCATES the
-      // 12-branch × 6-window logical plan — otherwise every downstream
-      // aggregate re-runs Catalyst analysis over the whole tree (measured
-      // 67 s of pure driver planning on 15k rows at sf0.1)
+    }).toDF("blevel", "col", "budget", "stride"))
+
+    // every run's sample in ONE scan of the cached rank frame: broadcast
+    // spec + allocation joins replicate each rank row per matching run and
+    // one filter keeps it or not — the previous 12 per-spec filter branches
+    // re-scanned and re-codegen'd the rank frame once per run. The
+    // localCheckpoint (not persist) additionally TRUNCATES the logical
+    // plan — otherwise every downstream aggregate re-runs Catalyst
+    // analysis over the whole window tree (measured 67 s of pure driver
+    // planning on 15k rows at sf0.1)
+    val specsLookup = broadcast(spark.createDataFrame(
+        specs.map(s => (s.runId, s.method, s.budget)))
+      .toDF("run_id", "method", "blevel"))
+    val sampledAll = ranked6.join(specsLookup, Seq("method"))
+      .join(allocAll, Seq("blevel", "col"))
+      .filter(
+        when(col("method") === "evenly-spaced",
+          (col("rn") - 1) % col("stride") === 0)
+          .otherwise(col("rn") <= col("budget")))
+      .select(col("run_id"), col("col"), col("val"))
       .localCheckpoint()
 
     // sampled-run column stats (run_metanome.py:28-31 recomputes these)
