@@ -532,6 +532,8 @@ object Dedup {
     val gidDict = meta.select(col("grp")).filter(col("grp").isNotNull)
       .dropDuplicates("grp")
       .withColumn("gid", monotonically_increasing_id())
+      .localCheckpoint() // pin the ids: the a- and b-side broadcasts below
+                         // must see ONE consistent assignment
     val grp = meta.join(broadcast(gidDict), Seq("grp"), "left")
       .select(col("id"), col("gid"))
     // a NULL group is unknown provenance, not a group of its own: such a
