@@ -345,8 +345,10 @@ object BenchExtra {
       }
     }
 
-    // stage decomposition of Experiment.run (mirrors its body; numbers feed
-    // OPTIMIZATION_r06.md only)
+    // stage decomposition of Experiment.run as of session 1 (own long-form
+    // build, 12 per-spec sample branches) — kept as the live A/B mirror
+    // for the session-2 sharing/one-scan rewrites; numbers feed
+    // OPTIMIZATION_r06.md only
     if (on("expstages")) {
       import graft.pipeline.Experiment
       import graft.sampling.BudgetAllocator
@@ -482,7 +484,9 @@ object BenchExtra {
       time("budget: byBudget agg") {
         noop(Experiment.fixedBudgetEvalByBudget(perRun))
       }
-      // sub-steps of fixedBudgetPerRun (mirrors its body)
+      // sub-steps of the PRE-one-scan fixedBudgetPerRun shape (10 per-spec
+      // filter branches) — kept as the live A/B mirror for the one-scan
+      // rewrite in the function above
       locally {
         val methods = oracleMethods; val budgets = Seq(100L, 200L); val k = 25L
         val dl2 = dl.select("col", "val")

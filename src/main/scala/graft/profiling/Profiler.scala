@@ -89,13 +89,30 @@ object Profiler {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // submit LARGEST tables first (driver-side file-size probe, metadata
+    // only): the pool is narrower than the registry, and a long-pole table
+    // queued in the last wave serializes behind the small ones — classic
+    // LPT scheduling; order is irrelevant to results (unionAll re-applies
+    // the registry order below via the deterministic traverse result)
+    def sizeOf(t: String): Long = {
+      val p = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.mapToLong(java.nio.file.Files.size(_)).sum() finally s.close()
+        } else java.nio.file.Files.size(p)
+      } catch { case _: Throwable => 0L }
+    }
+    val tables = Tables.all.filter(Tables.indColumns.contains)
+    val bySize = tables.sortBy(t => -sizeOf(t))
     val perTable =
       try {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.traverse(Tables.all.filter(Tables.indColumns.contains)) { t =>
-            Future(stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
-          }, Duration.Inf).reduce(_ unionAll _)
+        val done = Await.result(
+          Future.traverse(bySize) { t =>
+            Future(t -> stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
+          }, Duration.Inf).toMap
+        tables.map(done).reduce(_ unionAll _)
       } finally pool.shutdown()
     val withU =
       if (exactDistinct) {
