@@ -101,7 +101,10 @@ object IndValidator {
     * the generic path past 64 columns. */
   def verdictsIndexed(distinctLong: DataFrame, maxMissing: Long,
                       colIds: Seq[String]): DataFrame = {
-    if (colIds.size > 64) return verdicts(distinctLong, maxMissing)
+    // empty universe would make sequence(0, -1) DESCEND below; the generic
+    // path handles both degenerate ends
+    if (colIds.isEmpty || colIds.size > 64)
+      return verdicts(distinctLong, maxMissing)
     val spark = distinctLong.sparkSession
     val n = colIds.size
     // col name -> bit index via a literal map lookup (codegen, no join)
