@@ -32,6 +32,31 @@ class IndValidatorSpec extends SparkSpec {
     assert(m(("t.b", "t.c")) == 2L) // 2,3 not in c
   }
 
+  test("verdictsIndexed (bit-mask sets) row-equals the generic set path") {
+    // pseudo-random 12-column long form with heavy cross-column value
+    // sharing, a column with a single value, and values unique to one
+    // column — the shapes that exercise mask bits, the diagonal counts,
+    // and absent co-occurrence
+    val cols = (0 until 12).map(i => s"t.c$i")
+    val lf = (0 until 600).map { i =>
+      (cols(i % 12), "v" + ((i * 7919) % 97))
+    }.distinct.toDF("col", "val")
+      .unionAll(Seq(("t.c0", "only0"), ("t.c1", "only1")).toDF("col", "val"))
+    val generic = IndValidator.verdicts(lf, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    val masked = IndValidator.verdictsIndexed(lf, 1L, cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(masked == generic)
+    // a universe wider than the input's columns changes nothing (absent
+    // columns have zero distinct values and are excluded on both paths)
+    val maskedWide = IndValidator.verdictsIndexed(lf, 1L, cols :+ "t.ghost")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(maskedWide == generic)
+  }
+
   test("partial INDs (k=1) admit c ⊆ b") {
     val passed = IndValidator.verdicts(longForm, 1L).filter(col("passed"))
       .select("dep", "ref").collect()

@@ -66,6 +66,18 @@ class SamplerScaleSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange in:\n$plan")
   }
 
+  test("stacked evenly-spaced rn equals the two-phase partition-prefix numbering") {
+    // rankedAll now numbers evenly-spaced as one more window on the shared
+    // stacked exchange; the rows must be value-identical to the
+    // numberedByVal pipeline it replaced (same total (col, val) order)
+    val evenly = Experiment.rankedAll(values, Seq("random", "evenly-spaced"), 3)
+      .filter(col("method") === "evenly-spaced").select("col", "val", "rn")
+    val twoPhase = Samplers
+      .numberedByVal(values.select("col", "val").dropDuplicates("col", "val"), Seq("col"))
+      .select("col", "val", "rn")
+    assert(evenly.exceptAll(twoPhase).isEmpty && twoPhase.exceptAll(evenly).isEmpty)
+  }
+
   test("rankedAll covers every method with consistent ranks") {
     val ranked = Experiment.rankedAll(values, Samplers.methods, 5)
     val methods = ranked.select("method").distinct().collect().map(_.getString(0)).toSet
