@@ -88,12 +88,11 @@ object Profiler {
     // 10 tables and a driver/scheduler pile-up at a 10⁴-table registry
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     // submit LARGEST tables first (driver-side file-size probe, metadata
     // only): the pool is narrower than the registry, and a long-pole table
     // queued in the last wave serializes behind the small ones — classic
-    // LPT scheduling; order is irrelevant to results (unionAll re-applies
-    // the registry order below via the deterministic traverse result)
+    // LPT scheduling; order is irrelevant to results (the registry order is
+    // re-applied below via the deterministic traverse result)
     def sizeOf(t: String): Long = {
       val p = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
       try {
@@ -105,29 +104,70 @@ object Profiler {
     }
     val tables = Tables.all.filter(Tables.indColumns.contains)
     val bySize = tables.sortBy(t => -sizeOf(t))
-    val perTable =
+    def concurrently[A](f: String => A): Map[String, A] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val done = Await.result(
-          Future.traverse(bySize) { t =>
-            Future(t -> stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
-          }, Duration.Inf).toMap
-        tables.map(done).reduce(_ unionAll _)
+        Await.result(
+          Future.traverse(bySize)(t => Future(t -> f(t))), Duration.Inf).toMap
       } finally pool.shutdown()
-    val withU =
-      if (exactDistinct) {
-        val u = exactDistinctCounts(
-          distinctLong.getOrElse(Tables.distinctLongForm(spark, sfDir)))
-        perTable.join(broadcast(u), Seq("col"), "left")
-          .withColumn("unique_count", coalesce(col("unique_count"), lit(0L)))
-      } else perTable.withColumn("unique_count", col("approx_distinct"))
-    // approx_distinct rides along: consumers needing the HLL estimate
-    // (q_profile_approx's error-bound verdict) read it off the shared
-    // cached profile instead of re-scanning every table
-    withU.withColumn("unique_ratio",
-        when(col("cnt") > 0, round(col("unique_count") / col("cnt"), 5)))
-      .select("col", "cnt", "nulls", "unique_count", "unique_ratio",
-              "min_val", "max_val", "shortest", "longest", "approx_distinct")
+    }
+    if (!exactDistinct) {
+      // the 100 TB cheap path: per-table wide aggs with raw-scan HLLs and
+      // NO distinct-long-form dependency (building the deduped frame is
+      // exactly the shuffle this mode exists to avoid)
+      val done = concurrently(t =>
+        stringStats(Tables.load(spark, sfDir, t), t, Tables.indColumns(t)))
+      tables.map(done).reduce(_ unionAll _)
+        .withColumn("unique_count", col("approx_distinct"))
+        .withColumn("unique_ratio",
+          when(col("cnt") > 0, round(col("unique_count") / col("cnt"), 5)))
+        .select("col", "cnt", "nulls", "unique_count", "unique_ratio",
+                "min_val", "max_val", "shortest", "longest", "approx_distinct")
+    } else {
+      // exact path: every VALUE-shaped statistic is a function of a
+      // column's distinct-value SET — lexicographic min/max, the
+      // (length, value)-argmin/argmax shortest/longest, the exact distinct
+      // count, and the HLL estimate (HyperLogLog register updates are
+      // idempotent, so the sketch over the deduped values is identical to
+      // the sketch over the raw rows). Compute them all in ONE grouped
+      // pass over the suite's cached distinct long form instead of
+      // re-hashing every raw row of every table through per-table HLL +
+      // argmin aggregates; the raw scans shrink to count-only aggregates
+      // (row total + non-null count per column — the two statistics
+      // duplicates genuinely contribute to).
+      val dl = distinctLong.getOrElse(Tables.distinctLongForm(spark, sfDir))
+      val ord = struct(length(col("val")).as("l"), col("val").as("v"))
+      val vstats = dl.groupBy("col").agg(
+        count("*").as("unique_count"),
+        min("val").as("min_val"),
+        max("val").as("max_val"),
+        min_by(col("val"), ord).as("shortest"),
+        max_by(col("val"), ord).as("longest"),
+        approx_count_distinct(col("val")).as("approx_distinct"))
+      def countsFor(t: String): Seq[(String, Long, Long)] = {
+        val cols = Tables.indColumns(t)
+        val aggs = count(lit(1)).as("__total") +:
+          cols.map(c => count(col(c)).as(s"${c}__cnt"))
+        val row = Tables.load(spark, sfDir, t).agg(aggs.head, aggs.tail: _*)
+          .collect()(0)
+        val total = row.getAs[Long]("__total")
+        cols.map { c =>
+          val cnt = row.getAs[Long](s"${c}__cnt")
+          (s"$t.$c", cnt, total - cnt)
+        }
+      }
+      val done = concurrently(countsFor)
+      val counts = spark.createDataFrame(tables.flatMap(done))
+        .toDF("col", "cnt", "nulls")
+      counts.join(broadcast(vstats), Seq("col"), "left")
+        .withColumn("unique_count", coalesce(col("unique_count"), lit(0L)))
+        .withColumn("approx_distinct", coalesce(col("approx_distinct"), lit(0L)))
+        .withColumn("unique_ratio",
+          when(col("cnt") > 0, round(col("unique_count") / col("cnt"), 5)))
+        .select("col", "cnt", "nulls", "unique_count", "unique_ratio",
+                "min_val", "max_val", "shortest", "longest", "approx_distinct")
+    }
   }
 
   /** Native numeric profile (no string casts — doubles/timestamps keep their
